@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over the engine's query registry
+(`matrix_multiplication_bigdata_ind_assignments_spark.registry`): every implemented operator from
+SURVEY.md §2.2/§2.3 is registered there with its DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +11,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the gram matrix EᵀE of the
+    embedding matrix — scan → posexplode → self-join → hash agg, the
+    engine's spine (SURVEY.md §7 minimum slice)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.matrix import from_embeddings, multiply, transpose
+
+    E = from_embeddings(spark, "/root/testdata/sf0.001")
+    return multiply(transpose(E), E, strategy="join")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2)."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted keys are rows-only checks."""
+    return registry.oracles()

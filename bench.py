@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Matmul benchmarks mirror the reference's benchmark shapes
+(ref: `Stage 1/Python Implementation/mm_baseline.py:30-63` sizes 64..2048;
+`Stage 3/Python Implementation/mm_opt_par.py:43-86` parallel n=1024): the
+matrices are derived deterministically from lineitem (i=orderkey%n,
+j=partkey%n, v=quantity summed over collisions), sized n=256 for the COO
+join path and n=1024 for the blocked (numpy-GEMM-per-block-pair) path —
+the same n the reference benchmarks at, so BENCH_r{N}.json is directly
+comparable to BASELINE.md's Python rows.
+
+Every query is forced end-to-end with a noop sink (full compute of all
+columns, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def mat_from_lineitem(spark, sf_dir: str, n: int, shift: int = 0):
+    """Deterministic n×n COO matrix from the lineitem fact table."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.select(
+            ((F.col("l_orderkey") + shift) % n).alias("i"),
+            ((F.col("l_partkey") + 3 * shift) % n).alias("j"),
+            F.col("l_quantity").alias("v"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("MMBD_SHUFFLE_PARTITIONS", str(2 * int(cpus)))
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import matrix as M
+    from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
+
+    spark = get_spark("mmbd-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    benches: dict[str, object] = {
+        # matmul family at reference-comparable sizes
+        "matmul_join_n256": lambda: run(
+            M.multiply(mat_from_lineitem(spark, sf_dir, 256),
+                       mat_from_lineitem(spark, sf_dir, 256, shift=7), strategy="join")
+        ),
+        "matmul_broadcast_n256": lambda: run(
+            M.multiply(mat_from_lineitem(spark, sf_dir, 256),
+                       mat_from_lineitem(spark, sf_dir, 256, shift=7), strategy="broadcast")
+        ),
+        "matmul_blocked_n1024": lambda: run(
+            M.multiply(mat_from_lineitem(spark, sf_dir, 1024),
+                       mat_from_lineitem(spark, sf_dir, 1024, shift=7),
+                       strategy="blocked", block_size=256)
+        ),
+        "matmul_gram_embeddings": lambda: run(
+            M.multiply(M.transpose(M.from_embeddings(spark, sf_dir)),
+                       M.from_embeddings(spark, sf_dir), strategy="join")
+        ),
+    }
+    # relational / window / text / LLM-pipeline headline queries
+    for name in (
+        "q_agg_pricing_summary",
+        "q_star_join",
+        "q_join_smj",
+        "q_range_join",
+        "q_asof_join",
+        "q_topk_per_group",
+        "q_moving_avg",
+        "q_rollup",
+        "q_distinct_users",
+        "q_wordcount",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_ngram_jaccard",
+        "q_cosine_topk",
+        "q_ann_lsh",
+        "q_stream_tumbling",
+    ):
+        benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
+
+    timings: dict[str, float] = {}
+    for name, thunk in benches.items():
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = -1.0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""Aggregation family (SURVEY.md §2.2 q_bench_mean/q_speedup_efficiency,
+§2.3 "Aggregations").
+
+Spark's HashAggregate already does partial (map-side) + final aggregation;
+nothing to hand-roll.  Money/measure sums go through the DECIMAL route
+(functions/numeric.py) so results are bit-identical regardless of
+partitioning — the FP-order-safety stance from SURVEY.md §7.
+
+The bench-analytics queries (`q_bench_mean`, `q_speedup_efficiency`)
+re-express the reference harness's derived metrics
+(ref: `Stage 3/Python Implementation/mm_opt_par.py:43-86`) relationally
+over the `events` proxy table (FIXTURES.md §3) — and fix the reference's
+broken speedup column (SURVEY.md §2.1) by computing the baseline with a
+window over the full table instead of a per-process dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dec_avg, dec_sum
+from ..registry import register
+from ..sources import load
+
+# DuckDB-side equivalents of the decimal-route aggregates.
+_D = "DECIMAL(30,6)"
+
+
+def _sql_dec_sum(expr: str, r: int) -> str:
+    return f"CAST(round(sum(CAST({expr} AS {_D})), {r}) AS DOUBLE)"
+
+
+def _sql_dec_avg(expr: str, r: int = 6) -> str:
+    return f"round(CAST(sum(CAST({expr} AS {_D})) AS DOUBLE) / count({expr}), {r})"
+
+
+@register(
+    "q_agg_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dec_sum('l_quantity', 2)} AS sum_qty,
+       {_sql_dec_sum('l_extendedprice', 2)} AS sum_base_price,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {_sql_dec_avg('l_quantity')} AS avg_qty,
+       {_sql_dec_avg('l_extendedprice')} AS avg_price,
+       {_sql_dec_avg('l_discount')} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash agg over lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", 2).alias("sum_qty"),
+        dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+        dec_sum(disc_price, 4).alias("sum_disc_price"),
+        dec_sum(charge, 6).alias("sum_charge"),
+        dec_avg("l_quantity").alias("avg_qty"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+        dec_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_distinct_users",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(distinct) — expands to a two-phase agg in Spark."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register("q_approx_distinct_users", oracle=None)  # HLL sketch ≠ DuckDB's sketch → rows-only
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch path for 100 TB
+    cardinalities where exact distinct would shuffle every key."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sql_dec_sum('l_quantity', 2)} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sql_dec_sum('l_quantity', 2)} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register(
+    "q_bench_mean",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+       {_sql_dec_avg('value')} AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def q_bench_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeats → mean, the harness reduction (ref
+    `Stage 1/Python Implementation/mm_baseline.py:30-63`), over the events
+    proxy table (FIXTURES.md §3)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"), dec_avg("value").alias("avg_value")
+    )
+
+
+@register(
+    "q_speedup_efficiency",
+    oracle=f"""
+WITH per_run AS (
+  SELECT event_type, user_id, {_sql_dec_avg('value')} AS t
+  FROM events GROUP BY event_type, user_id
+),
+with_base AS (
+  SELECT event_type, user_id, t,
+         first_value(t) OVER (PARTITION BY event_type ORDER BY user_id) AS t1
+  FROM per_run
+)
+SELECT event_type, user_id, t,
+       round(t1 / t, 6) AS speedup,
+       round(t1 / t / (user_id + 1), 6) AS efficiency
+FROM with_base
+""",
+)
+def q_speedup_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """speedup = T1/Tp, efficiency = speedup/p, computed relationally with a
+    window over the whole results table — fixing the reference defect where
+    each thread-count process couldn't see the T1 baseline (SURVEY.md §2.1,
+    ref `Stage 3/Python Implementation/mm_opt_par.py:69-76`).  `events` is
+    the proxy results table: user_id plays the thread count."""
+    e = load(spark, sf_dir, "events")
+    per_run = e.groupBy("event_type", "user_id").agg(dec_avg("value").alias("t"))
+    w = Window.partitionBy("event_type").orderBy("user_id")
+    return (
+        per_run.withColumn("t1", F.first("t").over(w))
+        .select(
+            "event_type",
+            "user_id",
+            "t",
+            F.round(F.col("t1") / F.col("t"), 6).alias("speedup"),
+            F.round(F.col("t1") / F.col("t") / (F.col("user_id") + 1), 6).alias("efficiency"),
+        )
+    )
+
+
+@register(
+    "q_series_by_group",
+    oracle=f"""
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sql_dec_sum('value', 2)} AS total_value
+FROM events GROUP BY event_type, day
+""",
+)
+def q_series_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group → ordered series for plotting (ref visualizer groupby series
+    `Stage 1/Visualization/mm_perf_visualizer.py:51-69`)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), dec_sum("value", 2).alias("total_value"))

@@ -1,0 +1,94 @@
+"""Harness-analytics operators (SURVEY.md §2.2): the multi-file CSV corpus
+scan with lineage + cleaning, and the CSV sink — re-expressing the
+reference visualizers' pandas pipeline
+(ref: `Stage 1/Visualization/mm_perf_visualizer.py:23-46`) and CSV writers
+(ref: `Stage 1/Python Implementation/mm_baseline.py:65-85`).
+
+These have filesystem side effects (write-then-scan a tmp corpus), so they
+are rows-only checks; the cleaning logic itself (comma→dot, try_cast) is
+oracle-covered via the other queries' try_cast usage and unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+
+
+def _write_corpus(spark: SparkSession, sf_dir: str, root: str) -> list[str]:
+    """Deterministic 3-file CSV corpus derived from events — stands in for
+    the reference's per-language results_*.csv files.  The 'c' file uses
+    decimal commas to exercise the locale-fix path
+    (ref comma→dot cleaning `Stage 1/Visualization/mm_perf_visualizer.py:39-46`)."""
+    e = load(spark, sf_dir, "events")
+    base = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 3).alias("avg_value"))
+        .orderBy("event_type")
+        .collect()
+    )
+    paths = []
+    for lang in ("python", "c", "java"):
+        path = os.path.join(root, f"results_{lang}.csv")
+        with open(path, "w") as f:
+            if lang == "c":
+                # decimal-comma locale + an extra column only this file has
+                f.write("lang,event_type,n,avg_value,rss_mb\n")
+                for r in base:
+                    f.write(f"{lang},{r['event_type']},{r['n']},\"{str(r['avg_value']).replace('.', ',')}\",12\n")
+            else:
+                f.write("lang,event_type,n,avg_value\n")
+                for r in base:
+                    f.write(f"{lang},{r['event_type']},{r['n']},{r['avg_value']}\n")
+        paths.append(path)
+    return paths
+
+
+@register("q_results_scan_union", oracle=None)  # file side effects → rows-only
+def q_results_scan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus scan + lineage + union + cleaning: glob read,
+    input_file_name() lineage column, unionByName(allowMissingColumns)
+    across heterogeneous schemas, comma→dot locale fix, try_cast coercion —
+    the reference visualizer front-end as one declarative pipeline."""
+    root = tempfile.mkdtemp(prefix="mmbd_corpus_")
+    _write_corpus(spark, sf_dir, root)
+    wide = spark.read.option("header", True).csv(os.path.join(root, "results_c.csv"))
+    narrow = spark.read.option("header", True).csv(
+        [os.path.join(root, "results_python.csv"), os.path.join(root, "results_java.csv")]
+    )
+    df = wide.unionByName(narrow, allowMissingColumns=True)
+    cleaned = df.select(
+        "lang",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("try_cast(regexp_replace(avg_value, ',', '.') AS DOUBLE)").alias("avg_value"),
+        F.expr("try_cast(rss_mb AS DOUBLE)").alias("rss_mb"),
+        F.regexp_extract(F.input_file_name(), r"results_(\w+)\.csv", 1).alias("source_file_lang"),
+    )
+    return cleaned.groupBy("lang", "source_file_lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("avg_value"), 3).alias("sum_avg_value"),
+        F.round(F.sum(F.coalesce(F.col("rss_mb"), F.lit(0.0))), 3).alias("sum_rss"),
+    )
+
+
+@register("q_csv_sink", oracle=None)  # file side effects → rows-only
+def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Results CSV sink + read-back (ref CSV writers
+    `Stage 1/Python Implementation/mm_baseline.py:73-84`): write a header
+    CSV with explicit schema, read it back, prove round-trip equality by
+    returning the re-read aggregate."""
+    out = tempfile.mkdtemp(prefix="mmbd_sink_")
+    e = load(spark, sf_dir, "events")
+    res = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total")
+    )
+    res.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema("event_type string, n long, total double").csv(out)
+    return back

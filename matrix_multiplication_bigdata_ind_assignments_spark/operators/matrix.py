@@ -1,0 +1,308 @@
+"""Distributed matrix algebra over COO DataFrames.
+
+The reference implements dense/transposed/blocked/sparse matmul kernels in
+three languages (ref: `Stage 2/Python Implementation/mm_opt.py:30-89`,
+`Stage 2/C Implementation/mm_opt.c:39-120`,
+`Stage 2/Java Implementation/MMOpt.java:31-128`) and a row-partitioned
+parallel variant with a manually broadcast B
+(ref: `Stage 3/Python Implementation/mm_opt_par.py:12-41`).  Here all of
+those collapse to ONE logical operator — ``multiply(A, B)`` over a COO
+relation ``(i: long, j: long, v: double)`` — with physical strategies as
+knobs (SURVEY.md §7 design stance):
+
+- ``join``       : shuffle hash/sort-merge join on the inner dimension +
+                   partial/final hash aggregation.  The all-purpose path.
+- ``broadcast``  : same plan with the right side broadcast — the Spark
+                   native form of Stage 3's "pickle B to every worker".
+- ``blocked``    : block-id repartitioning + per-block-pair numpy GEMM in a
+                   cogrouped ``applyInPandas`` — the scale path for dense×
+                   dense (shuffle volume O(n²·n/BS) instead of O(n³) rows,
+                   Arrow-batched, BLAS inner loop).  Mirrors the reference's
+                   cache tiling (ref: `Stage 2/Python Implementation/mm_opt.py:57-73`).
+
+Matrices are never materialized on the driver; identity/fixtures derive
+from the ``embeddings`` parquet table (FIXTURES.md §2) so the DuckDB oracle
+sees byte-identical inputs.  Fp-order safety: every aggregated value is
+``round(x, 6)`` in both engines.
+
+At 100 TB the COO join strategy shuffles |A| + |B| rows keyed on the inner
+dimension and |A·B| partial products into the aggregation; the blocked
+strategy instead shuffles each block O(n/BS) times with dense Arrow
+payloads, which is the plan you want for big dense operands.  Sparse
+operands keep the join strategy (only nnz rows flow).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+
+COO_COLS = ("i", "j", "v")
+
+
+# ---------------------------------------------------------------------------
+# COO constructors (fixtures — FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+def from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mat_E: 500×64 COO from the embeddings table (row=vec_id, col=pos)."""
+    E = load(spark, sf_dir, "embeddings")
+    return E.select(
+        F.col("vec_id").cast("long").alias("i"),
+        F.posexplode("embedding").alias("j", "v"),
+    ).select("i", F.col("j").cast("long").alias("j"), F.col("v").cast("double").alias("v"))
+
+
+def mat_A(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64×64 square slice: embedding rows 0..63."""
+    return from_embeddings(spark, sf_dir).where(F.col("i") < 64)
+
+
+def mat_B(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64×64 square slice: embedding rows 64..127, reindexed to 0..63."""
+    return (
+        from_embeddings(spark, sf_dir)
+        .where((F.col("i") >= 64) & (F.col("i") < 128))
+        .select((F.col("i") - 64).alias("i"), "j", "v")
+    )
+
+
+def identity(spark: SparkSession, n: int) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias("i"), F.col("id").alias("j"), F.lit(1.0).alias("v")
+    )
+
+
+def sparsify(M: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """CSR analogue: keep only 'nonzeros' (|v| > threshold).
+
+    Relationally CSR is just the nnz set (ref CSR structs:
+    `Stage 2/C Implementation/mm_opt.c:81`,
+    `Stage 2/Java Implementation/MMOpt.java:85-90`); the predicate is pushed
+    to the parquet scan by Catalyst.
+    """
+    return M.where(F.abs(F.col("v")) > threshold)
+
+
+def transpose(M: DataFrame) -> DataFrame:
+    """Bᵀ — a pure projection, no shuffle (ref in-kernel transpose:
+    `Stage 2/Python Implementation/mm_opt.py:42-55`)."""
+    return M.select(F.col("j").alias("i"), F.col("i").alias("j"), "v")
+
+
+# ---------------------------------------------------------------------------
+# multiply — one logical op, physical strategies as knobs
+# ---------------------------------------------------------------------------
+
+def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int = 32) -> DataFrame:
+    """C(i,j) = round(Σ_k A(i,k)·B(k,j), 6) as COO.
+
+    Same contraction as the reference's i-k-j loops
+    (`Stage 1/Python Implementation/mm_baseline.py:17-28`); the loop order /
+    layout concerns (transposed, tiled) are physical strategies here.
+    """
+    if strategy in ("join", "broadcast"):
+        right = F.broadcast(B) if strategy == "broadcast" else B
+        return (
+            A.alias("a")
+            .join(right.alias("b"), F.col("a.j") == F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+            .agg(F.round(F.sum(F.col("a.v") * F.col("b.v")), 6).alias("v"))
+        )
+    if strategy == "blocked":
+        return _multiply_blocked(A, B, block_size)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int) -> DataFrame:
+    """Tiled multiply: group cells into bs×bs blocks, join block pairs on the
+    inner block index, numpy-GEMM each pair in a cogrouped applyInPandas,
+    then sum partial blocks.
+
+    Spark-first reading of the reference's (ii,kk,jj) tiling
+    (`Stage 2/Python Implementation/mm_opt.py:57-73`): the block grid is the
+    partitioning, the cache-resident tile kernel is Arrow-batched numpy.
+    """
+    # Fully distinct column names on each side: A and B often share scan
+    # lineage (e.g. both sliced from the embeddings table), and shared
+    # names across the block joins below would trip Spark's ambiguous
+    # self-join detection.
+    Ab = A.select(
+        (F.col("i") / bs).cast("long").alias("a_bi"),
+        (F.col("j") / bs).cast("long").alias("a_bk"),
+        F.col("i").alias("a_i"), F.col("j").alias("a_j"), F.col("v").alias("a_v"),
+    )
+    Bb = B.select(
+        (F.col("i") / bs).cast("long").alias("b_bk"),
+        (F.col("j") / bs).cast("long").alias("b_bj"),
+        F.col("i").alias("b_i"), F.col("j").alias("b_j"), F.col("v").alias("b_v"),
+    )
+
+    def gemm(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"i": [], "j": [], "v": []})
+        a_rows = np.sort(a_pdf["a_i"].unique())
+        b_cols = np.sort(b_pdf["b_j"].unique())
+        k_lo = int(min(a_pdf["a_j"].min(), b_pdf["b_i"].min()))
+        k_hi = int(max(a_pdf["a_j"].max(), b_pdf["b_i"].max()))
+        a_blk = np.zeros((len(a_rows), k_hi - k_lo + 1))
+        b_blk = np.zeros((k_hi - k_lo + 1, len(b_cols)))
+        ai = {r: x for x, r in enumerate(a_rows)}
+        bj_ix = {c: x for x, c in enumerate(b_cols)}
+        a_blk[
+            a_pdf["a_i"].map(ai).to_numpy(), a_pdf["a_j"].to_numpy() - k_lo
+        ] = a_pdf["a_v"].to_numpy()
+        b_blk[
+            b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].map(bj_ix).to_numpy()
+        ] = b_pdf["b_v"].to_numpy()
+        c_blk = a_blk @ b_blk
+        ii, jj = np.nonzero(c_blk)
+        return pd.DataFrame(
+            {
+                "i": a_rows[ii],
+                "j": b_cols[jj],
+                "v": c_blk[ii, jj],
+            }
+        )
+
+    # cogroup on (bi, bk, bj): every A block (bi,bk) meets every B block
+    # (bk,bj).  Attach the partner-side block ids with a tiny distinct
+    # projection of the OTHER operand (1 row per block → broadcast), so
+    # each cell is replicated once per partner block — O(cells · n/BS)
+    # shuffle, the tiled-multiply cost model.
+    a_keys = Ab.select("a_bi", "a_bk").distinct()
+    b_keys = Bb.select("b_bk", "b_bj").distinct()
+
+    a_cells = (
+        Ab.join(F.broadcast(b_keys), Ab.a_bk == b_keys.b_bk)
+        .select(
+            F.col("a_bi").alias("bi"), F.col("a_bk").alias("bk"), F.col("b_bj").alias("bj"),
+            "a_i", "a_j", "a_v",
+        )
+    )
+    b_cells = (
+        Bb.join(F.broadcast(a_keys), Bb.b_bk == a_keys.a_bk)
+        .select(
+            F.col("a_bi").alias("bi"), F.col("b_bk").alias("bk"), F.col("b_bj").alias("bj"),
+            "b_i", "b_j", "b_v",
+        )
+    )
+
+    partials = a_cells.groupBy("bi", "bk", "bj").cogroup(
+        b_cells.groupBy("bi", "bk", "bj")
+    ).applyInPandas(gemm, schema="i long, j long, v double")
+
+    return partials.groupBy("i", "j").agg(F.round(F.sum("v"), 6).alias("v"))
+
+
+def frobenius(M: DataFrame) -> DataFrame:
+    """‖M‖²_F (rounded) — the matrix reduction the reference never computed
+    but correctness needs (SURVEY.md §2.2 q_frobenius)."""
+    return M.agg(F.round(F.sum(F.col("v") * F.col("v")), 6).alias("frob_sq"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + DuckDB oracles (FIXTURES.md §2 conventions)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTEs: COO view of embeddings, square slices A and B.
+_ORACLE_COO = """
+WITH E AS (
+  SELECT vec_id AS i, t.j AS j, CAST(embedding[t.j + 1] AS DOUBLE) AS v
+  FROM embeddings, range(64) t(j)
+),
+A AS (SELECT i, j, v FROM E WHERE i < 64),
+B AS (SELECT i - 64 AS i, j, v FROM E WHERE i >= 64 AND i < 128)
+"""
+
+_ORACLE_MATMUL_DENSE = _ORACLE_COO + """
+SELECT a.i AS i, b.j AS j, round(sum(a.v * b.v), 6) AS v
+FROM A a JOIN B b ON a.j = b.i
+GROUP BY a.i, b.j
+"""
+
+
+@register("q_matmul_dense", oracle=_ORACLE_MATMUL_DENSE)
+def q_matmul_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C = A·B dense (ref kernels `Stage 1/Python Implementation/mm_baseline.py:17-28` et al.)."""
+    return multiply(mat_A(spark, sf_dir), mat_B(spark, sf_dir), strategy="join")
+
+
+@register("q_matmul_broadcast", oracle=_ORACLE_MATMUL_DENSE)
+def q_matmul_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same product via broadcast of B — Spark-native form of Stage 3's
+    manual B-broadcast (`Stage 3/Python Implementation/mm_opt_par.py:33-38`)."""
+    return multiply(mat_A(spark, sf_dir), mat_B(spark, sf_dir), strategy="broadcast")
+
+
+@register("q_matmul_blocked", oracle=_ORACLE_MATMUL_DENSE)
+def q_matmul_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled multiply, same result (ref `Stage 2/Python Implementation/mm_opt.py:57-73`)."""
+    return multiply(mat_A(spark, sf_dir), mat_B(spark, sf_dir), strategy="blocked", block_size=32)
+
+
+@register(
+    "q_matmul_transposed",
+    oracle=_ORACLE_COO + """
+SELECT a1.j AS i, a2.j AS j, round(sum(a1.v * a2.v), 6) AS v
+FROM A a1 JOIN A a2 ON a1.i = a2.i
+GROUP BY a1.j, a2.j
+""",
+)
+def q_matmul_transposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix AᵀA via key-swapped self-join (ref transpose-then-multiply
+    `Stage 2/Python Implementation/mm_opt.py:42-55`)."""
+    A = mat_A(spark, sf_dir)
+    return multiply(transpose(A), A, strategy="join")
+
+
+@register(
+    "q_matmul_sparse",
+    oracle=_ORACLE_COO + """
+SELECT a.i AS i, b.j AS j, round(sum(a.v * b.v), 6) AS v
+FROM (SELECT * FROM A WHERE abs(v) > 0.05) a
+JOIN B b ON a.j = b.i
+GROUP BY a.i, b.j
+""",
+)
+def q_matmul_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse(A)·B — CSR semantics = nnz-only left side (ref spmm
+    `Stage 2/Python Implementation/mm_opt.py:75-89`)."""
+    return multiply(sparsify(mat_A(spark, sf_dir), 0.05), mat_B(spark, sf_dir), strategy="join")
+
+
+@register(
+    "q_transpose",
+    oracle=_ORACLE_COO + "SELECT j AS i, i AS j, v FROM A",
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aᵀ (ref `Stage 2/C Implementation/mm_opt.c:49-61`)."""
+    return transpose(mat_A(spark, sf_dir))
+
+
+@register(
+    "q_matrix_gen",
+    oracle=_ORACLE_COO + "SELECT i, j, v FROM E",
+)
+def q_matrix_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic matrix materialization from parquet (replaces the
+    reference's seeded RNG generators, SURVEY.md §1.4)."""
+    return from_embeddings(spark, sf_dir)
+
+
+@register(
+    "q_frobenius",
+    oracle=_ORACLE_COO + "SELECT round(sum(v * v), 6) AS frob_sq FROM A",
+)
+def q_frobenius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """‖A‖²_F reduction."""
+    return frobenius(mat_A(spark, sf_dir))

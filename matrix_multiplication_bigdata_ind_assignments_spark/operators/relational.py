@@ -1,0 +1,221 @@
+"""Join family over the star schema (SURVEY.md §2.3 "Joins").
+
+Spark-first choices, with the 100 TB posture called out per query:
+- tiny dims are broadcast (`F.broadcast`) — no shuffle of the fact side;
+- the orders⋈lineitem equi-join is a plain shuffle join on the key Spark
+  sort-merges (AQE picks SMJ vs shuffled-hash at runtime);
+- the 1-hour range join is hour-bucketed (explode each left row into its
+  two candidate buckets, equi-join on the bucket, then apply the range
+  predicate) so it stays an equi-join at scale instead of a broadcast
+  nested-loop O(n²) — the standard interval-bucketing trick;
+- the as-of join is the single-pass union+window form: one global sort
+  per user partition, no row-vs-row join at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dec_sum
+from ..registry import register
+from ..sources import load
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name, r.r_name AS r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join of two tiny dims (nation ⋈ region)."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "q_join_smj",
+    oracle="""
+SELECT o.o_orderkey AS o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+""",
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (sort-merge) equi-join orders ⋈ lineitem + per-order rollup."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_star_join",
+    oracle="""
+SELECT r.r_name AS r_name, n.n_name AS n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact → orders → customer → broadcast dims."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers that have at least one order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+SELECT e1.event_type AS t1, e2.event_type AS t2, CAST(count(*) AS BIGINT) AS pairs
+FROM events e1 JOIN events e2
+  ON e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+ AND e1.event_id <> e2.event_id
+GROUP BY e1.event_type, e2.event_type
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: event pairs within a 1-hour forward window.
+
+    Scale path: hour-bucketed.  Each left event is exploded into its two
+    candidate buckets (h, h+1) and the join runs as an EQUI-join on the
+    bucket with the range predicate applied after — at 100 TB this shuffles
+    by hour instead of degenerating into a broadcast nested loop.
+    """
+    e = load(spark, sf_dir, "events")
+    e1 = (
+        e.select("event_id", "ts", "event_type")
+        .withColumn("h0", (F.unix_timestamp("ts") / 3600).cast("long"))
+        .withColumn("h", F.explode(F.array(F.col("h0"), F.col("h0") + 1)))
+    )
+    e2 = e.select(
+        F.col("event_id").alias("event_id2"),
+        F.col("ts").alias("ts2"),
+        F.col("event_type").alias("event_type2"),
+    ).withColumn("h", (F.unix_timestamp("ts2") / 3600).cast("long"))
+    return (
+        e1.join(e2, "h")
+        .where(
+            (F.col("ts2") >= F.col("ts"))
+            & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") != F.col("event_id2"))
+        )
+        .select(F.col("event_type").alias("t1"), F.col("event_type2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(view_ts IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM tagged
+)
+SELECT event_id, user_id, epoch_us(last_view_ts) AS last_view_us
+FROM seq WHERE event_type = 'purchase'
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior view.
+
+    Single-pass union+window form (no row-vs-row join): one sort per user
+    partition scales linearly; this is the canonical distributed as-of.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("view", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = e.withColumn(
+        "view_ts", F.when(F.col("event_type") == "view", F.col("ts"))
+    ).withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("last_view_ts").alias("last_view_us")
+    )
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+SELECT r.r_name AS r_name, s.c_mktsegment AS c_mktsegment
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+""",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of small dims (the matrix outer-product shape)."""
+    r = load(spark, sf_dir, "region")
+    seg = load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.select("r_name").crossJoin(F.broadcast(seg))

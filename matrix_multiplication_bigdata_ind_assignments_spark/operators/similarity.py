@@ -1,0 +1,221 @@
+"""Similarity search over the embedding column (SURVEY.md §2.3 north-star):
+brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+approximate variant as the 100 TB scale path.
+
+Dot products stay JVM-side (`zip_with` + `aggregate`); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources import load
+
+_TOPK = 5
+_N_QUERIES = 10  # query set: vec_id < 10
+
+
+def _normed(e):
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {_TOPK}
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for the query set (vec_id < 10):
+    broadcast the (small) query side against the full corpus, per-query
+    row_number with deterministic (cos DESC, neighbor_id) tie-break.
+    At 100 TB the corpus side stays partitioned; only queries broadcast."""
+    n = _normed(load(spark, sf_dir, "embeddings"))
+    q = n.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qn") * F.col("cn"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+_N_TABLES = 4  # LSH tables (independent signatures, union of candidates)
+_BITS_PER_TABLE = 4  # 2^4 = 16 buckets per table
+
+
+@register("q_ann_lsh", oracle=None)  # approximate by construction → rows-only
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH: 4 independent
+    4-bit signatures (sign of dot with md5-derived deterministic
+    hyperplanes); a candidate is any vector sharing a bucket with the
+    query in ANY table.  The candidate join is an equi-join on
+    (table, bucket) — O(candidates), never O(n) per query — which is the
+    100 TB path.  Deterministic (no RNG, SURVEY.md §1.4) but approximate →
+    rows-only; recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    n = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+
+    # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, identical on
+    # every executor, no RNG (SURVEY.md §1.4 determinism stance).
+    def plane_component(plane: int, d):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("plane"), F.lit(plane), d)), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(2**32)) - 0.5
+        )
+
+    def table_bucket(t: int):
+        bits = []
+        for p in range(_BITS_PER_TABLE):
+            plane = t * _BITS_PER_TABLE + p
+            proj = F.aggregate(
+                F.zip_with(
+                    "emb",
+                    F.transform(F.sequence(F.lit(0), F.lit(63)), lambda d: plane_component(plane, d)),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(0))
+        return sum(bits[1:], bits[0])
+
+    keys = F.array(
+        *[F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket")) for t in range(_N_TABLES)]
+    )
+    bucketed = n.select("vec_id", "emb", "nrm", F.explode(keys).alias("k")).select(
+        "vec_id", "emb", "nrm", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket")
+    )
+
+    # rename every column on each join side: q, the candidate index, and
+    # the vector payload all derive from the same scan (self-join lineage)
+    q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    index = bucketed.select(
+        F.col("vec_id").alias("cand_id"), F.col("tbl").alias("c_tbl"), F.col("bucket").alias("c_bucket")
+    )
+    payload = n.select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("ce"), F.col("nrm").alias("cn")
+    )
+    cands = (
+        q.join(index, (F.col("q_tbl") == F.col("c_tbl")) & (F.col("q_bucket") == F.col("c_bucket")))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qe", "qn", "cand_id")
+        .distinct()  # union of tables
+        .join(payload, "cand_id")
+    )
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cands.select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        (dot / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+@register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 10 deterministic centroids (the label-0..9 mean
+    vectors — a k-means surrogate with no RNG), every vector assigned to
+    its nearest centroid, queries probe the 2 nearest centroid cells only.
+    Centroids are tiny → broadcast; the probe join is an equi-join on
+    cell id.  Rows-only (approximate); recall asserted in tests."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", emb.alias("emb"))
+
+    # centroid per label: elementwise mean via posexplode + re-assemble
+    cent = (
+        base.select("label", F.posexplode("emb").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
+            ).alias("cemb")
+        )
+        .select(F.col("label").alias("cell"), "cemb")
+    )
+
+    cdot = F.aggregate(F.zip_with("emb", "cemb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    cnorm = F.sqrt(F.aggregate(F.transform("cemb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    vnorm = F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored_cells = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "emb", "cell", (cdot / (cnorm * vnorm)).alias("ccos"), vnorm.alias("nrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = scored_cells.withColumn("crk", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("crk") == 1).select("vec_id", "emb", "nrm", "cell")
+    probes = ranked.where((F.col("crk") <= 2) & (F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn"), "cell"
+    )
+
+    dot = F.aggregate(F.zip_with("qe", "emb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOPK)
+        .distinct()
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )

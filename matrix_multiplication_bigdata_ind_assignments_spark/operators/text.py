@@ -1,0 +1,303 @@
+"""Scalar functions + text analysis (SURVEY.md §2.3 "Scalar functions",
+"LLM-data-pipeline ops": language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side, inside
+whole-stage codegen; no Python UDFs in any hot path.  Higher-order array
+functions (filter/transform/aggregate) mirror DuckDB's list_* functions
+exactly (same fold order), which keeps the oracles bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources import load
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       string_split(text, ' ')[1] AS first_word,
+       upper(substr(text, 1, 10)) AS head10,
+       CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: length/split/substring/upper/contains."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.split("text", " ").getItem(0).alias("first_word"),
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("has_spark"),
+    )
+
+
+@register(
+    "q_date_buckets",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY ship_year, ship_month
+""",
+)
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time bucketing: year/month extraction + agg."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "q_vector_ops",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+       round(embedding[1]::DOUBLE, 6) AS v0,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS vmax,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS vsum
+FROM embeddings
+""",
+)
+def q_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/vector surface over the multimodal embedding column:
+    size / higher-order aggregate (dot with self) / element access / max /
+    sum — all JVM-side, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("v0"),
+        F.round(F.array_max(as_double), 6).alias("vmax"),
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vsum"),
+    )
+
+
+@register(
+    "q_wordcount",
+    oracle="""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w
+""",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic split+explode+groupBy wordcount over documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_lang_profile",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_words
+FROM documents GROUP BY lang
+""",
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 6).alias("avg_words"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters-run | digits-run | single other symbol)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(0.4 * least(len(toks) / 100.0, 1.0)
+           + 0.3 * (1 - n_punct / greatest(n_chars, 1))
+           + 0.3 * (len(list_filter(toks, x -> x IN {_STOPWORDS!r})) / greatest(len(toks), 1)), 6) AS quality
+FROM t
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length / punctuation / stopword ratios
+    composed into one score — the standard pre-training corpus filter."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+    punct_ratio = n_punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    stop_ratio = sw / F.greatest(n_toks, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio,
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS md5_fp,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                          t -> CAST(length(t) * 256 + ascii(substr(t, 1, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647
+       ) AS rolling_fp
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a 60-bit md5 prefix plus a polynomial
+    rolling hash over the token stream — both computed identically in
+    Spark and DuckDB (portable, engine-neutral)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    codes = F.transform(
+        toks, lambda t: (F.length(t).cast("long") * 256 + F.ascii(F.substring(t, 1, 1)))
+    )
+    rolling = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 1000003 + x) % 2147483647
+    )
+    return d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+_LANG_KEYWORDS = {
+    "de": ("table", "row", "scan"),
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("value", "data", "column"),
+    "fr": ("query", "join", "merge"),
+    "zh": ("hash", "agg", "window"),
+}
+
+
+@register(
+    "q_langid",
+    oracle="""
+WITH scores AS (
+"""
+    + "\nUNION ALL\n".join(
+        f"""  SELECT doc_id, '{lang}' AS cand,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN {words!r})) AS BIGINT) AS score
+  FROM documents"""
+        for lang, words in sorted(_LANG_KEYWORDS.items())
+    )
+    + """
+)
+SELECT doc_id, cand AS pred_lang, score
+FROM (SELECT doc_id, cand, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+      FROM scores)
+WHERE rn = 1
+""",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-overlap language-ID heuristic: score each candidate language
+    by token hits against a tiny keyword list, argmax with deterministic
+    tie-break.  (A real n-gram model swaps the keyword lists for n-gram
+    profiles; the dataflow — score, stack, argmax-per-doc — is identical.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("cand"),
+                F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long").alias("score"),
+            )
+            for lang, words in sorted(_LANG_KEYWORDS.items())
+        ]
+    )
+    stacked = d.select("doc_id", F.explode(cands).alias("s")).select(
+        "doc_id", F.col("s.cand").alias("cand"), F.col("s.score").alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
+    )

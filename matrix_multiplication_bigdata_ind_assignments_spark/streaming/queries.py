@@ -1,0 +1,176 @@
+"""Structured Streaming over the events table (SURVEY.md §2.3 "Streaming").
+
+Each query replays the events parquet as a stream (maxFilesPerTrigger-less
+availableNow run → processes everything, then stops) into a memory sink and
+returns the sink table.  Every windowed query has a batch-equivalent SQL
+oracle (tumbling/sliding = bucket GROUP BY; session = gaps-and-islands), so
+streaming execution itself is validated against DuckDB — plus the
+batch-vs-stream equivalence tests in tests/test_streaming.py.
+
+Window boundaries are emitted as epoch seconds (BIGINT) to stay
+engine-neutral.  Watermarks: the fixture replay is in-order, so nothing is
+dropped; the watermark demo query exists to exercise the state-eviction
+path (rows-only).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import normalize_event_ts
+
+_sink_counter = itertools.count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources need a directory: point at sf_dir and glob-filter
+    # down to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(raw)
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain an availableNow trigger into a uniquely-named memory sink and
+    return the materialized result."""
+    spark = stream_df.sparkSession
+    name = f"mmbd_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY hour_start
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation, executed as a real stream."""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.unix_timestamp("w.start").alias("hour_start"), "n", "total_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CAST((FLOOR(epoch(ts) / 900) - s.s) * 900 AS BIGINT) AS ws, epoch(ts) AS es
+  FROM events, (SELECT unnest(range(4)) AS s) s
+)
+WHERE es >= ws AND es < ws + 3600
+GROUP BY ws
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 15 minutes (each event lands in 4
+    overlapping windows), executed as a real stream."""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, CAST(count(*) AS BIGINT) AS n
+FROM sessions GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap), executed as a real stream
+    with session_window; the oracle is the batch gaps-and-islands
+    formulation — same semantics, SQL-expressible."""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.unix_timestamp("w.start").alias("session_start"), "n")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream is unioned with itself (every
+    event arrives twice), dropDuplicates('event_id') must reduce it back to
+    exactly-once — checked against batch count(distinct)."""
+    s1 = _stream_events(spark, sf_dir)
+    s2 = _stream_events(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(agg, "complete")
+
+
+@register("q_stream_watermark_late", oracle=None)  # state-eviction demo → rows-only
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode windowed count: windows are only emitted
+    once the 30-minute watermark passes, exercising state eviction; with
+    the in-order availableNow replay all windows close, so row count equals
+    the tumbling query's."""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("hour_start"), "n")
+    )
+    return _run_to_memory(agg, "append")

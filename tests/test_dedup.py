@@ -1,0 +1,65 @@
+"""Dedup operators on constructed corpora with known duplicates."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators import dedup as D
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different content about spark query engines at scale now"
+    rows = [(0, base), (1, base), (2, near), (3, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    d = _docs(spark)
+    sh = d.select("doc_id", F.explode(D._shingles(F.col("text"))).alias("sh"))
+    # reuse the registered pipeline by monkey-running its core: identical
+    # docs share every band, near-dups share ≥1 band with high probability
+    seeds = spark.range(D._MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    hashed = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id", "seed",
+            F.conv(F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), "sh")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+        .groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashed.withColumn("band", (F.col("seed") / D._BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                                      lambda s: s["mh"].cast("string")), "-").alias("band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = {
+        (r["da"], r["db"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_docs_same_fingerprint(spark, sf_dir):
+    df = D.q_dedup_simhash(spark, sf_dir)
+    fps = {r["doc_id"]: r["simhash"] for r in df.collect()}
+    assert len(fps) == 500
+    assert all(0 <= v < 2**32 for v in fps.values())
+
+
+def test_exact_dedup_groups(spark, sf_dir):
+    res = D.q_dedup_exact(spark, sf_dir).collect()
+    # events.props has ~100 distinct JSON payloads at this sf
+    assert sum(r["n_copies"] for r in res) == 1000
+    assert all(r["n_copies"] >= 1 for r in res)

@@ -1,0 +1,70 @@
+"""Algebraic property + strategy-equivalence tests (SURVEY.md §5.2-5.3) —
+the cross-checks the reference never did."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators import matrix as M
+
+from conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def A(spark, sf_dir):
+    return M.mat_A(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def B(spark, sf_dir):
+    return M.mat_B(spark, sf_dir).cache()
+
+
+def test_multiply_identity(spark, A):
+    I = M.identity(spark, 64)
+    prod = M.multiply(A, I, strategy="join")
+    expected = A.select("i", "j", F.round("v", 6).alias("v"))
+    assert rows_set(prod) == rows_set(expected)
+
+
+def test_strategies_agree(A, B):
+    dense = rows_set(M.multiply(A, B, strategy="join"))
+    assert dense == rows_set(M.multiply(A, B, strategy="broadcast"))
+    assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=32))
+    assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=17))
+
+
+def test_transpose_involution(A):
+    assert rows_set(M.transpose(M.transpose(A))) == rows_set(A)
+
+
+def test_gram_is_symmetric(spark, sf_dir, A):
+    gram = M.multiply(M.transpose(A), A, strategy="join").cache()
+    flipped = gram.select(F.col("j").alias("i"), F.col("i").alias("j"), "v")
+    assert rows_set(gram) == rows_set(flipped)
+
+
+def test_product_transpose_rule(A, B):
+    """(A·B)ᵀ == Bᵀ·Aᵀ."""
+    left = M.transpose(M.multiply(A, B, strategy="join"))
+    right = M.multiply(M.transpose(B), M.transpose(A), strategy="join")
+    assert rows_set(left) == rows_set(right)
+
+
+def test_sparsify_noop_threshold_equals_dense(A, B):
+    """sparse(τ=-1) keeps everything → same product as dense."""
+    assert rows_set(M.multiply(M.sparsify(A, -1.0), B)) == rows_set(M.multiply(A, B))
+
+
+def test_sparsify_filters(A):
+    assert M.sparsify(A, 0.05).count() < A.count()
+
+
+def test_frobenius_positive(A):
+    val = M.frobenius(A).collect()[0]["frob_sq"]
+    assert val > 0
+
+
+def test_matmul_shape(A, B):
+    out = M.multiply(A, B).collect()
+    assert len(out) == 64 * 64
+    assert {(r["i"], r["j"]) for r in out} == {(i, j) for i in range(64) for j in range(64)}

@@ -1,0 +1,29 @@
+"""Driver-contract sanity: registry completeness and entry smoke test."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_queries_and_oracles_consistent():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oracles) <= set(qs)
+    # the large majority of the surface must be oracle-checked, not rows-only
+    assert len(oracles) / len(qs) > 0.85
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 64 * 64
+    assert df.columns == ["i", "j", "v"]
+
+
+def test_all_queries_runnable_and_nonempty(spark, sf_dir):
+    """Every registered query must execute and return a stable schema.
+    (Value correctness is the oracle checker's job — tools/oracle_check.py.)"""
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        n = df.count()
+        assert n >= 0, name

@@ -1,0 +1,59 @@
+"""Streaming-vs-batch equivalence (SURVEY.md §5.4): each streaming query
+under availableNow must equal the same aggregation computed in batch."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+from matrix_multiplication_bigdata_ind_assignments_spark.streaming import queries as sq
+
+from conftest import rows_set
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream_res = sq.q_stream_tumbling(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.unix_timestamp("w.start").alias("hour_start"), "n", "total_value")
+    )
+    assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_sliding_equals_batch(spark, sf_dir):
+    stream_res = sq.q_stream_sliding(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n")
+    )
+    assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_session_equals_batch(spark, sf_dir):
+    stream_res = sq.q_stream_session(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.unix_timestamp("w.start").alias("session_start"), "n")
+    )
+    assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    stream_res = sq.q_stream_dedup(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    batch = e.groupBy("event_type").agg(F.countDistinct("event_id").alias("n"))
+    assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_watermark_append_emits_only_closed_windows(spark, sf_dir):
+    res = sq.q_stream_watermark_late(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    n_windows = e.select(F.window("ts", "1 hour")).distinct().count()
+    emitted = res.count()
+    # append mode only emits windows the watermark has passed: everything
+    # except the trailing window(s) still open when the input ends
+    assert n_windows - 2 <= emitted < n_windows

@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate: run every registered
+query in Spark AND its DuckDB oracle on the same parquet tables, compare
+row count + schema-insensitive sorted values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, stringify values with float normalization."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v + 0.0:.9g}")  # +0.0 folds -0.0
+            elif v is None:
+                vals.append("NULL")
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+    from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources.io import TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = registry.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
+    oracles = registry.oracles()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_rows = [tuple(r) for r in df.collect()]
+            spark_cols = df.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            failures.append(name)
+            continue
+        a = normalize(spark_rows, list(spark_cols))
+        b = normalize(duck_rows, duck_cols)
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            failures.append(name)
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL  {name}: value mismatch, e.g. {diff}")
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
