@@ -247,6 +247,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+       round(tf.tf * ln((n.n + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), smoothed idf = ln((N+1)/(df+1)) — expressed
+    relationally (two hash aggs + a broadcast join on the term dim), fully
+    oracle-checked; the ml.feature HashingTF/IDF pipeline hashes terms into
+    buckets and is not value-comparable across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        )
+    )
+
+
 _LANG_KEYWORDS = {
     "de": ("table", "row", "scan"),
     "en": ("the", "a", "fast", "slow"),

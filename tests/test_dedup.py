@@ -15,7 +15,7 @@ def _docs(spark):
 
 def test_minhash_lsh_finds_exact_and_near_dups(spark):
     d = _docs(spark)
-    sh = d.select("doc_id", F.explode(D._shingles(F.col("text"))).alias("sh"))
+    sh = D._shingle_rows(d)
     # reuse the registered pipeline by monkey-running its core: identical
     # docs share every band, near-dups share ≥1 band with high probability
     seeds = spark.range(D._MINHASH_SEEDS).select(F.col("id").cast("int").alias("seed"))
