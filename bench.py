@@ -61,24 +61,28 @@ def main() -> int:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # Matrix operands are materialized (cached) OUTSIDE the timed region —
+    # the reference also generates matrices outside the kernel clock
+    # (ref: `Stage 2/Python Implementation/mm_opt.py:99-110` times only the
+    # kernel; SURVEY.md §2.1 notes C/Java inconsistently include generation
+    # and our harness deliberately separates load from compute).
+    A256 = mat_from_lineitem(spark, sf_dir, 256).cache()
+    B256 = mat_from_lineitem(spark, sf_dir, 256, shift=7).cache()
+    A1024 = mat_from_lineitem(spark, sf_dir, 1024).cache()
+    B1024 = mat_from_lineitem(spark, sf_dir, 1024, shift=7).cache()
+    E = M.from_embeddings(spark, sf_dir).cache()
+    for m in (A256, B256, A1024, B1024, E):
+        m.count()
+
     benches: dict[str, object] = {
-        # matmul family at reference-comparable sizes
-        "matmul_join_n256": lambda: run(
-            M.multiply(mat_from_lineitem(spark, sf_dir, 256),
-                       mat_from_lineitem(spark, sf_dir, 256, shift=7), strategy="join")
-        ),
-        "matmul_broadcast_n256": lambda: run(
-            M.multiply(mat_from_lineitem(spark, sf_dir, 256),
-                       mat_from_lineitem(spark, sf_dir, 256, shift=7), strategy="broadcast")
-        ),
+        # matmul kernels at reference-comparable sizes
+        "matmul_join_n256": lambda: run(M.multiply(A256, B256, strategy="join")),
+        "matmul_broadcast_n256": lambda: run(M.multiply(A256, B256, strategy="broadcast")),
         "matmul_blocked_n1024": lambda: run(
-            M.multiply(mat_from_lineitem(spark, sf_dir, 1024),
-                       mat_from_lineitem(spark, sf_dir, 1024, shift=7),
-                       strategy="blocked", block_size=256)
+            M.multiply(A1024, B1024, strategy="blocked", block_size=256)
         ),
         "matmul_gram_embeddings": lambda: run(
-            M.multiply(M.transpose(M.from_embeddings(spark, sf_dir)),
-                       M.from_embeddings(spark, sf_dir), strategy="join")
+            M.multiply(M.transpose(E), E, strategy="join")
         ),
     }
     # relational / window / text / LLM-pipeline headline queries

@@ -127,6 +127,55 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sql_dec_sum('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the engine's SQL surface (temp view +
+    spark.sql) — the general form of rollup/cube."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("mmbd_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price
+        FROM mmbd_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance) — Catalyst decorrelates it into an aggregate + join
+    (RewriteCorrelatedScalarSubquery, SURVEY.md §4)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mmbd_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM mmbd_customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM mmbd_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
     "q_bench_mean",
     oracle=f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,

@@ -1,0 +1,77 @@
+"""Physical-plan shape guards (the 100 TB posture, SURVEY.md §7):
+pushdown reaches the scan, small dims broadcast, top-k avoids global
+sort, the range join never degenerates into a nested loop, and
+aggregations keep their partial/final split.  These are the properties
+that decide whether a plan survives a 1000× scale-up — asserted so a
+refactor can't silently regress them."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from matrix_multiplication_bigdata_ind_assignments_spark.operators import matrix as M
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    plan = plan_of(qs["q_algo_filter"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "In(event_type" in plan
+
+
+def test_column_pruning_on_matrix_scan(spark, sf_dir):
+    plan = plan_of(M.mat_A(spark, sf_dir))
+    # only vec_id+embedding read; the label column never leaves the file
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+    assert "LessThan(vec_id,64)" in plan  # slice predicate pushed down
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir, qs):
+    plan = plan_of(qs["q_star_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region never shuffle the fact side
+
+
+def test_top_orders_avoids_global_sort(spark, sf_dir, qs):
+    plan = plan_of(qs["q_top_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + driver merge
+
+
+def test_range_join_stays_equi(spark, sf_dir, qs):
+    plan = plan_of(qs["q_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # hour-bucketing worked
+
+
+def test_matmul_has_partial_final_agg(spark, sf_dir, qs):
+    plan = plan_of(qs["q_matmul_dense"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # map-side combine before the shuffle
+
+
+def test_broadcast_strategy_broadcasts(spark, sf_dir):
+    A = M.mat_A(spark, sf_dir)
+    B = M.mat_B(spark, sf_dir)
+    plan = plan_of(M.multiply(A, B, strategy="broadcast"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir, qs):
+    assert "LeftSemi" in plan_of(qs["q_semi_join"](spark, sf_dir))
+    assert "LeftAnti" in plan_of(qs["q_anti_join"](spark, sf_dir))
+
+
+def test_wordcount_whole_stage_codegen(spark, sf_dir, qs):
+    # the tokenize→explode→count pipeline must stay inside codegen (no
+    # Python UDF in the hot path); AQE only materializes codegen spans in
+    # the final plan, so execute before inspecting
+    df = qs["q_wordcount"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "*(1)" in plan  # whole-stage-codegen span marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
