@@ -107,7 +107,19 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
     Same contraction as the reference's i-k-j loops
     (`Stage 1/Python Implementation/mm_baseline.py:17-28`); the loop order /
     layout concerns (transposed, tiled) are physical strategies here.
+    ``strategy="auto"`` consults the engine's planner
+    (plans/strategy.py) with operand statistics — the Spark-side analogue
+    of the reference's CLI algo dispatch
+    (`Stage 2/Python Implementation/mm_opt.py:96-111`).
     """
+    if strategy == "auto":
+        from ..plans import choose_multiply_strategy
+
+        left_nnz = A.count()
+        right_nnz = B.count()
+        n = (A.agg(F.max(F.greatest("i", "j"))).collect()[0][0] or 0) + 1
+        density = right_nnz / max(n * n, 1)
+        strategy = choose_multiply_strategy(left_nnz, right_nnz, n, density)
     if strategy in ("join", "broadcast"):
         right = F.broadcast(B) if strategy == "broadcast" else B
         return (

@@ -160,6 +160,73 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+@register(
+    "q_stream_stateful_counter",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY.md §2.3 'custom stateful operators'): a per-user running
+    counter + last-seen tracker whose state survives across micro-batches.
+    Under the availableNow replay every group's final emission equals the
+    batch GROUP BY, which is the oracle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("last_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("last_us", LongType())]
+    )
+
+    def count_events(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                ts_max = pdf["ts"].max()
+                last_us = max(last_us, int(ts_max.value // 1000))
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_seen": [last_us // 1_000_000]}
+        )
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts")
+    counted = s.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(counted, "update")
+    # update-mode sinks append one row per (group, batch); the final state
+    # per user is the row from its last emission
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "last_seen")
+    )
+
+
 @register("q_stream_watermark_late", oracle=None)  # state-eviction demo → rows-only
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + append-mode windowed count: windows are only emitted

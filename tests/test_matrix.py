@@ -33,6 +33,16 @@ def test_strategies_agree(A, B):
     assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=17))
 
 
+def test_auto_strategy_matches_and_chooses(A, B):
+    from matrix_multiplication_bigdata_ind_assignments_spark.plans import choose_multiply_strategy
+
+    # planner: small right operand → broadcast; big dense → blocked; else join
+    assert choose_multiply_strategy(10**7, 10**4, 2048) == "broadcast"
+    assert choose_multiply_strategy(10**7, 10**7, 2048, density=0.9) == "blocked"
+    assert choose_multiply_strategy(10**7, 10**7, 2048, density=0.01) == "join"
+    assert rows_set(M.multiply(A, B, strategy="auto")) == rows_set(M.multiply(A, B))
+
+
 def test_transpose_involution(A):
     assert rows_set(M.transpose(M.transpose(A))) == rows_set(A)
 
