@@ -78,6 +78,29 @@ def q_results_scan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_json_scan",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+FROM events WHERE event_type IN ('purchase', 'error') GROUP BY event_type
+""",
+)
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip: write a filtered slice of events
+    as JSONL, read it back with an explicit schema, aggregate.  The
+    aggregate equals the same aggregation over the original parquet, which
+    is the oracle — so the round-trip itself is value-checked."""
+    out = tempfile.mkdtemp(prefix="mmbd_jsonl_")
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("purchase", "error"))
+    e.select("event_id", "event_type", "value").write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id long, event_type string, value double").json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("total"),
+    )
+
+
 @register("q_csv_sink", oracle=None)  # file side effects → rows-only
 def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Results CSV sink + read-back (ref CSV writers

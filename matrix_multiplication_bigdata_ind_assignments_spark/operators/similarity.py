@@ -97,26 +97,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
 
-    # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, identical on
-    # every executor, no RNG (SURVEY.md §1.4 determinism stance).
-    def plane_component(plane: int, d):
-        return (
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("plane"), F.lit(plane), d)), 1, 8), 16, 10)
-            .cast("double") / F.lit(float(2**32)) - 0.5
-        )
+    # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, deterministic, no
+    # RNG (SURVEY.md §1.4).  Computed ONCE driver-side and embedded as
+    # array literals — the executor-side version re-hashed every component
+    # for every row (dims × planes × vectors md5 calls).
+    import hashlib
+
+    def plane_vector(plane: int) -> list[float]:
+        comps = []
+        for d in range(64):
+            h8 = hashlib.md5(f"plane:{plane}:{d}".encode()).hexdigest()[:8]
+            comps.append(int(h8, 16) / float(2**32) - 0.5)
+        return comps
 
     def table_bucket(t: int):
         bits = []
         for p in range(_BITS_PER_TABLE):
-            plane = t * _BITS_PER_TABLE + p
+            plane = F.array(*[F.lit(c) for c in plane_vector(t * _BITS_PER_TABLE + p)])
             proj = F.aggregate(
-                F.zip_with(
-                    "emb",
-                    F.transform(F.sequence(F.lit(0), F.lit(63)), lambda d: plane_component(plane, d)),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+                F.zip_with("emb", plane, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x
             )
             bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(0))
         return sum(bits[1:], bits[0])
