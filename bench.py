@@ -71,7 +71,13 @@ def main() -> int:
     A1024 = mat_from_lineitem(spark, sf_dir, 1024).cache()
     B1024 = mat_from_lineitem(spark, sf_dir, 1024, shift=7).cache()
     E = M.from_embeddings(spark, sf_dir).cache()
-    for m in (A256, B256, A1024, B1024, E):
+
+    # sparse operand at the reference's heaviest benchmark shape (n=2048,
+    # density 0.05 — ref `Stage 2/Python Implementation/results_python_opt_
+    # sparse_*.csv`: Python 472s, C 0.73s, Java 0.39s single-node)
+    A2048 = mat_from_lineitem(spark, sf_dir, 2048).where("(i * 2048 + j) % 20 = 0").cache()
+    B2048 = mat_from_lineitem(spark, sf_dir, 2048, shift=7).cache()
+    for m in (A256, B256, A1024, B1024, E, A2048, B2048):
         m.count()
 
     benches: dict[str, object] = {
@@ -81,6 +87,10 @@ def main() -> int:
         "matmul_blocked_n1024": lambda: run(
             M.multiply(A1024, B1024, strategy="blocked", block_size=256)
         ),
+        # (strategy="blockmatrix" exists but stays out of the headline set:
+        # the per-row Python→JVM MatrixEntry bridge dominates its runtime —
+        # the Arrow-based blocked kernel above is the tuned dense path)
+        "spmm_sparse_n2048_d05": lambda: run(M.multiply(A2048, B2048, strategy="join")),
         "matmul_gram_embeddings": lambda: run(
             M.multiply(M.transpose(E), E, strategy="join")
         ),
@@ -116,6 +126,9 @@ def main() -> int:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
     except (IndexError, ValueError):
         sf = -1.0
+    import resource
+
+    rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -126,6 +139,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "driver_peak_rss_mb": rss_mb,
             }
         )
     )

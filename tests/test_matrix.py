@@ -31,6 +31,7 @@ def test_strategies_agree(A, B):
     assert dense == rows_set(M.multiply(A, B, strategy="broadcast"))
     assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=32))
     assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=17))
+    assert dense == rows_set(M.multiply(A, B, strategy="blockmatrix", block_size=32))
 
 
 def test_auto_strategy_matches_and_chooses(A, B):
