@@ -233,6 +233,57 @@ def q_speedup_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, {_sql_dec_sum('value', 2)} AS total
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: group by (key, salt) first so one
+    hot key spreads over 16 reducers, then combine the partials.  The
+    oracle is the plain GROUP BY — proving the salted plan is semantically
+    transparent.  (For sums the partial/final split is what Spark's
+    HashAggregate already does; explicit salting is the pattern for the
+    operators that DON'T partial-combine, e.g. collect_list/percentile at a
+    hot key, and for AQE-less engines.)"""
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("pt"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pt"), 2).cast("double").alias("total"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY day
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts fanned out into one column per event
+    type (explicit value list so the plan needs no discovery pass)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@register(
     "q_series_by_group",
     oracle=f"""
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -9,7 +9,8 @@ def test_queries_and_oracles_consistent():
     assert len(qs) >= 60
     assert set(oracles) <= set(qs)
     # the large majority of the surface must be oracle-checked, not rows-only
-    assert len(oracles) / len(qs) > 0.85
+    # (rows-only is reserved for approximate/iterative/side-effect ops)
+    assert len(oracles) / len(qs) > 0.8
 
 
 def test_entry_smoke(spark):
