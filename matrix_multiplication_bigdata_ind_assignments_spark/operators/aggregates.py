@@ -263,11 +263,11 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+       CAST(count(*) FILTER (WHERE event_type ='click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type ='error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type ='purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type ='signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type ='view') AS BIGINT) AS view
 FROM events GROUP BY day
 """,
 )

@@ -101,6 +101,14 @@ def transpose(M: DataFrame) -> DataFrame:
 # multiply — one logical op, physical strategies as knobs
 # ---------------------------------------------------------------------------
 
+def _validate_coo(M: DataFrame, name: str) -> None:
+    missing = [c for c in COO_COLS if c not in M.columns]
+    if missing:
+        raise ValueError(
+            f"{name} is not a COO matrix: missing column(s) {missing}; expected schema (i, j, v)"
+        )
+
+
 def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int = 32) -> DataFrame:
     """C(i,j) = round(Σ_k A(i,k)·B(k,j), 6) as COO.
 
@@ -112,6 +120,8 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
     of the reference's CLI algo dispatch
     (`Stage 2/Python Implementation/mm_opt.py:96-111`).
     """
+    _validate_coo(A, "A")
+    _validate_coo(B, "B")
     if strategy == "auto":
         from ..plans import choose_multiply_strategy
 

@@ -49,6 +49,31 @@ def test_stream_dedup_exactly_once(spark, sf_dir):
     assert rows_set(stream_res) == rows_set(batch)
 
 
+def test_rate_source_machinery(spark):
+    """Rate source → memory sink: the synthetic-source path (SURVEY.md §2.3
+    'rate/memory sources').  Values are wall-clock dependent, so only the
+    machinery is asserted."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mmbd_rate_probe")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        time.sleep(1.0)
+        q.processAllAvailable()
+        n = spark.table("mmbd_rate_probe").count()
+        assert n >= 0
+        assert spark.table("mmbd_rate_probe").columns == ["timestamp", "value"]
+    finally:
+        q.stop()
+
+
 def test_watermark_append_emits_only_closed_windows(spark, sf_dir):
     res = sq.q_stream_watermark_late(spark, sf_dir)
     e = load(spark, sf_dir, "events")
