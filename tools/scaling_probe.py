@@ -1,0 +1,134 @@
+"""Scaling probe: run the shuffle-heavy headline queries against a 10×
+blow-up of the fixture data and record how wall time scales.
+
+The blow-up unions k shifted copies (keys offset so joins fan out
+realistically rather than colliding).  Results go to SCALING.md —
+measured evidence for the would-it-hold-at-1000× question the design
+docs argue qualitatively.
+
+Usage: python tools/scaling_probe.py [k] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def blow_up(df, key_cols: dict, k: int):
+    """Union k copies with each key column offset per copy."""
+    parts = []
+    for c in range(k):
+        part = df
+        for col, span in key_cols.items():
+            part = part.withColumn(col, F.col(col) + F.lit(c * span))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.numeric import dec_sum
+    from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    okey_span = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ekey_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+
+    def variants(mult: int):
+        if mult == 1:
+            return li, od, ev
+        return (
+            blow_up(li, {"l_orderkey": okey_span}, mult),
+            blow_up(od, {"o_orderkey": okey_span}, mult),
+            blow_up(ev, {"event_id": ekey_span}, mult),
+        )
+
+    def q1(l):
+        return l.groupBy("l_returnflag", "l_linestatus").agg(
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def order_rollup(l, o):
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_extendedprice", 2).alias("rev"))
+        )
+
+    def matmul(l, n=2048):
+        m = (
+            l.select((F.col("l_orderkey") % n).alias("i"), (F.col("l_partkey") % n).alias("j"),
+                     F.col("l_quantity").alias("v"))
+            .groupBy("i", "j").agg(F.sum("v").alias("v"))
+        )
+        mb = (
+            l.select((F.col("l_partkey") % n).alias("i"), (F.col("l_suppkey") % n).alias("j"),
+                     F.col("l_quantity").alias("v"))
+            .groupBy("i", "j").agg(F.sum("v").alias("v"))
+        )
+        from matrix_multiplication_bigdata_ind_assignments_spark.operators.matrix import multiply
+
+        return multiply(m.where(f"(i * {n} + j) % 20 = 0"), mb, strategy="join")
+
+    def topk(e):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+        return e.withColumn("rk", F.row_number().over(w)).where("rk <= 3")
+
+    results = {}
+    for mult in (1, k):
+        l, o, e = variants(mult)
+        for name, thunk in {
+            "q1_agg": lambda: q1(l),
+            "order_join_rollup": lambda: order_rollup(l, o),
+            "spmm_n2048": lambda: matmul(l),
+            "topk_window": lambda: topk(e),
+        }.items():
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            results[(name, mult)] = time.perf_counter() - t0
+            print(f"{name} x{mult}: {results[(name, mult)]:.2f}s", flush=True)
+
+    li_rows = li.count()
+    lines = [
+        "# Scaling probe",
+        "",
+        f"`tools/scaling_probe.py {k} {sf_dir}` — shuffle-heavy queries on the fixture",
+        f"data vs a {k}× keyed blow-up (lineitem {li_rows:,} → {li_rows * k:,} rows),",
+        "local[32]. Sub-linear time growth at 10× the data means the plan is",
+        "shuffle/agg-bound, not driver- or skew-bound — the property that has to",
+        "hold for the 100 TB posture.",
+        "",
+        f"| query | 1× (s) | {k}× (s) | time ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in ("q1_agg", "order_join_rollup", "spmm_n2048", "topk_window"):
+        a, b = results[(name, 1)], results[(name, k)]
+        lines.append(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
