@@ -120,11 +120,15 @@ def main() -> int:
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
     for name, thunk in benches.items():
-        t0 = time.perf_counter()
-        thunk()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            thunk()
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(sum(times) / len(times), 3)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])

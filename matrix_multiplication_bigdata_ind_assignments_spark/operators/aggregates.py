@@ -233,6 +233,39 @@ def q_speedup_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`: same linear-interpolation definition, verified
+    value-identical)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(value, 0.9), 6)").alias("p90"),
+        F.expr("round(percentile(value, 0.99), 6)").alias("p99"),
+    )
+
+
+@register("q_approx_percentiles", oracle=None)  # KLL/GK sketch ≠ exact → rows-only
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch path: exact percentile needs a full
+    sort per group, the sketch is one pass + tiny mergeable state, which is
+    what survives 100 TB."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("approx_pcts")
+    )
+
+
+@register(
     "q_salted_agg",
     oracle=f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n, {_sql_dec_sum('value', 2)} AS total
