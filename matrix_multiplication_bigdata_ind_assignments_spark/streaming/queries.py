@@ -161,6 +161,37 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_foreach_batch",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands in a parquet directory
+    keyed by batchId (idempotent on retry — the exactly-once pattern for
+    arbitrary sinks).  After the availableNow drain, aggregating the landed
+    files must equal the batch GROUP BY over the source, which is the
+    oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mmbd_feb_")
+    s = _stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = s.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    landed = spark.read.parquet(f"{out}/batch=*")
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("total"),
+    )
+
+
+@register(
     "q_stream_stateful_counter",
     oracle="""
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

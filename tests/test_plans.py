@@ -61,6 +61,18 @@ def test_broadcast_strategy_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_shuffled_hash_join_hint(spark, sf_dir):
+    """The third join family: hint('shuffle_hash') produces ShuffledHashJoin
+    (no sort phase — wins when one side is modest but over the broadcast
+    threshold)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    plan = plan_of(o.hint("shuffle_hash").join(l, o.o_orderkey == l.l_orderkey))
+    assert "ShuffledHashJoin" in plan
+
+
 def test_semi_and_anti_join_operators(spark, sf_dir, qs):
     assert "LeftSemi" in plan_of(qs["q_semi_join"](spark, sf_dir))
     assert "LeftAnti" in plan_of(qs["q_anti_join"](spark, sf_dir))
