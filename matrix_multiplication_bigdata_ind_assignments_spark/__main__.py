@@ -159,7 +159,32 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
     for r in series.collect():
         print(f"  {r['lang']}/{r['algo']}: n={r['n_points']} mean={r['mean_ms']} ms best={r['best_ms']} ms")
     print(f"wrote {args.out}/{{derived_metrics,series_by_group}}")
+    _maybe_plot(derived, args.out)
     return 0
+
+
+def _maybe_plot(derived, out_dir: str) -> None:
+    """Optional PNG plots (ref `Stage 1/Visualization/mm_perf_visualizer.py:51-102`).
+    matplotlib isn't in this container, so the plotting step is gated;
+    the aggregate CSVs above carry the same information."""
+    try:  # pragma: no cover - matplotlib not installed here
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("(matplotlib not installed — skipping PNG plots; aggregates written as CSV)")
+        return
+    pdf = derived.toPandas()  # tiny: one row per (lang, algo, size, threads)
+    fig, ax = plt.subplots()
+    for (lang, algo), g in pdf.groupby(["lang", "algo"]):
+        g = g.sort_values("size")
+        ax.loglog(g["size"], g["avg_time_ms"], marker="o", label=f"{lang}/{algo}")
+    ax.set_xlabel("matrix size n")
+    ax.set_ylabel("avg time (ms)")
+    ax.legend()
+    fig.savefig(f"{out_dir}/time_vs_size.png", dpi=120)
+    print(f"wrote {out_dir}/time_vs_size.png")
 
 
 def main() -> int:

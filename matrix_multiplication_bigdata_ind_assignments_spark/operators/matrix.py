@@ -247,6 +247,34 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int) -> DataFrame:
     return partials.groupBy("i", "j").agg(F.round(F.sum("v"), 6).alias("v"))
 
 
+def add(A: DataFrame, B: DataFrame) -> DataFrame:
+    """A + B: full-outer union-aggregate (missing cells are zero)."""
+    _validate_coo(A, "A")
+    _validate_coo(B, "B")
+    return (
+        A.unionByName(B)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("v"), 6).alias("v"))
+    )
+
+
+def scale(M: DataFrame, alpha: float) -> DataFrame:
+    """α·A — pure projection, no shuffle."""
+    _validate_coo(M, "M")
+    return M.select("i", "j", F.round(F.col("v") * alpha, 6).alias("v"))
+
+
+def power(M: DataFrame, k: int, strategy: str = "join") -> DataFrame:
+    """Mᵏ by repeated multiply (k ≥ 1).  Each step is one join+agg stage;
+    at scale, persist intermediates between steps."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out = M
+    for _ in range(k - 1):
+        out = multiply(out, M, strategy=strategy)
+    return out
+
+
 def frobenius(M: DataFrame) -> DataFrame:
     """‖M‖²_F (rounded) — the matrix reduction the reference never computed
     but correctness needs (SURVEY.md §2.2 q_frobenius)."""
@@ -340,6 +368,40 @@ def q_matrix_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic matrix materialization from parquet (replaces the
     reference's seeded RNG generators, SURVEY.md §1.4)."""
     return from_embeddings(spark, sf_dir)
+
+
+@register(
+    "q_matrix_power",
+    oracle=_ORACLE_COO + """
+, P1 AS (
+  SELECT a.i AS i, b.j AS j, round(sum(a.v * b.v), 6) AS v
+  FROM A a JOIN A b ON a.j = b.i
+  GROUP BY a.i, b.j
+)
+SELECT p.i AS i, a.j AS j, round(sum(p.v * a.v), 6) AS v
+FROM P1 p JOIN A a ON p.j = a.i
+GROUP BY p.i, a.j
+""",
+)
+def q_matrix_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A³ via chained multiplies — multi-stage shuffle composition; the
+    intermediate is rounded in both engines so the stages stay comparable."""
+    return power(mat_A(spark, sf_dir), 3)
+
+
+@register(
+    "q_matrix_add_scale",
+    oracle=_ORACLE_COO + """
+SELECT i, j, round(sum(v), 6) AS v FROM (
+  SELECT i, j, v FROM A
+  UNION ALL
+  SELECT i, j, round(v * 2.5, 6) AS v FROM B
+) GROUP BY i, j
+""",
+)
+def q_matrix_add_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A + 2.5·B — elementwise algebra over COO (union-aggregate form)."""
+    return add(mat_A(spark, sf_dir), scale(mat_B(spark, sf_dir), 2.5))
 
 
 @register(
