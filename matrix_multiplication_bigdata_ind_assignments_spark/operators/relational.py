@@ -208,6 +208,70 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice * 1.1, 4) AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+       coalesce(u.o_custkey, o.o_custkey) AS o_custkey,
+       coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       round(coalesce(u.o_totalprice, o.o_totalprice), 4) AS o_totalprice
+FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.o_orderkey
+""",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet: updates full-outer-joined
+    onto the base, update wins per column.  The pattern behind SCD-style
+    pipeline maintenance when no lakehouse MERGE INTO is available; at
+    scale both sides shuffle once on the key (or none, if bucketed)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("u_key"),
+        F.col("o_custkey").alias("u_cust"),
+        F.col("o_orderstatus").alias("u_status"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("u_price"),
+    )
+    return (
+        o.join(updates, o.o_orderkey == updates.u_key, "full_outer")
+        .select(
+            F.coalesce("u_key", "o_orderkey").alias("o_orderkey"),
+            F.coalesce("u_cust", "o_custkey").alias("o_custkey"),
+            F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+            F.round(F.coalesce("u_price", "o_totalprice"), 4).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "q_keep_latest",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (the SCD1 / compaction primitive): deterministic
+    row_number over event time descending."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
     "q_cross_join",
     oracle="""
 SELECT r.r_name AS r_name, s.c_mktsegment AS c_mktsegment
