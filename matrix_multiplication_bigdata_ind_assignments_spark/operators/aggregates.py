@@ -24,16 +24,9 @@ from ..functions.numeric import dec_avg, dec_sum
 from ..registry import register
 from ..sources import load
 
-# DuckDB-side equivalents of the decimal-route aggregates.
-_D = "DECIMAL(30,6)"
-
-
-def _sql_dec_sum(expr: str, r: int) -> str:
-    return f"CAST(round(sum(CAST({expr} AS {_D})), {r}) AS DOUBLE)"
-
-
-def _sql_dec_avg(expr: str, r: int = 6) -> str:
-    return f"round(CAST(sum(CAST({expr} AS {_D})) AS DOUBLE) / count({expr}), {r})"
+# DuckDB-side equivalents of the fixed-point aggregates (functions/numeric.py).
+from ..functions.numeric import sql_dec_avg as _sql_dec_avg  # noqa: E402
+from ..functions.numeric import sql_dec_sum as _sql_dec_sum  # noqa: E402
 
 
 @register(
@@ -140,11 +133,13 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the engine's SQL surface (temp view +
     spark.sql) — the general form of rollup/cube."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("mmbd_lineitem")
+    # the fixed-point aggregate SQL is engine-portable — the exact string
+    # the DuckDB oracle runs also runs here
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price
+               {_sql_dec_sum("l_extendedprice", 2)} AS sum_price
         FROM mmbd_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """

@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec_sum, sql_dec_sum
 from ..registry import register
 from ..sources import load
 
@@ -80,9 +81,9 @@ def q_results_scan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_json_scan",
-    oracle="""
+    oracle=f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+       {sql_dec_sum("value", 2)} AS total
 FROM events WHERE event_type IN ('purchase', 'error') GROUP BY event_type
 """,
 )
@@ -97,7 +98,7 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("event_id long, event_type string, value double").json(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("total"),
+        dec_sum("value", 2).alias("total"),
     )
 
 

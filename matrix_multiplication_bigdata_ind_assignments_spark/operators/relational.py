@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dec_sum
+from ..functions.numeric import dec_sum, sql_dec_sum
 from ..registry import register
 from ..sources import load
 
@@ -41,10 +41,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_smj",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderkey AS o_orderkey,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey
 """,
@@ -65,10 +65,10 @@ def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_star_join",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name AS r_name, n.n_name AS n_name,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))), 4) AS DOUBLE) AS revenue
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey

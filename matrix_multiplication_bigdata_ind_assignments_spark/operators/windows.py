@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dec
+from ..functions.numeric import fx_sum_window, sql_fx_sum_over
 from ..registry import register
 from ..sources import load
 
@@ -66,9 +66,9 @@ def q_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_moving_avg",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id,
-       round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER frame3 AS DOUBLE)
+       round({sql_fx_sum_over("value", "frame3")}
              / count(*) OVER frame3, 6) AS mavg,
        round(lag(value) OVER ordered, 6) AS prev_value,
        round(lead(value) OVER ordered, 6) AS next_value
@@ -87,7 +87,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(
-            F.sum(dec("value")).over(frame3).cast("double") / F.count(F.lit(1)).over(frame3), 6
+            fx_sum_window("value", frame3) / F.count(F.lit(1)).over(frame3), 6
         ).alias("mavg"),
         F.round(F.lag("value").over(w), 6).alias("prev_value"),
         F.round(F.lead("value").over(w), 6).alias("next_value"),
@@ -96,10 +96,10 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_running_total",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       {sql_fx_sum_over("value", '''(PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_total
 FROM events
 """,
 )
@@ -112,7 +112,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
-        "event_id", "user_id", F.sum(dec("value")).over(w).cast("double").alias("running_total")
+        "event_id", "user_id", fx_sum_window("value", w).alias("running_total")
     )
 
 

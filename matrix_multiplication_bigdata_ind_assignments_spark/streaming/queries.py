@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec_sum, sql_dec_sum
 from ..registry import register
 from ..sources.io import normalize_event_ts
 
@@ -83,10 +84,10 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
 
 @register(
     "q_stream_tumbling",
-    oracle="""
+    oracle=f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 6) AS total_value
+       {sql_dec_sum("value", 6)} AS total_value
 FROM events GROUP BY hour_start
 """,
 )
@@ -96,7 +97,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", 6).alias("total_value"))
         .select(F.unix_timestamp("w.start").alias("hour_start"), "n", "total_value")
     )
     return _run_to_memory(agg, "complete")
@@ -185,9 +186,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_foreach_batch",
-    oracle="""
+    oracle=f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+       {sql_dec_sum("value", 2)} AS total
 FROM events GROUP BY event_type
 """,
 )
@@ -211,7 +212,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed = spark.read.parquet(f"{out}/batch=*")
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("total"),
+        dec_sum("value", 2).alias("total"),
     )
 
 
