@@ -34,6 +34,14 @@ def test_strategies_agree(A, B):
     assert dense == rows_set(M.multiply(A, B, strategy="blockmatrix", block_size=32))
 
 
+def test_blocked_3d_fallback_agrees(A, B, monkeypatch):
+    """Force the 3-D (bi,bk,bj) decomposition (the huge-inner-dimension
+    path) and check it matches the default 2-D panel result."""
+    dense = rows_set(M.multiply(A, B, strategy="join"))
+    monkeypatch.setattr(M, "_PANEL_BYTES_LIMIT", 0)
+    assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=32))
+
+
 def test_auto_strategy_matches_and_chooses(A, B):
     from matrix_multiplication_bigdata_ind_assignments_spark.plans import choose_multiply_strategy
 
