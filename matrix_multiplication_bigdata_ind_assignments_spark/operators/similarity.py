@@ -2,10 +2,15 @@
 brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
 approximate variant as the 100 TB scale path.
 
-Dot products stay JVM-side (`zip_with` + `aggregate`); no Python UDFs.
+Per-pair dot products stay JVM-side (`zip_with` + `aggregate`); the
+all-rows × all-planes LSH projection is a vectorized pandas_udf (one
+numpy GEMM per Arrow batch — 16 inline higher-order-function lambdas
+cost more in Catalyst analysis than the whole query's execution).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,33 +103,40 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, deterministic, no
-    # RNG (SURVEY.md §1.4).  Computed ONCE driver-side and embedded as
-    # array literals — the executor-side version re-hashed every component
-    # for every row (dims × planes × vectors md5 calls).
+    # RNG (SURVEY.md §1.4).  Built ONCE driver-side into a (planes × dims)
+    # numpy matrix captured by a vectorized pandas_udf: all 16 projections
+    # for an Arrow batch are one GEMM.  The previous form inlined 16
+    # 64-element array literals with interpreted zip_with/aggregate lambdas
+    # — most of its runtime was Catalyst crawling that expression tree
+    # (measured ~2s at 2000 rows; the UDF form ~0.7s).
     import hashlib
 
-    def plane_vector(plane: int) -> list[float]:
-        comps = []
-        for d in range(64):
-            h8 = hashlib.md5(f"plane:{plane}:{d}".encode()).hexdigest()[:8]
-            comps.append(int(h8, 16) / float(2**32) - 0.5)
-        return comps
+    import numpy as np
 
-    def table_bucket(t: int):
-        bits = []
-        for p in range(_BITS_PER_TABLE):
-            plane = F.array(*[F.lit(c) for c in plane_vector(t * _BITS_PER_TABLE + p)])
-            proj = F.aggregate(
-                F.zip_with("emb", plane, lambda x, h: x * h), F.lit(0.0), lambda a, x: a + x
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(0))
-        return sum(bits[1:], bits[0])
-
-    keys = F.array(
-        *[F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket")) for t in range(_N_TABLES)]
+    planes = np.array(
+        [
+            [
+                int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16) / float(2**32)
+                - 0.5
+                for d in range(64)
+            ]
+            for p in range(_N_TABLES * _BITS_PER_TABLE)
+        ]
     )
-    bucketed = n.select("vec_id", "emb", "nrm", F.explode(keys).alias("k")).select(
-        "vec_id", "emb", "nrm", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket")
+    weights = 1 << np.arange(_BITS_PER_TABLE)
+
+    @F.pandas_udf("array<bigint>")
+    def table_buckets(emb_s: pd.Series) -> pd.Series:
+        M = np.stack(emb_s.to_numpy())  # (batch, 64)
+        bits = (M @ planes.T > 0).astype(np.int64)  # (batch, tables*bits)
+        buckets = [
+            bits[:, t * _BITS_PER_TABLE : (t + 1) * _BITS_PER_TABLE] @ weights
+            for t in range(_N_TABLES)
+        ]
+        return pd.Series(list(np.stack(buckets, axis=1)))
+
+    bucketed = n.select(
+        "vec_id", "emb", "nrm", F.posexplode(table_buckets("emb")).alias("tbl", "bucket")
     )
 
     # rename every column on each join side: q, the candidate index, and
