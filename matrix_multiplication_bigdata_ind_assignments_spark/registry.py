@@ -71,6 +71,7 @@ def _load_all() -> None:
         text,
         multimodal,
         bench_results,
+        sampling,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
