@@ -291,3 +291,39 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     seg = load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
     return r.select("r_name").crossJoin(F.broadcast(seg))
+
+
+@register(
+    "q_skew_join_salted",
+    oracle=f"""
+SELECT p.p_brand AS p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_dec_sum("l.l_quantity", 2)} AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand
+""",
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted shuffle join: the fact side gets a deterministic
+    salt in [0,16), the dim side is exploded 16x, and the join key becomes
+    (partkey, salt) — so a hot partkey that would pin one reducer at 100 TB
+    spreads over 16 of them.  The shuffle_hash hint keeps the demo honest
+    (a broadcast of the dim would bypass the shuffle being protected);
+    in production AQE's skew-join split handles sort-merge skew, and this
+    explicit salt is the pattern for when the skew survives AQE (single
+    mega-key aggregations feeding a join)."""
+    n_salts = 16
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % n_salts).cast("int")
+    )
+    p = load(spark, sf_dir, "part").withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return (
+        l.join(p.hint("shuffle_hash"), (l.l_partkey == p.p_partkey) & (l.salt == p.salt))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_quantity", 2).alias("total_qty"),
+        )
+    )

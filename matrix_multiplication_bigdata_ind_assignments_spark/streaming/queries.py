@@ -297,3 +297,82 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_timestamp("w.start").alias("hour_start"), "n")
     )
     return _run_to_memory(agg, "append")
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment, e.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_dec_sum("e.value", 2)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment, event_type
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the events stream
+    is joined to the static customer dim (broadcast — the dim re-scans per
+    batch but never shuffles the stream side), then windowless-aggregated.
+    This is THE streaming-enrichment shape: at 100 TB/day the stream side
+    stays partitioned by source file, only the dim moves."""
+    from ..sources import load
+
+    s = _stream_events(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value", 2).alias("total_value"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT v.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views matched to same-user purchases
+    within the following hour.  Both sides carry watermarks and the join
+    condition bounds event time in both directions, so Spark can size and
+    EVICT the join state — the property that makes stream-stream joins
+    viable on unbounded input.  The joined pairs land in append mode; the
+    per-user pair count over the sink is compared to the batch self-join
+    oracle."""
+    views = (
+        _stream_events(spark, sf_dir)
+        .where("event_type = 'view'")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+    )
+    res = _run_to_memory(pairs.select("v_user", "v_id", "p_id"), "append")
+    return res.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -87,3 +87,14 @@ def test_wordcount_whole_stage_codegen(spark, sf_dir, qs):
     plan = plan_of(df)
     assert "*(1)" in plan  # whole-stage-codegen span marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_spreads_key_and_uses_shuffled_hash(spark, sf_dir, qs):
+    """The salted join must (a) keep the dim explosion (16 salts per part
+    row) and (b) actually shuffle-hash-join on the composite key — a
+    broadcast would silently bypass the skew protection being demonstrated."""
+    df = qs["q_skew_join_salted"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_of(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

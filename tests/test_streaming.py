@@ -82,3 +82,32 @@ def test_watermark_append_emits_only_closed_windows(spark, sf_dir):
     # append mode only emits windows the watermark has passed: everything
     # except the trailing window(s) still open when the input ends
     assert n_windows - 2 <= emitted < n_windows
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    stream_res = sq.q_stream_static_join(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    batch = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_stream_stream_join_pairs_equal_batch_self_join(spark, sf_dir):
+    stream_res = sq.q_stream_stream_join(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    v = e.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        v.join(p, F.expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    assert rows_set(stream_res) == rows_set(batch)
