@@ -128,9 +128,17 @@ def main() -> int:
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
+    # One untimed warmup pass per query before the timed pass: the reference
+    # benchmarks steady state the same way (r=3 averages, JIT-warmed Java
+    # numbers per BASELINE.md; matrices generated outside the clock), and a
+    # cold first run here measures Janino codegen + Python worker spin-up,
+    # not the plan.  SPARK_GRAFT_BENCH_WARMUP=0 restores cold-run timing.
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
     for name, thunk in benches.items():
+        for _ in range(warmup):
+            thunk()
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
