@@ -116,3 +116,55 @@ def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     res.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.option("header", True).schema("event_type string, n long, total double").csv(out)
     return back
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       {sql_dec_sum("l_quantity", 2)} AS total_qty
+FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' GROUP BY l_returnflag
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the third columnar format Spark ships
+    natively beside parquet): write a filtered lineitem slice as ORC, read
+    it back, aggregate.  The aggregate equals the same aggregation on the
+    original parquet, which is the oracle — value-checking the format
+    conversion.  ORC reads get the same pushdown/pruning treatment as
+    parquet in the scan node."""
+    out = tempfile.mkdtemp(prefix="mmbd_orc_")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-01-01")
+    l.select("l_returnflag", "l_quantity", "l_shipdate").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity", 2).alias("total_qty"),
+    )
+
+
+@register(
+    "q_partitioned_sink",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n, {sql_dec_sum("value", 2)} AS total
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: events land as
+    parquet partitioned by event_type, then the read filters to one
+    partition value.  At 100 TB this is the layout that turns a full-corpus
+    scan into a single-directory scan (partition pruning happens at
+    planning, before any file is opened); the oracle checks the pruned
+    read still returns exactly the right rows.  The pruning itself is
+    asserted in tests/test_partitioning.py."""
+    out = tempfile.mkdtemp(prefix="mmbd_part_")
+    e = load(spark, sf_dir, "events")
+    e.select("event_id", "event_type", "value").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value", 2).alias("total"),
+    )
