@@ -1,0 +1,227 @@
+"""Data-profiling + shard-assignment operators (training-data pipeline).
+
+Before a 100 TB corpus trains anything, it gets profiled (null/distinct
+counts, moments, histograms, cross-column correlation) and sharded into
+dataloader-sized units.  Everything here is a single scan plus one
+partial-aggregated shuffle — profiling must never cost more than the
+pipeline it guards — and every statistic is DETERMINISTIC: moments and
+correlations are computed from exact fixed-point integer sums (the
+``functions.numeric`` route), then finished with an identical IEEE double
+expression in both engines, so results are bit-stable under any
+partitioning and oracle-checkable (SURVEY.md §7 FP-reproducibility risk;
+a distributed double stddev can differ per run — these cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import fx, sql_fx
+from ..registry import register
+from ..sources import load
+
+
+@register(
+    "q_null_profile",
+    oracle="""
+SELECT 'event_type' AS col_name, CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+""",
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-quality profile: null count + exact distinct count per
+    profiled column, emitted as one row per column (stack/unpivot of a
+    single multi-aggregate pass — ONE scan for all columns, not one scan
+    per column; at 100 TB swap the exact distincts for
+    approx_count_distinct, the q_approx_distinct_users path)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        (F.count(F.lit(1)) - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").alias("dist_event_type"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").alias("dist_user_id"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        F.countDistinct("value").alias("dist_value"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'event_type', null_event_type, dist_event_type,"
+            " 'user_id', null_user_id, dist_user_id,"
+            " 'value', null_value, dist_value)"
+        ).alias("col_name", "n_null", "n_distinct")
+    )
+
+
+# identical final-formula text in both engines: exact integer sums cast to
+# double, then the same IEEE expression tree → bit-equal results
+_STD_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       (CAST(sum({sql_fx('value')}) AS DOUBLE) / 1000000) / count(*) AS mean_raw,
+       floor(sqrt(
+         (CAST(sum({sql_fx('value')} * {sql_fx('value')}) AS DOUBLE)
+          - CAST(sum({sql_fx('value')}) AS DOUBLE) * CAST(sum({sql_fx('value')}) AS DOUBLE) / count(*))
+         / (count(*) - 1)) / 1000000 * 10000 + 0.5) / 10000 AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "q_summary_stats",
+    oracle=f"""
+SELECT event_type, n, floor(mean_raw * 10000 + 0.5) / 10000 AS mean_value, std_value
+FROM ({_STD_SQL})
+""",
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style moments per group — count, mean, sample stddev —
+    from exact fixed-point sums (S, Q = Σfx, Σfx²; fx² ≤ 3.2e17 fits a
+    long per row, the Σ goes through DECIMAL(38)), finished with the
+    identical double expression in both engines.  Final rounding is
+    floor(x·1e4 + 0.5)/1e4 — pure IEEE ops — because double `round()`
+    itself disagrees between engines near .5 boundaries."""
+    e = load(spark, sf_dir, "events")
+    v = fx("value")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("q"),
+    )
+    s_d = F.col("s").cast("double") / 1e6
+    q_d = F.col("q").cast("double")
+    n_d = F.col("n").cast("double")
+    var_u2 = (q_d - F.col("s").cast("double") * F.col("s").cast("double") / n_d) / (
+        F.col("n") - 1
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.floor(s_d / n_d * 1e4 + 0.5) / 1e4).alias("mean_value"),
+        (F.floor(F.sqrt(var_u2) / 1e6 * 1e4 + 0.5) / 1e4).alias("std_value"),
+    )
+
+
+@register(
+    "q_corr",
+    oracle=f"""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum({sql_fx('l_quantity')}) AS DOUBLE) AS sx,
+         CAST(sum({sql_fx('l_extendedprice')}) AS DOUBLE) AS sy,
+         CAST(sum({sql_fx('l_quantity')} * {sql_fx('l_quantity')}) AS DOUBLE) AS sxx,
+         CAST(sum({sql_fx('l_extendedprice')} * CAST({sql_fx('l_quantity')} AS DOUBLE)) AS DOUBLE) AS sxy,
+         CAST(sum(CAST({sql_fx('l_extendedprice')} AS DOUBLE) * CAST({sql_fx('l_extendedprice')} AS DOUBLE)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
+             * 10000 + 0.5) / 10000 AS corr_qty_price
+FROM sums
+""",
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, deterministically: the five power
+    sums are exact where they fit integer range (Σx, Σy, Σx², Σx·y in
+    fixed-point longs/decimals) and identically-computed doubles where
+    they don't (Σy² — price² exceeds the long range, so BOTH engines sum
+    the same IEEE product stream; the sum is then order-dependent in the
+    last bits, which the 1e-4 floor-rounding absorbs).  `F.corr` itself
+    is a distributed double reduction — per-run nondeterministic — which
+    is why the pipeline recomputes it from sums instead."""
+    l = load(spark, sf_dir, "lineitem")
+    x = fx("l_quantity")
+    y = fx("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * x.cast("double")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum(y.cast("double") * y.cast("double")).alias("syy"),
+    )
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(corr * 1e4 + 0.5) / 1e4).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q_hist_bucket",
+    oracle="""
+SELECT bucket, CAST(bucket * 30 AS DOUBLE) AS lo, n FROM (
+  SELECT CAST(floor(value / 30) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+) ORDER BY bucket
+""",
+)
+def q_hist_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (width 30 over events.value): bucket id from
+    one floor-divide — a pure map-side expression, so the shuffle carries
+    only ~20 (bucket, partial-count) rows per partition.  The profiling
+    primitive that stays O(buckets), not O(rows), at any scale."""
+    e = load(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 30)
+    return (
+        e.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * 30).cast("double").alias("lo"), "n")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_token_shards",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, lang, CAST(floor((cum_tokens - n_tokens) / 2000) AS BIGINT) AS shard
+FROM cum
+""",
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: docs are packed in doc_id order into
+    ~2000-token shards per language — shard = floor(tokens-before-me /
+    budget), the contiguous-packing rule dataloaders expect.  The window
+    partitions on lang, so the prefix sum parallelizes per language; for
+    a single giant stratum, two-phase it (per-partition subtotal + scan)
+    — same shape as SNIPPETS.md's distributed prefix sum."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000).alias("shard"),
+    )

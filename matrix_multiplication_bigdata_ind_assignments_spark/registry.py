@@ -72,6 +72,7 @@ def _load_all() -> None:
         multimodal,
         bench_results,
         sampling,
+        profiling,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -1,0 +1,67 @@
+"""Profiling invariants: statistics must be partition-invariant (the
+reason they route through exact integer sums), and shard packing must
+respect the contiguity + budget rules dataloaders assume."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+    q_corr,
+    q_summary_stats,
+    q_token_shards,
+)
+from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+from conftest import rows_set
+
+
+def test_summary_stats_partition_invariant(spark, sf_dir):
+    base = rows_set(q_summary_stats(spark, sf_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = rows_set(q_summary_stats(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again and len(base) > 0
+
+
+def test_corr_matches_spark_builtin_approximately(spark, sf_dir):
+    """The deterministic fixed-point corr must agree with F.corr to well
+    inside the 1e-4 rounding grain (it is the same statistic)."""
+    ours = {r["l_returnflag"]: r["corr_qty_price"] for r in q_corr(spark, sf_dir).collect()}
+    ref = {
+        r["l_returnflag"]: r["c"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for k in ours:
+        assert abs(ours[k] - ref[k]) < 5e-4
+
+
+def test_token_shards_contiguous_and_bounded(spark, sf_dir):
+    rows = q_token_shards(spark, sf_dir).collect()
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["shard"]))
+    for lang, docs in by_lang.items():
+        docs.sort()
+        # shard ids are non-decreasing in doc order (contiguous packing)
+        shards = [s for _, s in docs]
+        assert shards == sorted(shards)
+        # a shard only opens once the previous one has reached the budget:
+        # tokens strictly before each shard's first doc are >= shard*2000
+        totals: dict[int, int] = {}
+        running = 0
+        for doc_id, shard in docs:
+            assert shard == running // 2000
+            running += toks[doc_id]
+            totals[shard] = totals.get(shard, 0) + toks[doc_id]
