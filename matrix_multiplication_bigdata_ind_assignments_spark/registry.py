@@ -73,6 +73,7 @@ def _load_all() -> None:
         bench_results,
         sampling,
         profiling,
+        pipeline,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
