@@ -98,3 +98,13 @@ def test_salted_join_spreads_key_and_uses_shuffled_hash(spark, sf_dir, qs):
     plan = plan_of(df)
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir, qs):
+    """The contamination scan must broadcast the (small) eval shingle set —
+    a shuffle join here would move the full training shingle stream."""
+    df = qs["q_decontaminate"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
