@@ -1,0 +1,38 @@
+"""Corpus-assembly invariants: decontamination never flags eval docs,
+cross-source dedup keeps exactly one survivor per key and picks the
+precedence-minimal one."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+    q_decontaminate,
+    q_dedup_cross_source,
+)
+from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+
+def test_decontaminate_excludes_eval_docs(spark, sf_dir):
+    rows = q_decontaminate(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["doc_id"] % 50 != 0 for r in rows)
+    assert all(r["n_hit_shingles"] >= 1 for r in rows)
+
+
+def test_cross_source_one_survivor_per_key(spark, sf_dir):
+    out = q_dedup_cross_source(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    keyed = d.select("doc_id", "source", F.array_join(F.slice(toks, 1, 3), " ").alias("k"))
+    n_keys = keyed.select("k").distinct().count()
+    assert out.count() == n_keys
+    assert out.select("k").distinct().count() == n_keys
+    # the survivor is the (source, doc_id)-minimal row of its key group
+    best = {
+        r["k"]: (r["source"], r["doc_id"])
+        for r in keyed.groupBy("k")
+        .agg(F.min(F.struct("source", "doc_id")).alias("m"))
+        .select("k", "m.source", "m.doc_id")
+        .collect()
+    }
+    for r in out.collect():
+        assert (r["source"], r["doc_id"]) == best[r["k"]]
