@@ -50,13 +50,31 @@ def main() -> int:
     okey_span = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
     ekey_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
 
+    def blow_up_events(e, mult: int):
+        """Events blow-up shifts ts by 31 days per copy as well as the id:
+        keeping the events-per-hour RATE constant keeps the range join's
+        intrinsic work linear in the data (a same-window blow-up would
+        square the pair count — a workload change, not a scale test)."""
+        month_us = 31 * 24 * 3600 * 1_000_000
+        parts = []
+        for c in range(mult):
+            parts.append(
+                e.withColumn("event_id", F.col("event_id") + F.lit(c * ekey_span)).withColumn(
+                    "ts", F.timestamp_micros(F.unix_micros("ts") + F.lit(c * month_us))
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def variants(mult: int):
         if mult == 1:
             return li, od, ev
         return (
             blow_up(li, {"l_orderkey": okey_span}, mult),
             blow_up(od, {"o_orderkey": okey_span}, mult),
-            blow_up(ev, {"event_id": ekey_span}, mult),
+            blow_up_events(ev, mult),
         )
 
     def q1(l):
@@ -94,6 +112,29 @@ def main() -> int:
         w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
         return e.withColumn("rk", F.row_number().over(w)).where("rk <= 3")
 
+    def range_join(e):
+        """Hour-bucketed interval join (q_range_join's core shape)."""
+        us_h = 3_600_000_000
+        base = e.select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+        e1 = base.withColumn("h0", F.floor(F.col("us") / us_h)).withColumn(
+            "h", F.explode(F.array(F.col("h0"), F.col("h0") + 1))
+        )
+        e2 = base.select(
+            F.col("event_id").alias("event_id2"),
+            F.col("us").alias("us2"),
+            F.col("event_type").alias("event_type2"),
+        ).withColumn("h", F.floor(F.col("us2") / us_h))
+        return (
+            e1.join(e2, "h")
+            .where(
+                (F.col("us2") >= F.col("us"))
+                & (F.col("us2") <= F.col("us") + F.lit(us_h))
+                & (F.col("event_id") != F.col("event_id2"))
+            )
+            .groupBy("event_type", "event_type2")
+            .agg(F.count(F.lit(1)).alias("pairs"))
+        )
+
     results = {}
     for mult in (1, k):
         l, o, e = variants(mult)
@@ -102,6 +143,7 @@ def main() -> int:
             "order_join_rollup": lambda: order_rollup(l, o),
             "spmm_n2048": lambda: matmul(l),
             "topk_window": lambda: topk(e),
+            "range_join_1h": lambda: range_join(e),
         }.items():
             t0 = time.perf_counter()
             thunk().write.format("noop").mode("overwrite").save()
@@ -121,7 +163,7 @@ def main() -> int:
         f"| query | 1× (s) | {k}× (s) | time ratio |",
         "|---|---|---|---|",
     ]
-    for name in ("q1_agg", "order_join_rollup", "spmm_n2048", "topk_window"):
+    for name in ("q1_agg", "order_join_rollup", "spmm_n2048", "topk_window", "range_join_1h"):
         a, b = results[(name, 1)], results[(name, k)]
         lines.append(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
     with open("/root/repo/SCALING.md", "w") as f:
