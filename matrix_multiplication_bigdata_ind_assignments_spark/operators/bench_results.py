@@ -204,3 +204,34 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_files_before int, n_files_after int, rows_before long, rows_after long",
     )
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+SELECT i,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(v), 6) AS row_sum
+FROM (
+  SELECT a.range AS i, b.range AS j,
+         ((a.range * 37 + b.range) % 101) / 100.0 AS v
+  FROM range(64) a CROSS JOIN range(64) b
+)
+GROUP BY i
+""",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom scan via the Python DataSource API (sources/pyds.py): the
+    deterministic `det_coo` matrix source is registered on the session,
+    read as a normal format with 8 pull-based input partitions, and
+    row-reduced.  Exercises the Spark-4 extension point for sources Spark
+    lacks natively; the generated values are RNG-free so the whole scan is
+    oracle-checked value-for-value against a DuckDB range() cross join."""
+    from ..sources.pyds import register_det_coo
+
+    register_det_coo(spark)
+    m = spark.read.format("det_coo").option("n", "64").option("parts", "8").load()
+    return m.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 6).alias("row_sum"),
+    )

@@ -338,3 +338,72 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("cand").alias("pred_lang"), "score")
     )
+
+
+@register(
+    "q_json_variant",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events
+GROUP BY event_type, k_bucket
+""",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): props parsed once with
+    parse_json, typed probes via variant_get, shape introspection via
+    schema_of_variant.  Unlike per-access get_json_object (q_json_extract),
+    the VARIANT is a binary-encoded parse tree — parse cost is paid once
+    and every downstream extraction is a cheap typed probe, the right
+    economics when one huge JSON column feeds many extractions."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "long")
+    return e.groupBy(
+        "event_type", F.floor(k / 10).cast("long").alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.schema_of_variant(F.col("v"))).alias("props_schema"),
+    )
+
+
+@register(
+    "q_udtf_tokens",
+    oracle="""
+SELECT doc_id, pos, token, CAST(length(token) AS BIGINT) AS tok_len
+FROM (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+  WHERE doc_id < 100
+)
+""",
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.3 'UDTF ≈ explode-producing
+    functions'): a table function registered via spark.udtf.register and
+    invoked through SQL LATERAL, each input row fanning out to one row per
+    token.  UDTFs are the Python slow path — bulk tokenization stays on
+    split/posexplode (q_wordcount); this is the API surface for fan-out
+    logic that genuinely needs Python, bounded here to 100 docs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: long, token: string, tok_len: long")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t, len(t)
+
+    spark.udtf.register("mmbd_tokenize", Tokenize)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("mmbd_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.tok_len
+        FROM mmbd_udtf_docs d, LATERAL mmbd_tokenize(d.text) t
+        """
+    )

@@ -1,0 +1,45 @@
+"""Python DataSource API (sources/pyds.py), UDTF, and VARIANT surface."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_udtf_tokens
+from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+from matrix_multiplication_bigdata_ind_assignments_spark.sources.pyds import register_det_coo
+
+
+def test_det_coo_parallel_scan(spark):
+    register_det_coo(spark)
+    m = spark.read.format("det_coo").option("n", "16").option("parts", "4").load()
+    assert m.rdd.getNumPartitions() == 4  # one task per InputPartition
+    rows = {(r["i"], r["j"]): r["v"] for r in m.collect()}
+    assert len(rows) == 16 * 16
+    assert rows[(3, 5)] == ((3 * 37 + 5) % 101) / 100.0
+
+
+def test_det_coo_idempotent_register(spark):
+    register_det_coo(spark)
+    register_det_coo(spark)  # re-registering the format must not raise
+    assert spark.read.format("det_coo").option("n", "4").load().count() == 16
+
+
+def test_udtf_fanout_matches_builtin_split(spark, sf_dir):
+    got = q_udtf_tokens(spark, sf_dir)
+    expected = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    )
+    assert got.count() == expected.count()
+    a = sorted((r["doc_id"], r["pos"], r["token"]) for r in got.collect())
+    b = sorted((r["doc_id"], r["pos"], r["token"]) for r in expected.collect())
+    assert a == b
+
+
+def test_variant_typed_probe(spark):
+    df = spark.createDataFrame([('{"k": 41}',), ('{"k": 7}',)], ["props"])
+    out = df.select(
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        F.schema_of_variant(F.parse_json("props")).alias("sch"),
+    ).collect()
+    assert sorted(r["k"] for r in out) == [7, 41]
+    assert all(r["sch"] == "OBJECT<k: BIGINT>" for r in out)
