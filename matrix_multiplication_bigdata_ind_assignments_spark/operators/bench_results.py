@@ -207,6 +207,51 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bucketed_join",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_dec_sum("l.l_extendedprice", 2)} AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY priority
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides land bucketed+sorted on the
+    join key, so the sort-merge join runs with NO exchange and NO sort on
+    either side — the storage layout IS the shuffle, paid once at write
+    time.  At 100 TB this is the difference between re-shuffling the fact
+    table on every query and reading it pre-placed (pair it with
+    q_compact_small_files for the maintenance story).  The plan property
+    is enforced here, not just in tests: if either side shuffles on the
+    join key the query raises instead of returning rows."""
+    wh = tempfile.mkdtemp(prefix="mmbd_bucket_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders.write.mode("overwrite").option("path", f"{wh}/orders").bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("mmbd_bucketed_orders")
+    lineitem.write.mode("overwrite").option("path", f"{wh}/lineitem").bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("mmbd_bucketed_lineitem")
+    bo = spark.table("mmbd_bucketed_orders")
+    bl = spark.table("mmbd_bucketed_lineitem")
+    # merge hint: at fixture scale AQE would broadcast the small side,
+    # which hides the co-location property under test
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if (
+        "Exchange hashpartitioning(o_orderkey" in plan
+        or "Exchange hashpartitioning(l_orderkey" in plan
+    ):
+        raise AssertionError(f"bucketed join shuffled a side:\n{plan}")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice", 2).alias("total_price"),
+    )
+
+
+@register(
     "q_python_datasource",
     oracle="""
 SELECT i,
