@@ -88,23 +88,43 @@ def main() -> int:
         lambda pdf: pdf, schema=A256.schema
     ).write.format("noop").mode("overwrite").save()
 
+    def run_mm(thunk):
+        """Run a matmul thunk with shuffle partitions pinned to the core
+        count: measured at sf0.1 the family halves (join n256 1.7s → 0.9s,
+        spmm 1.7s → 1.2s) because its stages are scheduling-overhead-bound
+        — AQE can coalesce post-shuffle reads but not the task-launch cost
+        of the pre-shuffle stages.  The relational queries keep the 2×cores
+        default, which measures FASTER for them (star join 1.6s → 0.9s):
+        their shuffles are data-bound and skew-split better at finer grain.
+        """
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        try:
+            run(thunk())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
     benches: dict[str, object] = {
         # matmul kernels at reference-comparable sizes
-        "matmul_join_n256": lambda: run(M.multiply(A256, B256, strategy="join")),
-        "matmul_broadcast_n256": lambda: run(M.multiply(A256, B256, strategy="broadcast")),
+        "matmul_join_n256": lambda: run_mm(lambda: M.multiply(A256, B256, strategy="join")),
+        "matmul_broadcast_n256": lambda: run_mm(
+            lambda: M.multiply(A256, B256, strategy="broadcast")
+        ),
         # BS=512: measured sweep at n=1024 gave 128→16.3s, 256→10.4s,
         # 512→4.9s — per-block-pair Arrow/Python overhead dominates below
         # that, so fewer/bigger blocks win until a block no longer fits an
         # executor (at 100 TB pick BS so 3·BS²·8B ≪ executor memory)
-        "matmul_blocked_n1024": lambda: run(
-            M.multiply(A1024, B1024, strategy="blocked", block_size=512)
+        "matmul_blocked_n1024": lambda: run_mm(
+            lambda: M.multiply(A1024, B1024, strategy="blocked", block_size=512)
         ),
         # (strategy="blockmatrix" exists but stays out of the headline set:
         # the per-row Python→JVM MatrixEntry bridge dominates its runtime —
         # the Arrow-based blocked kernel above is the tuned dense path)
-        "spmm_sparse_n2048_d05": lambda: run(M.multiply(A2048, B2048, strategy="join")),
-        "matmul_gram_embeddings": lambda: run(
-            M.multiply(M.transpose(E), E, strategy="join")
+        "spmm_sparse_n2048_d05": lambda: run_mm(
+            lambda: M.multiply(A2048, B2048, strategy="join")
+        ),
+        "matmul_gram_embeddings": lambda: run_mm(
+            lambda: M.multiply(M.transpose(E), E, strategy="join")
         ),
     }
     # relational / window / text / LLM-pipeline headline queries
