@@ -407,3 +407,123 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mmbd_udtf_docs d, LATERAL mmbd_tokenize(d.text) t
         """
     )
+
+
+@register(
+    "q_repetition_filter",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+            FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+         ELSE [] END AS g
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(g) > 0 THEN
+         floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS rep_frac,
+       (CASE WHEN len(g) > 0 THEN
+         floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END) <= 0.2 AS keep
+FROM grams
+""",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicated word
+    trigrams per document, with a keep/drop verdict.  Boilerplate- and
+    spam-heavy documents repeat themselves; this is the standard
+    pretraining-corpus quality gate alongside q_quality_score's ratio
+    heuristics.
+
+    Spark-first shape: the trigram list is built per-row with
+    higher-order array functions (transform over a sequence + slice +
+    array_distinct) — a pure projection, NO shuffle, no UDF; per-doc
+    state is one small array.  At 100 TB this scans and never exchanges.
+    The duplicate fraction rounds through the portable
+    floor(x*1e6+0.5)/1e6 form (functions/numeric.py rationale) so the
+    double is bit-identical in DuckDB.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 3),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("g"))
+    n = F.size("g").cast("long")
+    nd = F.size(F.array_distinct("g")).cast("long")
+    rep = F.when(
+        n > 0,
+        F.floor((F.lit(1.0) - nd.cast("double") / n) * 1e6 + F.lit(0.5)) / 1e6,
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        rep.alias("rep_frac"),
+        (rep <= 0.2).alias("keep"),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or call 555-' ||
+         lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(length(raw) AS BIGINT) AS len_before,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g')
+       ) AS BIGINT) AS len_after
+FROM seeded
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: regexp_extract_all to census emails/phones,
+    regexp_replace to scrub them — the compliance step every training
+    corpus runs before anything else sees the text.  The fixtures are
+    synthetic word soup, so deterministic PII is injected per doc_id
+    first (both engines seed identically) and the redaction is verified
+    by match counts and length deltas.  Pure projection — JVM regex
+    inside codegen, no shuffle, no UDF; the patterns stay in the
+    RE2-compatible subset so Java and DuckDB agree.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+    phone = r"555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(phone), F.lit(0))).cast("long").alias("n_phones"),
+        F.length("raw").cast("long").alias("len_before"),
+        F.length(scrubbed).cast("long").alias("len_after"),
+    )

@@ -1,0 +1,30 @@
+"""Corpus-quality gate ops: repetition filter and PII scrub."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_pii_scrub, q_repetition_filter
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    plan = q_repetition_filter(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: scan -> project, no shuffle
+
+
+def test_repetition_filter_counts(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in q_repetition_filter(spark, sf_dir).collect()}
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    for r in df[:50]:
+        toks = r["text"].split(" ")
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        got = rows[r["doc_id"]]
+        assert got["n_grams"] == len(grams)
+        assert got["n_distinct"] == len(set(grams))
+
+
+def test_pii_scrub_removes_every_injected_match(spark, sf_dir):
+    out = q_pii_scrub(spark, sf_dir)
+    # every doc got exactly one injected email and one phone
+    bad = out.where((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count()
+    assert bad == 0
+    # scrubbing shortened or kept length (tokens replaced by short tags)
+    assert out.where(F.col("len_after") >= F.col("len_before")).count() == 0
