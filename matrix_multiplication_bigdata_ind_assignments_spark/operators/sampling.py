@@ -102,3 +102,85 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q_corpus_mix",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_s,
+         CAST(1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(chars_s) AS BIGINT) AS totchars, CAST(sum(w) AS BIGINT) AS sumw
+  FROM per_src
+),
+rates AS (
+  SELECT source, chars_s, w,
+         least(100, CAST(floor(100.0 * (w / sumw) * (0.5 * totchars) / chars_s) AS BIGINT)) AS pct_keep
+  FROM per_src, tot
+)
+SELECT r.source AS source, r.pct_keep AS pct_keep,
+       CAST(count(d.doc_id) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS chars_kept
+FROM rates r LEFT JOIN documents d
+  ON d.source = r.source
+ AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < r.pct_keep
+GROUP BY r.source, r.pct_keep
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: re-weight sources to target proportions under a
+    global character budget (here 50% of the corpus, weights derived
+    deterministically from the source name) — the step that turns N
+    crawled sources into ONE training mix with chosen ratios.
+
+    Plan shape for 100 TB: one partial-aggregated pass computes
+    per-source sizes (tiny result), the keep-rate table is derived
+    driver-free in the plan and BROADCAST back onto the scan, and the
+    mix itself is a narrow hash filter — the corpus is read once and
+    never shuffled.  Keep decisions use the same portable md5 bucket as
+    every sampler here, so growing one source never resamples another.
+    The rate arithmetic is ordered identically in the DuckDB oracle so
+    the floor() of the double product agrees bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        F.lit(1)
+        + F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 4
+    ).cast("long")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars_s")).withColumn("w", w)
+    tot = per_src.agg(
+        F.sum("chars_s").cast("long").alias("totchars"), F.sum("w").cast("long").alias("sumw")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars_s",
+        F.least(
+            F.lit(100),
+            F.floor(
+                F.lit(100.0)
+                * (F.col("w") / F.col("sumw"))
+                * (F.lit(0.5) * F.col("totchars"))
+                / F.col("chars_s")
+            ),
+        ).cast("long").alias("pct_keep"),
+    ).cache()  # 20 rows, used twice below (broadcast + recovery join):
+    # without the cache each use re-runs the per_src→tot aggregate chain
+    # the mix: equi-join the broadcast rate table onto the scan, then a
+    # narrow hash filter — the corpus-side plan is scan → BHJ → filter
+    # with no shuffle.  Sources whose rate rounds to zero keep are
+    # recovered by a tiny rates-side left join on the 20-row summary.
+    mixed = d.join(F.broadcast(rates.drop("chars_s")), "source").where(
+        _pct("doc_id") < F.col("pct_keep")
+    )
+    summary = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_n"), F.sum("n_chars").cast("long").alias("k_chars")
+    )
+    return rates.join(summary, "source", "left").select(
+        "source",
+        "pct_keep",
+        F.coalesce("k_n", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("k_chars", F.lit(0)).cast("long").alias("chars_kept"),
+    )

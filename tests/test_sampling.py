@@ -49,3 +49,21 @@ def test_stratified_exact_k_per_stratum(spark, sf_dir):
     langs = load(spark, sf_dir, "documents").select("lang").distinct().count()
     assert len(per_lang) == langs
     assert all(r["n"] == 20 for r in per_lang)
+
+
+def test_corpus_mix_hits_budget_and_is_deterministic(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.sampling import q_corpus_mix
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    out = q_corpus_mix(spark, sf_dir)
+    rows = {r["source"]: r for r in out.collect()}
+    total_chars = load(spark, sf_dir, "documents").agg(F.sum("n_chars")).first()[0]
+    kept = sum(r["chars_kept"] for r in rows.values())
+    # ~50% char budget: hash bucketing is approximate, allow wide band
+    assert 0.25 * total_chars < kept < 0.75 * total_chars
+    # rates are valid percentages and weighting changed them per source
+    assert all(0 <= r["pct_keep"] <= 100 for r in rows.values())
+    assert len({r["pct_keep"] for r in rows.values()}) > 1
+    # deterministic under re-run
+    again = {r["source"]: r for r in q_corpus_mix(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
