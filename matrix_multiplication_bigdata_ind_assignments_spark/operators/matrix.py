@@ -365,6 +365,16 @@ def q_matmul_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiply(mat_A(spark, sf_dir), mat_B(spark, sf_dir), strategy="blocked", block_size=32)
 
 
+@register("q_matmul_auto", oracle=_ORACLE_MATMUL_DENSE)
+def q_matmul_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-chosen strategy (plans/strategy.py): operand statistics →
+    broadcast/blocked/join, the Spark-side analogue of the reference's CLI
+    algo dispatch (`Stage 2/Python Implementation/mm_opt.py:96-111`) —
+    registered so the strategy chooser itself sits inside the correctness
+    gate (the 64×64 fixtures resolve to the broadcast path)."""
+    return multiply(mat_A(spark, sf_dir), mat_B(spark, sf_dir), strategy="auto")
+
+
 @register(
     "q_matmul_transposed",
     oracle=_ORACLE_COO + """
