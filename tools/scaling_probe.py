@@ -47,8 +47,10 @@ def main() -> int:
     li = load(spark, sf_dir, "lineitem")
     od = load(spark, sf_dir, "orders")
     ev = load(spark, sf_dir, "events")
+    dc = load(spark, sf_dir, "documents")
     okey_span = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
     ekey_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    dkey_span = dc.agg(F.max("doc_id")).collect()[0][0] + 1
 
     def blow_up_events(e, mult: int):
         """Events blow-up shifts ts by 31 days per copy as well as the id:
@@ -70,11 +72,14 @@ def main() -> int:
 
     def variants(mult: int):
         if mult == 1:
-            return li, od, ev
+            return li, od, ev, dc
         return (
             blow_up(li, {"l_orderkey": okey_span}, mult),
             blow_up(od, {"o_orderkey": okey_span}, mult),
             blow_up_events(ev, mult),
+            # doc_id offset, text UNCHANGED: every copy is a duplicate, so
+            # the dedup probe below does real k-way collapse work
+            blow_up(dc, {"doc_id": dkey_span}, mult),
         )
 
     def q1(l):
@@ -135,15 +140,42 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("pairs"))
         )
 
+    def exact_dedup(d):
+        """q_dedup_exact's core shape: hash-partition by content digest,
+        keep the first doc_id per group — on the blow-up every group holds
+        k true duplicates, so the collapse is real work, not a no-op."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+    def rep_filter(d):
+        """q_repetition_filter's shape: per-row trigram stats, NO shuffle —
+        the scan-bound control: its ratio shows pure data-volume scaling."""
+        t = F.split("text", " ")
+        g = F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        d = d.select("doc_id", g.alias("g"))
+        return d.select(
+            "doc_id", F.size("g").alias("n"), F.size(F.array_distinct("g")).alias("nd")
+        )
+
     results = {}
     for mult in (1, k):
-        l, o, e = variants(mult)
+        l, o, e, d = variants(mult)
         for name, thunk in {
             "q1_agg": lambda: q1(l),
             "order_join_rollup": lambda: order_rollup(l, o),
             "spmm_n2048": lambda: matmul(l),
             "topk_window": lambda: topk(e),
             "range_join_1h": lambda: range_join(e),
+            "exact_dedup": lambda: exact_dedup(d),
+            "repetition_filter": lambda: rep_filter(d),
         }.items():
             t0 = time.perf_counter()
             thunk().write.format("noop").mode("overwrite").save()
@@ -163,9 +195,28 @@ def main() -> int:
         f"| query | 1× (s) | {k}× (s) | time ratio |",
         "|---|---|---|---|",
     ]
-    for name in ("q1_agg", "order_join_rollup", "spmm_n2048", "topk_window", "range_join_1h"):
+    for name in (
+        "q1_agg",
+        "order_join_rollup",
+        "spmm_n2048",
+        "topk_window",
+        "range_join_1h",
+        "exact_dedup",
+        "repetition_filter",
+    ):
         a, b = results[(name, 1)], results[(name, k)]
         lines.append(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    lines += [
+        "",
+        "Notes: `repetition_filter` is the shuffle-free control (scan-bound,",
+        "pure projection); `exact_dedup` collapses k true duplicates per",
+        "group, so its ratio includes real collapse work.  `spmm_n2048`",
+        "grows super-linearly by construction: more lineitem rows land in",
+        "the same fixed n=2048 grid, so the matrix DENSIFIES and the",
+        "intrinsic multiply pair count rises — a workload artifact of the",
+        "blow-up, not a plan defect (at fixed density the join scales with",
+        "nnz, see the 1.8× order_join_rollup for the same join machinery).",
+    ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
