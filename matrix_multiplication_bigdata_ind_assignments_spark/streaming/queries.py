@@ -376,3 +376,124 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@register(
+    "q_stream_transform_with_state",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via the Spark 4 transformWithStateInPandas
+    StatefulProcessor API (the successor to applyInPandasWithState,
+    SURVEY.md §2.3 'custom stateful operators'): a per-user ValueState
+    holding (event count, running cent total) updated across micro-batches.
+    Money is accumulated as integer cents (floor(v*100+0.5) — the portable
+    rounding form, see functions/numeric.py) so state updates are exactly
+    associative and the final emission matches the batch GROUP BY oracle
+    bit-for-bit regardless of batch boundaries.  At 100 TB the state store
+    shards by the grouping key across executors (RocksDB provider) — no
+    driver-side state.
+
+    Environment gate: transformWithStateInPandas spawns a protobuf-speaking
+    driver worker; where google.protobuf is unavailable (this container)
+    the query computes the identical semantics through
+    applyInPandasWithState so the oracle contract is exercised either way.
+    """
+    import importlib.util
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", StructType([StructField("n", LongType()), StructField("cents", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "value")
+    )
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if has_protobuf:
+        totals = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = StructType(
+            [StructField("n", LongType()), StructField("cents", LongType())]
+        )
+
+        def user_totals(key, pdf_iter, state: GroupState):
+            import numpy as np
+            import pandas as pd
+
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdf_iter:
+                n += len(pdf)
+                cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        totals = s.groupBy("user_id").applyInPandasWithState(
+            user_totals,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    res = _run_to_memory(totals, "update")
+    # update-mode sinks append one row per (group, batch); n_events is
+    # monotone, so the final state per user is its max-n row
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

@@ -111,3 +111,13 @@ def test_stream_stream_join_pairs_equal_batch_self_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
     assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    stream_res = sq.q_stream_transform_with_state(spark, sf_dir)
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    batch = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents"),
+    )
+    assert rows_set(stream_res) == rows_set(batch)
