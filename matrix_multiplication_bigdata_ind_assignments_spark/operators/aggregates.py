@@ -327,3 +327,32 @@ def q_series_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"), dec_sum("value", 2).alias("total_value"))
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_retailprice' AS metric, round(p_retailprice, 6) AS metric_value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, round(CAST(p_size AS DOUBLE), 6) AS metric_value
+FROM part
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot): wide per-part metrics to long
+    (part, metric, value) rows via DataFrame.unpivot — Spark plans a
+    single-pass Expand (each input row fans out to one output row per
+    metric, no shuffle, no join).  The oracle is the portable UNION ALL
+    form."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 6).alias("p_retailprice"),
+        F.round(F.col("p_size").cast("double"), 6).alias("p_size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )

@@ -132,3 +132,113 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "q_sessionize_batch",
+    oracle="""
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(sec) AS session_start, max(sec) AS session_end
+FROM (
+  SELECT user_id, sec,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events WHERE user_id IS NOT NULL
+  )
+)
+GROUP BY user_id, session_id
+""",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts after
+    a >30-minute silence; session id is the running count of session
+    starts.  The batch twin of q_stream_session — same 30-minute gap rule,
+    computed with two stacked windows instead of streaming state.  One
+    shuffle on user_id serves both windows and the final rollup (Spark
+    reuses the partitioning), so the shape scales as a single pass."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0).alias("new_sess"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_sess").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_end"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(count(*) OVER hour_back AS BIGINT) AS n_last_hour,
+       {sql_fx_sum_over("value", "hour_back")} AS sum_last_hour
+FROM events WHERE user_id IS NOT NULL
+WINDOW hour_back AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per user, events
+    and value-sum in the trailing hour.  Unlike ROWS frames, RANGE includes
+    ordering peers, so no tiebreaker is needed for determinism — both
+    engines see the same floored-epoch ordering key and the same peer
+    sets."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        fx_sum_window("value", w).alias("sum_last_hour"),
+    )
+
+
+@register(
+    "q_nth_value",
+    oracle="""
+SELECT event_id, user_id,
+       round(first_value(value) OVER full_part, 6) AS first_v,
+       round(last_value(value) OVER full_part, 6) AS last_v,
+       round(nth_value(value, 2) OVER full_part, 6) AS second_v
+FROM events WHERE user_id IS NOT NULL
+WINDOW full_part AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition frame
+    (the frame must be explicit: the default frame stops at CURRENT ROW,
+    which silently turns last_value into 'current value')."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w), 6).alias("last_v"),
+        F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
+    )

@@ -1,0 +1,50 @@
+"""Semantic invariants for the window-function queries."""
+
+from pyspark.sql import functions as F
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators import windows as W
+from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+
+def test_sessionize_partitions_all_events(spark, sf_dir):
+    """Sessions tile the event stream: per-user session sizes sum to the
+    user's event count, and no session spans a >30-minute internal gap
+    start-to-start (start==end for singletons)."""
+    sess = W.q_sessionize_batch(spark, sf_dir).cache()
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = dict(
+        sess.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    )
+    truth = dict(e.groupBy("user_id").count().collect())
+    assert per_user == truth
+    bad = sess.where(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+
+
+def test_sessions_separated_by_gap(spark, sf_dir):
+    """Consecutive sessions of one user are separated by >30 minutes."""
+    sess = W.q_sessionize_batch(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_id")
+    gaps = sess.select(
+        "user_id",
+        (F.col("session_start") - F.lag("session_end").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    assert gaps.where(F.col("gap") <= 1800).count() == 0
+
+
+def test_range_frame_counts_at_least_self(spark, sf_dir):
+    df = W.q_window_range_frame(spark, sf_dir)
+    assert df.where(F.col("n_last_hour") < 1).count() == 0
+
+
+def test_nth_value_null_for_singleton_users(spark, sf_dir):
+    """nth_value(2) must be NULL exactly for users with one event."""
+    df = W.q_nth_value(spark, sf_dir)
+    singles = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("second_v").isNull().cast("int")).alias("nulls"),
+    )
+    assert singles.where((F.col("n") == 1) & (F.col("nulls") != 1)).count() == 0
+    assert singles.where((F.col("n") > 1) & (F.col("nulls") != 0)).count() == 0
