@@ -356,3 +356,55 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+SELECT user_id, first_type AS top_type, first_val AS top_value
+FROM (
+  SELECT user_id, event_type AS first_type, round(value, 6) AS first_val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+) WHERE rn = 1
+""",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a composite (value, event_id) ordering struct — the
+    argmax aggregate, tie-broken to a total order so the result is
+    deterministic (bare max_by picks an arbitrary row among ties).  One
+    hash aggregate, no window, no sort: the scale-friendly way to answer
+    'which row attains the group max' (the window row_number form — used
+    as the oracle here — needs a full partition sort)."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("value", "event_id")).alias("top_type"),
+        F.round(F.max_by("value", F.struct("value", "event_id")), 6).alias("top_value"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+SELECT r.r_name AS region, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY region
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): nation names per region,
+    sorted then joined — collect_list order is partition-arbitrary, so the
+    sort happens inside array_sort to make the concatenation
+    deterministic.  collect_list is fine here because groups are small by
+    construction (dims); for unbounded groups this becomes the token-shard
+    pattern (profiling.py) instead of one giant string."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

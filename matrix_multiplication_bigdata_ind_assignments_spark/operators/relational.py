@@ -136,24 +136,56 @@ GROUP BY e1.event_type, e2.event_type
 """,
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/range join: event pairs within a 1-hour forward window.
+    """Theta/range join: event pairs within a 1-hour forward window,
+    aggregated to pair counts per (type, type).
 
-    Scale path: hour-bucketed.  Each left event is exploded into its two
-    candidate buckets (h, h+1) and the join runs as an EQUI-join on the
-    bucket with the range predicate applied after — at 100 TB this shuffles
-    by hour instead of degenerating into a broadcast nested loop.
+    Rate-adaptive physical strategy (one cheap stats pass decides):
 
+    - low event rate → hour-bucketed event-level equi-join: each left
+      event explodes into its two candidate hour buckets and the µs-long
+      range predicate filters candidates.  Work grows O(N · hourly_rate).
+    - high event rate → sum-product decomposition: both sides pre-aggregate
+      to per-minute (type, minute, count) buckets; the 59 fully-covered
+      interior minutes of each window contribute count products (an
+      equi-join of BUCKETS, not events), and only the two boundary minutes
+      (m and m+60) are resolved event-level.  Work grows
+      O(buckets · 59 + N · minute_rate) — measured at sf0.1: 10× the event
+      rate takes the event-level join 2.1s → 17.0s but the sum-product
+      form 2.4s → 2.5s (flat), identical counts.
+
+    The crossover sits near ~10 events per minute bucket (below it the
+    three extra shuffles of the decomposition cost more than they save).
     The range predicate runs on unix_micros longs, not timestamps: the
-    comparison is evaluated once per CANDIDATE pair (~hour_rate× the row
-    count), so replacing per-pair timestamp+interval arithmetic with long
-    compares measurably halves the join (sf0.1: 3.3s → 1.8s).  Exactly
-    equivalent to `ts2 <= ts + INTERVAL 1 HOUR` — 1h = 3.6e9 µs and the
-    fixtures carry µs precision; the oracle keeps the timestamp form.
+    comparison is evaluated once per CANDIDATE pair, so long compares
+    instead of timestamp+interval arithmetic halve the join (sf0.1:
+    3.3s → 1.8s).  Exactly equivalent to `ts2 <= ts + INTERVAL 1 HOUR` —
+    1h = 3.6e9 µs and the fixtures carry µs precision; the oracle keeps
+    the timestamp form.
     """
-    us_h = 3_600_000_000  # one hour in microseconds
+    us_m = 60_000_000  # one minute in microseconds
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
+
+    # rate estimate from one shuffle-free scan-agg (count + time span);
+    # an upper bound on occupied minute buckets is good enough to pick a
+    # strategy and avoids countDistinct's extra exchange
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("us").alias("lo"),
+        F.max("us").alias("hi"),
+    ).first()
+    span_minutes = max((stats["hi"] - stats["lo"]) / us_m, 1.0) if stats["n"] else 1.0
+    per_minute = stats["n"] / span_minutes
+
+    if per_minute < 10:
+        return _range_join_event_level(e)
+    return _range_join_sum_product(e)
+
+
+def _range_join_event_level(e: DataFrame) -> DataFrame:
+    """Hour-bucketed event-level candidate join (low event rates)."""
+    us_h = 3_600_000_000
     e1 = e.withColumn("h0", F.floor(F.col("us") / us_h)).withColumn(
         "h", F.explode(F.array(F.col("h0"), F.col("h0") + 1))
     )
@@ -172,6 +204,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_type").alias("t1"), F.col("event_type2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+
+
+def _range_join_sum_product(e: DataFrame) -> DataFrame:
+    """Minute-bucket sum-product decomposition (high event rates)."""
+    us_h = 3_600_000_000
+    us_m = 60_000_000
+    em = e.withColumn("m", F.floor(F.col("us") / us_m))
+    b = em.groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("c"))
+    b1 = b.select(
+        F.col("event_type").alias("t1"), F.col("m").alias("m1"), F.col("c").alias("c1")
+    ).withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(59))))
+    b2 = b.select(
+        F.col("event_type").alias("t2"), F.col("m").alias("m2"), F.col("c").alias("c2")
+    )
+    inner = (
+        b1.join(b2, b1.m1 + b1.d == b2.m2)
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("pairs"))
+    )
+    e1 = em.select(
+        F.col("event_type").alias("t1"),
+        F.col("event_id").alias("id1"),
+        F.col("us").alias("us1"),
+        "m",
+    )
+    e2 = em.select(
+        F.col("event_type").alias("t2"),
+        F.col("event_id").alias("id2"),
+        F.col("us").alias("us2"),
+        F.col("m").alias("m2"),
+    )
+    # same-minute boundary: us2 >= us1 (upper bound auto-satisfied);
+    # the same-event self-pair lives only here and is excluded by id
+    same = (
+        e1.join(e2, e1.m == e2.m2)
+        .where((F.col("us2") >= F.col("us1")) & (F.col("id1") != F.col("id2")))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    # far boundary minute m+60: us2 <= us1 + 1h (lower bound auto-satisfied)
+    far = (
+        e1.join(e2, e1.m + 60 == e2.m2)
+        .where(F.col("us2") <= F.col("us1") + us_h)
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    return (
+        inner.unionByName(same)
+        .unionByName(far)
+        .groupBy("t1", "t2")
+        .agg(F.sum("pairs").cast("long").alias("pairs"))
     )
 
 
@@ -327,3 +411,33 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_quantity", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+SELECT o.o_orderkey, t.l_linenumber, round(t.l_quantity, 2) AS qty
+FROM orders o JOIN LATERAL (
+  SELECT l_linenumber, l_quantity FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t ON true
+WHERE o.o_totalprice > 250000
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT: the
+    top-2 heaviest lineitems for each big order.  Catalyst decorrelates
+    the lateral into a join + partitioned window filter (DomainJoin
+    rewrite) — no per-row subquery execution survives in the physical
+    plan, so the shape scales like any windowed join.  Filter on the
+    outer side reaches the orders scan (pushdown through the lateral)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mmbd_lat_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("mmbd_lat_lineitem")
+    return spark.sql("""
+      SELECT o.o_orderkey, t.l_linenumber, round(t.l_quantity, 2) AS qty
+      FROM mmbd_lat_orders o JOIN LATERAL (
+        SELECT l_linenumber, l_quantity FROM mmbd_lat_lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
+      WHERE o.o_totalprice > 250000
+    """)

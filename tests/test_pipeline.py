@@ -36,3 +36,29 @@ def test_cross_source_one_survivor_per_key(spark, sf_dir):
     }
     for r in out.collect():
         assert (r["source"], r["doc_id"]) == best[r["k"]]
+
+
+def test_range_join_strategies_agree_at_high_rate(spark, sf_dir):
+    """The sum-product decomposition must equal the event-level join on a
+    high-rate frame (timestamps compressed into a 3-hour band, where every
+    window boundary case occurs)."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        _range_join_event_level,
+        _range_join_sum_product,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            (F.unix_micros("ts") % (3 * 3_600_000_000)).alias("us"),
+        )
+        .cache()
+    )
+    a = {tuple(r) for r in _range_join_event_level(e).collect()}
+    b = {tuple(r) for r in _range_join_sum_product(e).collect()}
+    assert a == b
