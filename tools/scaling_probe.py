@@ -182,6 +182,30 @@ def main() -> int:
             results[(name, mult)] = time.perf_counter() - t0
             print(f"{name} x{mult}: {results[(name, mult)]:.2f}s", flush=True)
 
+    # --- rate blow-up: same time span, k× the events per minute ---------
+    # (the keyed blow-up above shifts ts to hold the RATE constant; this
+    # one holds the span constant to stress the interval join's O(rate²)
+    # failure mode and show the sum-product decomposition absorbing it)
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        _range_join_event_level,
+        _range_join_sum_product,
+    )
+
+    base_e = ev.select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+    rate_results = {}
+    for mult in (1, k):
+        e_m = blow_up(base_e, {"event_id": ekey_span}, mult).cache()
+        e_m.count()
+        for sname, fn in (
+            ("event_level", _range_join_event_level),
+            ("sum_product", _range_join_sum_product),
+        ):
+            t0 = time.perf_counter()
+            fn(e_m).write.format("noop").mode("overwrite").save()
+            rate_results[(sname, mult)] = time.perf_counter() - t0
+            print(f"range_join_{sname} rate×{mult}: {rate_results[(sname, mult)]:.2f}s", flush=True)
+        e_m.unpersist()
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -216,6 +240,29 @@ def main() -> int:
         "intrinsic multiply pair count rises — a workload artifact of the",
         "blow-up, not a plan defect (at fixed density the join scales with",
         "nnz, see the 1.8× order_join_rollup for the same join machinery).",
+        "",
+        "## Rate-adaptive range join",
+        "",
+        "`q_range_join` picks its physical strategy from a shuffle-free",
+        "rate stat (events per minute).  Same-span rate blow-up (events",
+        f"×{k}, time span unchanged):",
+        "",
+        f"| strategy | 1× rate (s) | {k}× rate (s) | growth |",
+        "|---|---|---|---|",
+    ]
+    for sname in ("event_level", "sum_product"):
+        a, b = rate_results[(sname, 1)], rate_results[(sname, k)]
+        lines.append(f"| {sname} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    lines += [
+        "",
+        "The event-level join's candidate set grows O(rate²·span); the",
+        "sum-product form pre-aggregates to per-minute buckets, joins the",
+        "59 fully-covered interior minutes as count PRODUCTS (constant in",
+        "rate), and resolves only the two boundary minutes event-level.",
+        "Crossover ≈10 events/minute — below it the three extra shuffles",
+        "cost more than they save, so the planner keeps the event-level",
+        "join for sparse streams.  Identical pair counts on both paths",
+        "(equivalence test: tests/test_pipeline.py).",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
