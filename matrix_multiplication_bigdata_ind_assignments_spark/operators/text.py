@@ -527,3 +527,57 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("raw").cast("long").alias("len_before"),
         F.length(scrubbed).cast("long").alias("len_after"),
     )
+
+
+@register(
+    "q_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+         AS days_to_eoy
+FROM orders
+""",
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: +90 days, +1 calendar month
+    (end-of-month clamping matches across engines), quarter extraction,
+    day difference to a fixed anchor.  All pure projections — no shuffle,
+    fully codegen'd, and Catalyst constant-folds the anchor literal."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(F.col("o_orderdate").cast("date"), 1), "yyyy-MM-dd").alias("next_month"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_eoy"),
+    )
+
+
+@register(
+    "q_map_roundtrip",
+    oracle="""
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id, event_type
+""",
+)
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class column: per-user event-type counts packed
+    into a map<string,bigint> (map_from_entries over collected structs),
+    carried through a projection, then exploded back to rows.  Proves the
+    map plumbing end-to-end; the oracle is the plain GROUP BY the
+    roundtrip must reproduce exactly.  Groups are bounded by the
+    event-type vocabulary, so collect_list cannot blow up."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("by_type")
+    )
+    return maps.select(
+        "user_id", F.explode("by_type").alias("event_type", "n")
+    )
