@@ -108,3 +108,37 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir, qs):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """AQE's runtime Bloom-filter join filter engages once scan sizes
+    warrant it: a selective dim-side filter semi-reduces the fact scan
+    before the shuffle (the 100 TB behavior, thresholds lowered to make
+    it observable at fixture scale)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load(spark, sf_dir, "orders").where("o_totalprice > 400000")
+        l = load(spark, sf_dir, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
