@@ -117,9 +117,9 @@ def main() -> int:
         "matmul_blocked_n1024": lambda: run_mm(
             lambda: M.multiply(A1024, B1024, strategy="blocked", block_size=512)
         ),
-        # (strategy="blockmatrix" exists but stays out of the headline set:
-        # the per-row Python→JVM MatrixEntry bridge dominates its runtime —
-        # the Arrow-based blocked kernel above is the tuned dense path)
+        # (mllib BlockMatrix was dropped as a strategy: its CoordinateMatrix
+        # construction is a per-row Python→JVM bridge — the Arrow-based
+        # blocked kernel above is the tuned dense path)
         "spmm_sparse_n2048_d05": lambda: run_mm(
             lambda: M.multiply(A2048, B2048, strategy="join")
         ),

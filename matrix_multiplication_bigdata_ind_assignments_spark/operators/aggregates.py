@@ -253,10 +253,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch path: exact percentile needs a full
     sort per group, the sketch is one pass + tiny mergeable state, which is
-    what survives 100 TB."""
+    what survives 100 TB.  Emitted as scalar columns (p50/p90/p99), not an
+    array, so the result is canonicalizable by any row-hash checker."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("approx_pcts")
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
     )
 
 

@@ -140,28 +140,13 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
         )
     if strategy == "blocked":
         return _multiply_blocked(A, B, block_size)
-    if strategy == "blockmatrix":
-        return _multiply_blockmatrix(A, B, block_size)
+    # "blockmatrix" (mllib BlockMatrix) was dropped from the strategy set:
+    # CoordinateMatrix construction forces a per-row Python→JVM MatrixEntry
+    # bridge — row-at-a-time Python in the hot path, with no DataFrame-side
+    # way to build the JVM blocks.  The cogrouped-Arrow "blocked" strategy
+    # IS the tiled-GEMM path (SURVEY.md §1.5 tiling mapping) without that
+    # bridge.
     raise ValueError(f"unknown strategy {strategy!r}")
-
-
-def _multiply_blockmatrix(A: DataFrame, B: DataFrame, bs: int) -> DataFrame:
-    """mllib BlockMatrix product — the fully JVM-side tuned dense path
-    (SURVEY.md §1.5 mapping: reference tiling ↔ BlockMatrix grid).  Same
-    logical result as every other strategy; breeze GEMM per block pair,
-    no Python in the loop."""
-    from pyspark.mllib.linalg.distributed import CoordinateMatrix, MatrixEntry
-
-    spark = A.sparkSession
-    am = CoordinateMatrix(
-        A.select("i", "j", "v").rdd.map(lambda r: MatrixEntry(r[0], r[1], r[2]))
-    ).toBlockMatrix(bs, bs)
-    bm = CoordinateMatrix(
-        B.select("i", "j", "v").rdd.map(lambda r: MatrixEntry(r[0], r[1], r[2]))
-    ).toBlockMatrix(bs, bs)
-    entries = am.multiply(bm).toCoordinateMatrix().entries
-    out = spark.createDataFrame(entries.map(lambda e: (e.i, e.j, e.value)), "i long, j long, v double")
-    return out.select("i", "j", F.round("v", 6).alias("v"))
 
 
 def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:

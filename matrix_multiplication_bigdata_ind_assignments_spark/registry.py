@@ -42,14 +42,109 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# Driver-facing ordering.  The correctness gate walks queries in dict order
+# under a budget, so the order IS the verification priority: queries that
+# have never earned a driver correctness row come first (LLM-pipeline
+# surface — dedup, similarity, text, streaming, sampling, profiling — per
+# VERDICT.md r1 item 3), queries already verified green in round 1 come
+# last.  Names not listed keep registration order after the listed ones.
+_PRIORITY: tuple[str, ...] = (
+    # previously-ERR, now fixed — must earn green rows
+    "q_range_join",
+    "q_asof_join",
+    "q_approx_percentiles",
+    # §2.2 canonical operators the round-1 gate never reached
+    "q_algo_filter",
+    "q_mem_column_resolve",
+    "q_results_scan_union",
+    "q_csv_sink",
+    # deduplication family
+    "q_dedup_exact",
+    "q_dedup_keep_first",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_near",
+    "q_dedup_components",
+    "q_dedup_near_ml",
+    # similarity search
+    "q_cosine_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    # text analysis
+    "q_wordcount",
+    "q_tfidf",
+    "q_token_count",
+    "q_quality_score",
+    "q_langid",
+    "q_lang_profile",
+    "q_doc_fingerprint",
+    "q_text_stats",
+    "q_repetition_filter",
+    "q_pii_scrub",
+    "q_udtf_tokens",
+    "q_json_extract",
+    "q_date_buckets",
+    "q_vector_ops",
+    "q_json_variant",
+    "q_interval_arith",
+    "q_map_roundtrip",
+    # streaming headliners
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_watermark_late",
+    # sampling / curation
+    "q_sample_hash",
+    "q_train_test_split",
+    "q_stratified_sample",
+    "q_corpus_mix",
+    # profiling
+    "q_null_profile",
+    "q_summary_stats",
+    "q_corr",
+    "q_hist_bucket",
+    # pipeline composites
+    "q_token_shards",
+    "q_decontaminate",
+    "q_dedup_cross_source",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    # sources / sinks
+    "q_json_scan",
+    "q_orc_roundtrip",
+    "q_partitioned_sink",
+    "q_compact_small_files",
+    "q_bucketed_join",
+    "q_python_datasource",
+    # remaining never-checked
+    "q_window_ntile",
+    "q_stream_foreach_batch",
+    "q_stream_stateful_counter",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_transform_with_state",
+)
+
+
+def _ordered() -> list[Query]:
     _load_all()
-    return {n: q.fn for n, q in REGISTRY.items()}
+    # priority names first (in _PRIORITY order), then the rest in
+    # registration order
+    prioritized = [n for n in _PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
+    return [REGISTRY[n] for n in prioritized + rest]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracles() -> dict[str, str]:
-    _load_all()
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _LOADED = False

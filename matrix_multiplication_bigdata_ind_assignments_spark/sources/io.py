@@ -39,21 +39,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw nanos (legacy conf) and truncate to a
-    microsecond timestamp — the same truncation DuckDB applies when it
-    reads the nanos column as TIMESTAMP, so both engines see identical
-    instants."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf always exists on Spark 3.4+
-        pass
+    """events.ts is parquet TIMESTAMP(NANOS); depending on the Spark
+    version it surfaces as either bigint raw nanos (with the legacy
+    ``nanosAsLong`` conf, Spark <=3.x) or as ``timestamp_ntz`` truncated
+    to µs (Spark 4.x default). Normalize both to a plain µs TIMESTAMP so
+    every downstream consumer (unix_micros, withWatermark, window()) sees
+    one type. The session time zone is pinned UTC in ``load``, so the
+    NTZ→TIMESTAMP cast preserves the wall-clock instant and matches what
+    DuckDB computes reading the same column as TIMESTAMP."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return normalize_event_ts(df)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Convert a raw-nanos ts column (bigint) to a µs-truncated timestamp."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize the ``ts`` column to a µs-precision TIMESTAMP (UTC session).
+
+    Handles every representation the fixture can load as:
+    - bigint raw nanos (legacy nanosAsLong readers) → timestamp_micros
+    - timestamp_ntz (Spark 4.x nanos-parquet default) → cast to timestamp
+    - timestamp → already correct
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -50,10 +50,6 @@ def _state_partitions(spark: SparkSession):
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources need a directory: point at sf_dir and glob-filter
     # down to the events file

@@ -31,7 +31,14 @@ def test_strategies_agree(A, B):
     assert dense == rows_set(M.multiply(A, B, strategy="broadcast"))
     assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=32))
     assert dense == rows_set(M.multiply(A, B, strategy="blocked", block_size=17))
-    assert dense == rows_set(M.multiply(A, B, strategy="blockmatrix", block_size=32))
+
+
+def test_blockmatrix_strategy_removed(A, B):
+    """The per-row Python→JVM MatrixEntry bridge is not an exposed strategy."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        M.multiply(A, B, strategy="blockmatrix")
 
 
 def test_blocked_3d_fallback_agrees(A, B, monkeypatch):
