@@ -90,6 +90,118 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(tok_offset // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(tok_offset % {_PACK_CAPACITY} AS BIGINT) AS seq_offset
+FROM o
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay the corpus out in doc_id
+    order as one token stream and cut it into {cap}-token training
+    sequences; each doc reports the sequence it STARTS in and its offset
+    there.
+
+    The global exclusive prefix-sum is the interesting part at scale: a
+    naive ``sum() over (order by doc_id)`` with no partition key collapses
+    the whole corpus onto ONE reducer.  Instead this is the classic
+    two-pass distributed scan:
+
+    1. range-partition by doc_id (Spark's distributed sort machinery) and
+       stamp each row with its partition id;
+    2. local exclusive cumsum per partition (window keyed by pid);
+    3. per-partition token totals → driver (one tiny row per partition)
+       → exclusive-cumsum base offsets broadcast back.
+
+    Offsets are exact regardless of where the range boundaries fall, so
+    the sampling-based partitioner never affects the result."""
+    n_parts = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    # materialize the pid stamp once: both consumers (totals + final) must
+    # see the SAME partitioning, and localCheckpoint blocks are GC-scoped
+    base = (
+        d.select("doc_id", toks.alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    running, bases = 0, {}
+    for pid in sorted(totals):
+        bases[pid] = running
+        running += totals[pid]
+    base_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(bases.items()) for x in kv]), F.col("pid")
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base_col
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        (off / _PACK_CAPACITY).cast("long").alias("seq_id"),
+        (off % _PACK_CAPACITY).cast("long").alias("seq_offset"),
+    )
+
+
+_DOMAIN_CAP = 30
+
+
+@register(
+    "q_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn FROM ranked WHERE rn <= {_DOMAIN_CAP}
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota curation: keep at most {cap} documents per lang,
+    chosen by deterministic md5 order (an unbiased, reshuffling-stable
+    sample — rerunning on re-partitioned data picks the same docs).  One
+    window keyed by the domain; a mega-hot domain makes one hot reducer,
+    in which case pre-filter with an md5-threshold pass (keep hash <
+    cap/|domain| quantile, computed from a count) before ranking the
+    survivors — same result, bounded reducer."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _DOMAIN_CAP)
+    )
+
+
 @register(
     "q_window_ntile",
     oracle="""

@@ -175,6 +175,112 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 5
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, round(cos, 6) AS cos, rk FROM (
+  SELECT vec_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {_KNN_K}
+""",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph over ALL vectors (every vector gets its 5 nearest
+    neighbors) — the semantic-clustering / near-dup-graph primitive.
+
+    Unlike q_cosine_topk (10 broadcast queries), every row is a query, so
+    the scale shape is the 2-D tiled block join from q_dedup_embedding
+    with a two-stage top-k merge:
+
+    1. rows hash into k row-blocks; the FULL k×k tile grid (every block
+       needs every other block as candidate neighbors) is a tiny
+       broadcast; each tile is one cogrouped-Arrow numpy GEMM emitting
+       only the LOCAL top-k per center row — tile output is |block|·k
+       rows, never |block|² ;
+    2. a window over (vec_id) merges the per-tile top-k lists into the
+       global top-k — input to the shuffle is n·k·n_blocks rows, linear
+       in n for fixed grid depth.
+
+    Work is O(n²·d) GEMM flops (exact kNN is all-pairs by definition);
+    the approximate scale-out path is q_ann_lsh/q_ann_ivf."""
+    import math
+    import os
+
+    n_rows = load(spark, sf_dir, "embeddings").count()
+    block_rows = int(os.environ.get("MMBD_EMB_BLOCK_ROWS", "4096"))
+    kblk = max(1, math.ceil(n_rows / block_rows))
+
+    def side(join_key: str):
+        base = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            F.pmod(F.hash("vec_id"), F.lit(kblk)).alias("blk"),
+        )
+        grid = spark.range(kblk * kblk).select(
+            (F.col("id") / kblk).cast("long").alias("bi"), F.pmod("id", F.lit(kblk)).alias("bj")
+        )
+        return base.join(F.broadcast(grid), base.blk == grid[join_key]).select(
+            "bi", "bj", "vec_id", "emb"
+        )
+
+    def tile(key, centers: pd.DataFrame, cands: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []}).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        if centers.empty or cands.empty:
+            return empty
+        import numpy as np
+
+        A = np.stack(centers["emb"].to_numpy())
+        B = np.stack(cands["emb"].to_numpy())
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        G = A @ B.T
+        ca = centers["vec_id"].to_numpy()
+        cb = cands["vec_id"].to_numpy()
+        G[ca[:, None] == cb[None, :]] = -np.inf  # mask self on diagonal tiles
+        k = min(_KNN_K, G.shape[1])
+        top = np.argpartition(-G, k - 1, axis=1)[:, :k]  # local top-k per center
+        rows = np.repeat(np.arange(G.shape[0]), k)
+        cols = top.ravel()
+        keep = np.isfinite(G[rows, cols])
+        return pd.DataFrame(
+            {
+                "vec_id": ca[rows[keep]],
+                "neighbor_id": cb[cols[keep]],
+                "cos": G[rows[keep], cols[keep]],
+            }
+        )
+
+    local_topk = (
+        side("bi")
+        .groupBy("bi", "bj")
+        .cogroup(side("bj").groupBy("bi", "bj"))
+        .applyInPandas(tile, schema="vec_id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _KNN_K)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
 @register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: 10 deterministic centroids (the label-0..9 mean

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_cosine_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_knn_graph",
     # text analysis
     "q_wordcount",
     "q_tfidf",
@@ -110,6 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_token_shards",
     "q_decontaminate",
     "q_dedup_cross_source",
+    "q_sequence_pack",
+    "q_domain_cap",
     # multimodal
     "q_multimodal_features",
     "q_multimodal_frame_sample",

@@ -62,3 +62,35 @@ def test_range_join_strategies_agree_at_high_rate(spark, sf_dir):
     a = {tuple(r) for r in _range_join_event_level(e).collect()}
     b = {tuple(r) for r in _range_join_sum_product(e).collect()}
     assert a == b
+
+
+def test_sequence_pack_offsets_are_contiguous(spark, sf_dir):
+    """Packed layout invariants: offsets strictly in [0, capacity); global
+    token positions (seq_id*cap + seq_offset) are the exclusive cumsum of
+    n_tokens in doc_id order — i.e. the stream has no gaps or overlaps."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        _PACK_CAPACITY,
+        q_sequence_pack,
+    )
+
+    rows = sorted(q_sequence_pack(spark, sf_dir).collect(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        assert 0 <= r["seq_offset"] < _PACK_CAPACITY
+        assert r["seq_id"] * _PACK_CAPACITY + r["seq_offset"] == pos
+        pos += r["n_tokens"]
+
+
+def test_domain_cap_limits_each_lang(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        _DOMAIN_CAP,
+        q_domain_cap,
+    )
+
+    df = q_domain_cap(spark, sf_dir)
+    for r in df.groupBy("lang").count().collect():
+        assert r["count"] <= _DOMAIN_CAP
+    # deterministic: same selection on rerun
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in q_domain_cap(spark, sf_dir).collect()}
+    assert a == b

@@ -30,3 +30,21 @@ def test_topk_exact_has_k_rows_per_query(spark, sf_dir):
     counts = {r["query_id"]: 1 for r in df.groupBy("query_id").count().collect()}
     assert len(counts) == S._N_QUERIES
     assert df.count() == S._N_QUERIES * S._TOPK
+
+
+def test_knn_graph_tiled_matches_single_block(spark, sf_dir, monkeypatch):
+    """The k>1 tile grid (forced small blocks) must produce exactly the
+    single-tile result — the two-stage local-topk/global-merge is lossless."""
+    single = {tuple(r) for r in S.q_knn_graph(spark, sf_dir).collect()}
+    monkeypatch.setenv("MMBD_EMB_BLOCK_ROWS", "128")
+    tiled = {tuple(r) for r in S.q_knn_graph(spark, sf_dir).collect()}
+    assert tiled == single
+
+
+def test_knn_graph_covers_every_vector(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    df = S.q_knn_graph(spark, sf_dir)
+    n = load(spark, sf_dir, "embeddings").count()
+    assert df.count() == n * S._KNN_K
+    assert df.where("vec_id = neighbor_id").count() == 0  # self never a neighbor
