@@ -206,6 +206,31 @@ def main() -> int:
             print(f"range_join_{sname} rate×{mult}: {rate_results[(sname, mult)]:.2f}s", flush=True)
         e_m.unpersist()
 
+    # --- tiled embedding all-pairs join: quadratic-WORK scaling ---------
+    # blow up the vector count k× (intrinsic pair work grows k²) with a
+    # FIXED tile size: the grid deepens from 1 tile to k(k+1)/2 tiles and
+    # the probe checks that per-pair throughput holds (tasks stay uniform,
+    # GEMM-rate kernels, no memory blow-up) — the property that lets the
+    # exact join ride a bigger cluster instead of a bigger executor.
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import tiled_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    vkey_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    emb_rows = emb.count()
+    tile_results = {}
+    for mult in (1, k):
+        make = lambda m=mult: blow_up(
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            {"vec_id": vkey_span},
+            m,
+        )
+        t0 = time.perf_counter()
+        tiled_cosine_pairs(spark, make, threshold=0.35, block_rows=emb_rows).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        tile_results[mult] = time.perf_counter() - t0
+        print(f"emb_tiled_allpairs x{mult}: {tile_results[mult]:.2f}s", flush=True)
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -263,6 +288,27 @@ def main() -> int:
         "cost more than they save, so the planner keeps the event-level",
         "join for sparse streams.  Identical pair counts on both paths",
         "(equivalence test: tests/test_pipeline.py).",
+    ]
+    a, b = tile_results[1], tile_results[k]
+    lines += [
+        "",
+        "## Tiled embedding all-pairs join (quadratic intrinsic work)",
+        "",
+        f"`q_dedup_embedding`'s exact cosine-threshold join, vectors ×{k}",
+        f"(pair work ×{k * k}) at a FIXED tile size ({emb_rows} rows/block, so the",
+        f"grid deepens 1 → {k * (k + 1) // 2} cogrouped-GEMM tasks):",
+        "",
+        "| vectors | time (s) | time ratio | work ratio | per-pair throughput |",
+        "|---|---|---|---|---|",
+        f"| {emb_rows:,} | {a:.2f} | 1× | 1× | 1× |",
+        f"| {emb_rows * k:,} | {b:.2f} | {b / a:.1f}× | {k * k}× | {k * k / (b / a):.1f}× |",
+        "",
+        "Exact all-pairs work is quadratic by definition (threshold 0.35 on",
+        "angularly diffuse vectors defeats any recall-preserving prefilter);",
+        "the design goal is that the quadratic work arrives as uniform",
+        "GEMM-rate tasks that spread over a cluster — per-pair throughput",
+        "should stay flat or IMPROVE as the grid deepens (more parallelism,",
+        "same kernel).  Approximate sub-quadratic paths: q_ann_lsh, q_ann_ivf.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
