@@ -144,6 +144,9 @@ def main() -> int:
         "q_dedup_ngram_jaccard",
         "q_cosine_topk",
         "q_ann_lsh",
+        "q_knn_graph",
+        "q_dedup_embedding",
+        "q_sequence_pack",
         "q_stream_tumbling",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
