@@ -284,6 +284,63 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+idf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+stats AS (SELECT count(*) AS n, avg(dl.dl) AS avgdl FROM documents JOIN dl USING (doc_id))
+SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+       round(
+         ln((stats.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+         * tf.tf * ({_BM25_K1} + 1.0)
+         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+       6) AS bm25
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN idf ON tf.term = idf.term
+CROSS JOIN stats
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 per (doc, term) — the retrieval scorer a curation
+    pipeline ranks with (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
+
+    Same relational shape as q_tfidf plus a doc-length normalization: two
+    hash aggs off one tokenize pass; the term-dim (df) BROADCASTS; the
+    doc-length join is doc_id-keyed, co-partitioned with tf by the same
+    key so Catalyst reuses the exchange; (N, avgdl) is a broadcast
+    scalar.  At 100 TB nothing here is heavier than the tokenize shuffle
+    itself."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", F.round(idf * norm, 6).alias("bm25"))
+    )
+
+
 _LANG_KEYWORDS = {
     "de": ("table", "row", "scan"),
     "en": ("the", "a", "fast", "slow"),

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # text analysis
     "q_wordcount",
     "q_tfidf",
+    "q_bm25",
     "q_token_count",
     "q_quality_score",
     "q_langid",
