@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_session",
     "q_stream_dedup",
     "q_stream_watermark_late",
+    "q_stream_rate_source",
     # sampling / curation
     "q_sample_hash",
     "q_train_test_split",

@@ -493,3 +493,79 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+_RATE_ROWS_PER_BATCH = 10_000
+_RATE_BATCHES = 3
+
+
+@register(
+    "q_stream_rate_source",
+    oracle=f"""
+SELECT CAST(range % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(range) AS BIGINT) AS total
+FROM range({_RATE_ROWS_PER_BATCH * _RATE_BATCHES})
+GROUP BY bucket
+""",
+)
+def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``rate-micro-batch`` streaming source (SURVEY.md §2.3
+    "rate/memory sources"): unlike ``rate``, it emits a FIXED number of
+    rows per micro-batch with deterministic values (0,1,2,…), so a
+    bounded run is fully oracle-checkable.  Three micro-batches of 10k
+    rows drain into a memory sink via per-batch hash aggregation —
+    update-mode partial counts re-aggregate to exact totals, the
+    streaming analogue of partial/final agg.  (sf_dir is unused: the
+    source generates its rows.)"""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", _RATE_ROWS_PER_BATCH)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    # the bound is a VALUE filter, not the stop signal: the stop below only
+    # guarantees >= _RATE_BATCHES batches ran; any extra batch that races
+    # in carries only values >= the cutoff, which this filter drops — so
+    # the aggregated result is exactly batches 0.._RATE_BATCHES-1,
+    # deterministically
+    cutoff = _RATE_ROWS_PER_BATCH * _RATE_BATCHES
+    agg = (
+        raw.where(F.col("value") < cutoff)
+        .withColumn("bucket", F.col("value") % 16)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    name = f"mmbd_sink_{next(_sink_counter)}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # stop once at least _RATE_BATCHES batches committed (the value
+        # filter above makes any overshoot invisible): the source is
+        # unbounded by construction, so the stop lives in the driver
+        import time as _t
+
+        while True:
+            p = q.lastProgress
+            if p is not None and p["batchId"] is not None and p["batchId"] >= _RATE_BATCHES:
+                break
+            _t.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+    res = spark.table(name)
+    # update-mode sink holds one row per (bucket, batch); keep the final
+    # (cumulative) row per bucket = the max-n row
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"))
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("bucket", "n", "total")
+    )

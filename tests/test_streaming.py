@@ -121,3 +121,20 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents"),
     )
     assert rows_set(stream_res) == rows_set(batch)
+
+
+def test_rate_source_is_deterministic_and_rerunnable(spark, sf_dir):
+    """The rate-micro-batch query must give the exact bounded result on
+    every run (the value-filter bound absorbs extra racing batches)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        _RATE_BATCHES,
+        _RATE_ROWS_PER_BATCH,
+        q_stream_rate_source,
+    )
+
+    total_rows = _RATE_ROWS_PER_BATCH * _RATE_BATCHES
+    a = {tuple(r) for r in q_stream_rate_source(spark, sf_dir).collect()}
+    assert sum(r[1] for r in a) == total_rows
+    assert sum(r[2] for r in a) == total_rows * (total_rows - 1) // 2
+    b = {tuple(r) for r in q_stream_rate_source(spark, sf_dir).collect()}
+    assert a == b
