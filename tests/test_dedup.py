@@ -63,3 +63,18 @@ def test_exact_dedup_groups(spark, sf_dir):
     # events.props has ~100 distinct JSON payloads at this sf
     assert sum(r["n_copies"] for r in res) == 1000
     assert all(r["n_copies"] >= 1 for r in res)
+
+
+def test_semantic_groups_cover_all_pair_endpoints(spark, sf_dir):
+    """Every vector that appears in the exact cosine pair graph must land
+    in a group, and group sizes must sum to the vertex count."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        q_dedup_embedding,
+        q_dedup_semantic_groups,
+    )
+
+    pairs = q_dedup_embedding(spark, sf_dir).collect()
+    verts = {r["va"] for r in pairs} | {r["vb"] for r in pairs}
+    groups = q_dedup_semantic_groups(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in groups) == len(verts)
+    assert all(r["keeper_id"] == r["comp"] for r in groups)  # min-label == keeper

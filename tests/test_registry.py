@@ -28,3 +28,15 @@ def test_all_queries_runnable_and_nonempty(spark, sf_dir):
         assert df.columns, name
         n = df.count()
         assert n >= 0, name
+
+
+def test_priority_names_all_exist():
+    """Every name in the gate-ordering priority list must be a registered
+    query — a typo would silently push a query to the unchecked tail."""
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    qs = set(entry_mod.queries())
+    missing = [n for n in registry._PRIORITY if n not in qs]
+    assert missing == [], missing
+    # and the priority list itself has no duplicates
+    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
