@@ -56,3 +56,87 @@ def test_blocked_matches_numpy(spark, a, b):
     for i in range(DIM):
         for j in range(DIM):
             assert got.get((i, j), 0.0) == pytest.approx(round(expected[i, j], 6), abs=2e-6)
+
+
+_VEC_DIM = 8
+
+vec_tables = st.lists(
+    st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=_VEC_DIM,
+        max_size=_VEC_DIM,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=vec_tables)
+def test_tiled_cosine_pairs_matches_bruteforce(spark, vecs):
+    """The tiled cogrouped-GEMM join must emit exactly the brute-force
+    cosine>=threshold pair set, at a tile size that forces a multi-tile
+    grid."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import tiled_cosine_pairs
+
+    arr = np.array(vecs, dtype=np.float64)
+    n = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+    G = n @ n.T
+    expected = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if G[i, j] >= 0.5
+    }
+
+    def make():
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    got = {
+        (r["va"], r["vb"])
+        for r in tiled_cosine_pairs(spark, make, threshold=0.5, block_rows=7).collect()
+    }
+    # float32 storage: exclude knife-edge pairs within 1e-5 of the threshold
+    knife = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if abs(G[i, j] - 0.5) < 1e-5
+    }
+    assert got - knife == expected - knife
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=40),
+    cap=st.integers(min_value=1, max_value=600),
+)
+def test_prefix_sum_packing_matches_cumsum(spark, toks, cap):
+    """The two-pass distributed prefix sum must equal the serial exclusive
+    cumsum for any token-count sequence and capacity."""
+    import matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline as pmod
+
+    # drive the same machinery on a synthetic documents table: text with
+    # exactly tok[i] single-char words (manual patch/restore — hypothesis
+    # runs many examples per monkeypatch fixture scope)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t) if t else "") for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    saved_cap, saved_load = pmod._PACK_CAPACITY, pmod.load
+    pmod._PACK_CAPACITY = cap
+    pmod.load = lambda spark_, sf_dir_, name_: docs
+    try:
+        rows = {r["doc_id"]: r for r in pmod.q_sequence_pack(spark, "unused").collect()}
+    finally:
+        pmod._PACK_CAPACITY, pmod.load = saved_cap, saved_load
+    off = 0
+    for i, t in enumerate(toks):
+        r = rows[i]
+        assert r["n_tokens"] == t
+        assert r["seq_id"] == off // cap
+        assert r["seq_offset"] == off % cap
+        off += t
