@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_embedding",
     "q_dedup_near",
     "q_dedup_components",
+    "q_dedup_components_star",
     "q_dedup_semantic_groups",
     "q_dedup_near_ml",
     # similarity search

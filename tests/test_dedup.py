@@ -78,3 +78,42 @@ def test_semantic_groups_cover_all_pair_endpoints(spark, sf_dir):
     groups = q_dedup_semantic_groups(spark, sf_dir).collect()
     assert sum(r["n_members"] for r in groups) == len(verts)
     assert all(r["keeper_id"] == r["comp"] for r in groups)  # min-label == keeper
+
+
+def test_star_contraction_matches_propagation(spark, sf_dir):
+    """Large-star/small-star must produce identical groups to min-label
+    propagation on the LSH candidate graph."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        q_dedup_components,
+        q_dedup_components_star,
+    )
+
+    a = sorted(tuple(r) for r in q_dedup_components(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_dedup_components_star(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_star_contraction_handles_deep_chain(spark):
+    """A 200-deep chain defeats capped propagation (diameter > rounds) but
+    star contraction is diameter-independent: one 201-member component."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)], "va long, vb long")
+    rows = connected_components_star(spark, chain, "va", "vb").collect()
+    assert [(r["comp"], r["n_members"], r["keeper_id"]) for r in rows] == [(0, 201, 0)]
+
+
+def test_propagation_raises_on_unconverged_cap(spark, monkeypatch):
+    """Capped-out propagation must fail loud, never return wrong groups."""
+    import pytest
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        connected_components,
+    )
+
+    monkeypatch.setenv("MMBD_CC_MAX_ITERS", "3")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], "va long, vb long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark, chain, "va", "vb").collect()
