@@ -364,6 +364,38 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS valid_to_us,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM events
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval construction: each
+    per-user event becomes a validity interval [valid_from, valid_to),
+    closed by the NEXT event's timestamp; the open interval is the current
+    row.  One window (lead) per user partition — the temporal-modeling
+    primitive for historized dims; µs epochs keep the compare
+    engine-neutral."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    ).withColumn(
+        "is_current", F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).cast("int")
+    )
+
+
+@register(
     "q_cross_join",
     oracle="""
 SELECT r.r_name AS r_name, s.c_mktsegment AS c_mktsegment

@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_asof_join",
     "q_approx_percentiles",
     # §2.2 canonical operators the round-1 gate never reached
+    "q_scd2_intervals",
     "q_algo_filter",
     "q_mem_column_resolve",
     "q_results_scan_union",
@@ -99,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_dedup",
+    "q_stream_dedup_incremental",
     "q_stream_watermark_late",
     "q_stream_rate_source",
     # sampling / curation

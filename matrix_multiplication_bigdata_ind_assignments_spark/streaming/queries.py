@@ -569,3 +569,47 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("bucket", "n", "total")
     )
+
+
+@register(
+    "q_stream_dedup_incremental",
+    oracle="""
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid
+  FROM events
+),
+hist AS (
+  SELECT DISTINCT md5(props || CAST(user_id AS VARCHAR)) AS k
+  FROM events, bounds WHERE epoch_us(ts) < bounds.mid
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type
+FROM events e, bounds
+WHERE epoch_us(e.ts) >= bounds.mid
+  AND md5(e.props || CAST(e.user_id AS VARCHAR)) NOT IN (SELECT k FROM hist)
+""",
+)
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against history: the arriving stream (second half
+    of the timeline) is LEFT ANTI joined per micro-batch to the static
+    content-hash set of everything already ingested (first half) — the
+    shape every incremental corpus ingest runs (content key:
+    md5(props || user_id), content-plus-owner).  The anti join is
+    stateless (no watermark state grows), so append mode works; the
+    history set broadcasts here, and at 100 TB it becomes a bucketed
+    shuffle join keyed on the content hash."""
+    from ..sources import load
+
+    batch = load(spark, sf_dir, "events")
+    lo, hi = batch.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2
+    hist = (
+        batch.where(F.unix_micros("ts") < mid)
+        .select(F.md5(F.concat("props", F.col("user_id").cast("string"))).alias("k"))
+        .distinct()
+    )
+    s = _stream_events(spark, sf_dir).where(F.unix_micros("ts") >= mid)
+    key = F.md5(F.concat("props", F.col("user_id").cast("string")))
+    fresh = s.withColumn("k", key).join(F.broadcast(hist), "k", "left_anti")
+    return _run_to_memory(fresh.select("event_id", "event_type"), "append")
