@@ -184,3 +184,47 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("k_n", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("k_chars", F.lit(0)).cast("long").alias("chars_kept"),
     )
+
+
+_WSAMPLE_K = 50
+
+# u in (0, 1]: 32-bit md5 prefix scaled — same arithmetic both engines
+_SQL_U = "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       round(ln({_SQL_U}) / n_chars, 6) AS key_score
+FROM documents
+ORDER BY ln({_SQL_U}) / n_chars DESC, doc_id
+LIMIT {_WSAMPLE_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws key = ln(u)/w with u from its content hash and weight
+    w = n_chars; the global top-k by key is a w-weighted sample.  Fully
+    deterministic (u is md5-derived, no RNG) → oracle-checked.  The top-k
+    is orderBy+limit, which Spark executes as per-partition top-k +
+    driver merge (TakeOrderedAndProject) — no global sort, no shuffle of
+    the corpus."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(key, 6).alias("key_score"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+        .drop("_k")
+    )

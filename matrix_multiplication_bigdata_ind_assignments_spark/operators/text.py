@@ -638,3 +638,57 @@ def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maps.select(
         "user_id", F.explode("by_type").alias("event_type", "n")
     )
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap)
+
+
+@register(
+    "q_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1 END AS nch
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(len(toks[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_W}, n)]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[i * {_CHUNK_S} + 1 : least(i * {_CHUNK_S} + {_CHUNK_W}, n)], ' ')) AS chunk_md5
+FROM (SELECT doc_id, toks, n, unnest(range(nch)) AS i FROM c)
+""",
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (the RAG / context-window
+    ingest shape): each document's token stream becomes ceil((n-W)/S)+1
+    chunks of up to W={w} tokens at stride S={s}.  Pure per-row
+    projection + posexplode — no shuffle, no UDF; the chunk fingerprint
+    (md5 of the joined tokens) is the downstream dedup/citation key and
+    keeps the whole op oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    n = F.size("toks")
+    nch = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        ((n - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S).cast("long") + 1
+    )
+    chunks = toked.select(
+        "doc_id", "toks", F.posexplode(F.sequence(F.lit(0), nch - 1)).alias("chunk_idx", "_i")
+    )
+    start = F.col("chunk_idx") * _CHUNK_S + 1
+    piece = F.slice("toks", start, _CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

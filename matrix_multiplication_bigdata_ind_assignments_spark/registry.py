@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_json_variant",
     "q_interval_arith",
     "q_map_roundtrip",
+    "q_chunk_overlap",
     # streaming headliners
     "q_stream_tumbling",
     "q_stream_sliding",
@@ -107,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_hash",
     "q_train_test_split",
     "q_stratified_sample",
+    "q_sample_weighted",
     "q_corpus_mix",
     # profiling
     "q_null_profile",
