@@ -132,3 +132,96 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))).alias("frame_idx"),
         "checksum",
     )
+
+
+_PHASH_BANDS = 8  # 64-bit hash → 8 bands of 8 bits
+_PHASH_MAX_HAMMING = 10
+
+
+def phash_table(media: DataFrame) -> DataFrame:
+    """Perceptual-hash kernel: decode each payload to an 8×8 luminance grid
+    (deterministic fake — see _fake_decode), 2-D DCT it (one einsum per
+    Arrow batch, no per-row Python), threshold the low-frequency block at
+    its median → a 64-bit pHash.  Near-identical media differing in a few
+    bytes land within a small Hamming distance — the image twin of
+    SimHash."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    n = 8
+    k = np.arange(n)
+    # orthonormal DCT-II basis — fixed tiny matrix, baked into the closure
+    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    D[0, :] = np.sqrt(1.0 / n)
+
+    def kernel(batches):
+        if _HAVE_PIL:
+            raise NotImplementedError("real media decode requires PIL — container has none")
+        for pdf in batches:
+            grids = np.stack(
+                [
+                    np.resize(np.frombuffer(p, dtype=np.uint8), n * n).reshape(n, n)
+                    for p in pdf["payload"]
+                ]
+            ).astype(np.float64)
+            coeffs = np.einsum("ij,bjk,lk->bil", D, grids, D)  # batched 2-D DCT
+            flat = coeffs.reshape(len(pdf), n * n)[:, 1:]  # drop DC term
+            med = np.median(flat, axis=1, keepdims=True)
+            bits = (flat > med).astype(np.uint64)[:, :64]
+            weights = (np.uint64(1) << np.arange(63, dtype=np.uint64))[None, :]
+            ph = (bits * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"], "phash": ph}
+            )
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+@register("q_multimodal_phash_dedup", oracle=None)  # binary kernel → rows-only
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup via pHash + band LSH: candidates share one identical
+    8-bit band of the 64-bit hash (a Hamming-≤{h} pair always shares a
+    band when differing bits spread over ≤{h} of 8 bands — standard
+    pigeonhole guarantee for ≤7 differing bits, probabilistic above);
+    candidates are confirmed with an exact Hamming filter, JVM-side
+    `bit_count(a XOR b)`.  The pair join is an equi-join on (band,
+    band_key) — never all-pairs — mirroring q_dedup_minhash's shape on
+    the media column."""
+    ph = phash_table(media_table(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), b * 8).bitwiseAND(F.lit(255))
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .distinct()
+    )

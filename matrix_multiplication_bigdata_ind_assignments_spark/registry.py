@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal
     "q_multimodal_features",
     "q_multimodal_frame_sample",
+    "q_multimodal_phash_dedup",
     # sources / sinks
     "q_json_scan",
     "q_orc_roundtrip",
