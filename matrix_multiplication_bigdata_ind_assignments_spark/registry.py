@@ -92,10 +92,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_json_extract",
     "q_date_buckets",
     "q_vector_ops",
-    "q_json_variant",
-    "q_interval_arith",
-    "q_map_roundtrip",
     "q_chunk_overlap",
+    # flagship curation + multimodal ops promoted into the first-50 window
+    "q_sequence_pack",
+    "q_domain_cap",
+    "q_sample_weighted",
+    "q_multimodal_features",
+    "q_multimodal_phash_dedup",
     # streaming headliners
     "q_stream_tumbling",
     "q_stream_sliding",
@@ -108,8 +111,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_hash",
     "q_train_test_split",
     "q_stratified_sample",
-    "q_sample_weighted",
     "q_corpus_mix",
+    "q_json_variant",
+    "q_interval_arith",
+    "q_map_roundtrip",
     # profiling
     "q_null_profile",
     "q_summary_stats",
@@ -119,12 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_token_shards",
     "q_decontaminate",
     "q_dedup_cross_source",
-    "q_sequence_pack",
-    "q_domain_cap",
     # multimodal
-    "q_multimodal_features",
     "q_multimodal_frame_sample",
-    "q_multimodal_phash_dedup",
     # sources / sinks
     "q_json_scan",
     "q_orc_roundtrip",
