@@ -154,3 +154,38 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sample_weighted_avoids_global_sort(spark, sf_dir, qs):
+    plan = plan_of(qs["q_sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + driver merge
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir, qs):
+    """Chunking must stay a pure projection+generate — any Exchange means
+    a shuffle snuck into a per-row op."""
+    plan = plan_of(qs["q_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_sequence_pack_never_single_partitions(spark, sf_dir, qs):
+    """The two-pass prefix sum must not degenerate into a single-partition
+    global window (the naive formulation's failure mode)."""
+    plan = plan_of(qs["q_sequence_pack"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_broadcasts_and_stays_jvm(spark, sf_dir, qs):
+    plan = plan_of(qs["q_bm25"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phash_dedup_pairs_via_band_equijoin(spark, sf_dir, qs):
+    """The media near-dup join must be the band equi-join, never a
+    nested-loop over all pairs."""
+    plan = plan_of(qs["q_multimodal_phash_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
