@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_dedup_incremental",
     "q_stream_watermark_late",
     "q_stream_rate_source",
+    "q_stream_python_source",
     # sampling / curation
     "q_sample_hash",
     "q_train_test_split",

@@ -53,3 +53,55 @@ class DetCooSource(DataSource):
 def register_det_coo(spark: SparkSession) -> None:
     """Idempotently register the det_coo format on this session."""
     spark.dataSource.register(DetCooSource)
+
+
+try:  # Spark 4 streaming extension point for Python data sources
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    _HAVE_SIMPLE_STREAM = True
+except ImportError:  # pragma: no cover
+    _HAVE_SIMPLE_STREAM = False
+
+
+if _HAVE_SIMPLE_STREAM:
+
+    class DetCooStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batched twin of DetCooReader: batch b carries row-block
+        [b·n/batches, (b+1)·n/batches) of the same deterministic matrix;
+        batches past the end are empty (the offset still advances, as a
+        real feed would idle).  Offsets are plain dicts; readBetweenOffsets
+        replays any committed range deterministically — the exactly-once
+        replay contract."""
+
+        def __init__(self, options: dict):
+            self.n = int(options.get("n", 64))
+            self.batches = int(options.get("batches", 4))
+
+        def initialOffset(self) -> dict:
+            return {"batch": 0}
+
+        def _rows(self, b: int):
+            rows_per = self.n // self.batches
+            if b >= self.batches:
+                return
+            for i in range(b * rows_per, (b + 1) * rows_per):
+                base = i * 37
+                for j in range(self.n):
+                    yield (i, j, ((base + j) % 101) / 100.0)
+
+        def read(self, start: dict):
+            return iter(list(self._rows(start["batch"]))), {"batch": start["batch"] + 1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            out = []
+            for b in range(start["batch"], end["batch"]):
+                out.extend(self._rows(b))
+            return iter(out)
+
+
+def _simple_stream_reader(self, schema):
+    return DetCooStreamReader(self.options)
+
+
+if _HAVE_SIMPLE_STREAM:
+    DetCooSource.simpleStreamReader = _simple_stream_reader

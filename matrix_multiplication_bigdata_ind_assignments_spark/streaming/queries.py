@@ -613,3 +613,59 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat("props", F.col("user_id").cast("string")))
     fresh = s.withColumn("k", key).join(F.broadcast(hist), "k", "left_anti")
     return _run_to_memory(fresh.select("event_id", "event_type"), "append")
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+SELECT i, CAST(count(*) AS BIGINT) AS n, round(sum(v), 6) AS row_sum
+FROM (
+  SELECT a.range AS i, b.range AS j,
+         ((a.range * 37 + b.range) % 101) / 100.0 AS v
+  FROM range(64) a CROSS JOIN range(64) b
+)
+GROUP BY i
+""",
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource STREAMING reader (Spark 4
+    SimpleDataSourceStreamReader): the det_coo matrix arrives as 4
+    deterministic row-block micro-batches (batches past the end are
+    empty, like an idling feed), aggregated per row into an update-mode
+    memory sink.  Each row-block arrives exactly once, so every group is
+    written once and the drained sink equals the batch scan — the full
+    exactly-once replay contract (readBetweenOffsets) is exercised by
+    the checkpoint machinery.  (sf_dir unused: the source generates its
+    rows.)"""
+    from ..sources.pyds import register_det_coo
+
+    n_batches = 4
+    register_det_coo(spark)
+    raw = (
+        spark.readStream.format("det_coo")
+        .option("n", "64")
+        .option("batches", str(n_batches))
+        .load()
+    )
+    agg = raw.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("row_sum")
+    )
+    name = f"mmbd_sink_{next(_sink_counter)}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time as _t
+
+        while True:
+            p = q.lastProgress
+            if p is not None and p["batchId"] is not None and p["batchId"] >= n_batches:
+                break
+            _t.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -138,3 +138,17 @@ def test_rate_source_is_deterministic_and_rerunnable(spark, sf_dir):
     assert sum(r[2] for r in a) == total_rows * (total_rows - 1) // 2
     b = {tuple(r) for r in q_stream_rate_source(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_python_stream_source_rerunnable_and_exact(spark, sf_dir):
+    """The Python streaming source must produce the exact deterministic
+    matrix aggregate on every run (empty trailing batches can't distort)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        q_stream_python_source,
+    )
+
+    a = {tuple(r) for r in q_stream_python_source(spark, sf_dir).collect()}
+    assert len(a) == 64
+    assert sum(r[1] for r in a) == 64 * 64
+    b = {tuple(r) for r in q_stream_python_source(spark, sf_dir).collect()}
+    assert a == b
