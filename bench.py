@@ -139,6 +139,8 @@ def main() -> int:
         "q_rollup",
         "q_distinct_users",
         "q_wordcount",
+        "q_bm25",
+        "q_chunk_overlap",
         "q_dedup_exact",
         "q_dedup_minhash",
         "q_dedup_ngram_jaccard",
