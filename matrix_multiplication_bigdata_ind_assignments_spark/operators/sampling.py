@@ -166,8 +166,11 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("chars_s")
             ),
         ).cast("long").alias("pct_keep"),
-    ).cache()  # 20 rows, used twice below (broadcast + recovery join):
-    # without the cache each use re-runs the per_src→tot aggregate chain
+    ).localCheckpoint(eager=True)  # 20 rows, used twice below (broadcast +
+    # recovery join): without materializing, each use re-runs the
+    # per_src→tot aggregate chain.  localCheckpoint, not .cache() — its
+    # blocks are GC-scoped, no CacheManager entry outlives the query in
+    # the driver's long-lived session
     # the mix: equi-join the broadcast rate table onto the scan, then a
     # narrow hash filter — the corpus-side plan is scan → BHJ → filter
     # with no shuffle.  Sources whose rate rounds to zero keep are
