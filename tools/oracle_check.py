@@ -2,7 +2,12 @@
 query in Spark AND its DuckDB oracle on the same parquet tables, compare
 row count + schema-insensitive sorted values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs on a bare SparkSession (no engine confs: default shuffle
+partitions, default broadcast threshold, stock ANSI setting) — the
+configuration the real driver uses, so conf-dependent regressions
+surface here instead of in the round gate.
 """
 
 from __future__ import annotations
@@ -43,10 +48,23 @@ def main() -> int:
     from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
     from matrix_multiplication_bigdata_ind_assignments_spark.sources.io import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
