@@ -152,3 +152,54 @@ def test_python_stream_source_rerunnable_and_exact(spark, sf_dir):
     assert sum(r[1] for r in a) == 64 * 64
     b = {tuple(r) for r in q_stream_python_source(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop a checkpointed streaming query mid-stream and restart it: the
+    parquet sink must hold each row exactly once — offsets resume from
+    the checkpoint, never replaying a committed batch into the sink."""
+    import time
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources.pyds import register_det_coo
+
+    register_det_coo(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        raw = (
+            spark.readStream.format("det_coo")
+            .option("n", "64")
+            .option("batches", "4")
+            .load()
+        )
+        return (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def wait_batches(q, n, timeout_s=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            p = q.lastProgress
+            if p is not None and p["batchId"] is not None and p["batchId"] >= n:
+                return
+            time.sleep(0.05)
+        raise AssertionError("stream made no progress")
+
+    q1 = start()
+    wait_batches(q1, 1)  # at least one committed batch, then die mid-stream
+    q1.stop()
+    q1.awaitTermination()
+
+    q2 = start()  # same checkpoint: resumes, finishes remaining batches
+    wait_batches(q2, 4)
+    q2.stop()
+    q2.awaitTermination()
+
+    df = spark.read.parquet(out)
+    assert df.count() == 64 * 64  # every cell exactly once, no replays
+    assert df.select("i", "j").distinct().count() == 64 * 64
