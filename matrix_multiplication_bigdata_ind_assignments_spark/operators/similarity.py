@@ -336,3 +336,83 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+_PQ_M = 8  # subspaces (64-d → 8 × 8-d)
+_PQ_K = 16  # centroids per subspace → 4-bit codes, 8 per vector
+
+
+@register("q_ann_pq", oracle=None)  # approximate by construction → rows-only
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half): unit-normalize,
+    split each vector into 8 subvectors, assign each to its nearest of 16
+    per-subspace centroids (codebook = the first 16 vectors' subvectors —
+    deterministic, data-derived), then answer queries by asymmetric
+    distance: the query precomputes a (subspace × centroid) distance
+    table and each candidate's distance is a SUM of 8 table lookups
+    joined on (subspace, code).
+
+    Scale shape: codes are 8 small ints per vector (32× compression of a
+    64-d float32 vector); encoding is a broadcast join + argmin window;
+    scoring is an equi-join of codes against a broadcast distance table +
+    one hash agg — no per-pair vector math at query time, which is the
+    property that lets PQ scan billions of codes.  Deterministic (no
+    RNG) → rows-only; recall vs the exact baseline asserted in tests."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select(
+        "vec_id", F.transform(emb, lambda x: x / nrm).alias("u")
+    )
+
+    sub_dim = 64 // _PQ_M
+    # (vec_id, sub, subvec): slice each unit vector into 8 subvectors
+    subs = unit.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("u", s * sub_dim + 1, sub_dim) for s in range(_PQ_M)])
+        ).alias("sub", "subvec"),
+    )
+    # codebook: subvectors of vec_id 0..15, one codeword per (sub, code)
+    book = subs.where(F.col("vec_id") < _PQ_K).select(
+        F.col("sub").alias("b_sub"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("subvec").alias("codeword"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("subvec", "codeword", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = subs.join(F.broadcast(book), subs.sub == book.b_sub).select(
+        "vec_id", "sub", "code", d2.alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+    # asymmetric distance: query-side exact distance to every codeword
+    qtab = (
+        subs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "sub", "subvec")
+        .join(F.broadcast(book), F.col("sub") == book.b_sub)
+        .select("query_id", "sub", "code", d2.alias("qd2"))
+    )
+    # codes carry exactly one row per (vec_id, sub) and qtab one per
+    # (query, sub, code), so each (query, vector) group sums exactly
+    # _PQ_M subspace terms
+    approx = (
+        codes.join(F.broadcast(qtab), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        approx.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rk")
+    )

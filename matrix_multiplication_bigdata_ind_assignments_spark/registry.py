@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_cosine_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_ann_pq",
     "q_knn_graph",
     # text analysis
     "q_wordcount",

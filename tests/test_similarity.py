@@ -48,3 +48,12 @@ def test_knn_graph_covers_every_vector(spark, sf_dir):
     n = load(spark, sf_dir, "embeddings").count()
     assert df.count() == n * S._KNN_K
     assert df.where("vec_id = neighbor_id").count() == 0  # self never a neighbor
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    exact = _pairs(S.q_cosine_topk(spark, sf_dir))
+    approx1 = {(r["query_id"], r["neighbor_id"]) for r in S.q_ann_pq(spark, sf_dir).collect()}
+    approx2 = {(r["query_id"], r["neighbor_id"]) for r in S.q_ann_pq(spark, sf_dir).collect()}
+    assert approx1 == approx2  # deterministic (data-derived codebook)
+    recall = len(exact & approx1) / len(exact)
+    assert recall > 0.1  # 16-codeword PQ on near-random vectors is coarse
