@@ -229,3 +229,59 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+_CLEAN_QUALITY_MIN = 0.55
+
+
+@register(
+    "q_corpus_clean_e2e",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         0.4 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+       + 0.3 * (1 - len(regexp_extract_all(text, '[^a-z0-9 ]')) / greatest(n_chars, 1))
+       + 0.3 * (len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1))
+         AS quality
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= {_CLEAN_QUALITY_MIN}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM kept WHERE rn = 1
+GROUP BY lang
+""",
+)
+def q_corpus_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus clean in ONE DAG: quality-filter (the
+    q_quality_score heuristic at >= {q}) → exact dedup keep-first by
+    content hash → per-language yield report.  The composition is what a
+    real ingest runs nightly; Catalyst fuses the scoring projection into
+    the scan, the dedup window shuffles once on md5(text), and the final
+    rollup partial-aggregates — three logical stages, one shuffle +
+    one partial/final agg physically.  Fully oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast("double")
+    sw_list = ("the", "a", "of", "and", "to")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*sw_list))).cast("double")
+    punct_ratio = n_punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    stop_ratio = sw / F.greatest(n_toks, F.lit(1.0))
+    quality = (
+        0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    )
+    scored = d.where(quality >= _CLEAN_QUALITY_MIN)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_token_shards",
     "q_decontaminate",
     "q_dedup_cross_source",
+    "q_corpus_clean_e2e",
     # multimodal
     "q_multimodal_frame_sample",
     # sources / sinks
