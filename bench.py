@@ -149,6 +149,7 @@ def main() -> int:
         "q_knn_graph",
         "q_dedup_embedding",
         "q_sequence_pack",
+        "q_corpus_clean_e2e",
         "q_stream_tumbling",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
