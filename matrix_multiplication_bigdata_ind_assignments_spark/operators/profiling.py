@@ -225,3 +225,111 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000).alias("shard"),
     )
+
+
+_Z_THRESHOLD = 2.5
+
+
+@register(
+    "q_zscore_outliers",
+    oracle=f"""
+WITH st AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum({sql_fx('value')}) AS DOUBLE) AS s,
+         CAST(sum({sql_fx('value')} * {sql_fx('value')}) AS DOUBLE) AS q
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type AS event_type,
+       floor(((e.value - (st.s / 1000000) / st.n)
+              / (sqrt((st.q - st.s * st.s / st.n) / (st.n - 1)) / 1000000)) * 10000 + 0.5)
+       / 10000 AS z
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs((e.value - (st.s / 1000000) / st.n)
+          / (sqrt((st.q - st.s * st.s / st.n) / (st.n - 1)) / 1000000)) > {_Z_THRESHOLD}
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 2.5): group moments come
+    from the exact fixed-point sums (same machinery as q_summary_stats),
+    the tiny stats table broadcasts back onto the scan, and z is the
+    identical IEEE expression in both engines — so even the threshold
+    compare is bit-stable.  Two passes over events, one broadcast join,
+    no shuffle of the fact stream."""
+    e = load(spark, sf_dir, "events")
+    v = fx("value")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,0)")).cast("double").alias("q"),
+    )
+    mean = (F.col("s") / 1e6) / F.col("n")
+    std = F.sqrt((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)) / 1e6
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .where(F.abs(z) > _Z_THRESHOLD)
+        .select("event_id", "event_type", (F.floor(z * 1e4 + 0.5) / 1e4).alias("z"))
+    )
+
+
+@register(
+    "q_data_expectations",
+    oracle="""
+SELECT 'orders.o_orderkey unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.o_orderdate not null',
+       CAST(count(*) - count(o_orderdate) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_orderkey fk orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+""",
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/great-expectations
+    shape): uniqueness, range, completeness, and referential-integrity
+    checks evaluated in one report — what gates a corpus drop before it
+    reaches training.  Each check is a scan-level aggregate (the
+    uniqueness check piggybacks count distinct; the FK check is a LEFT
+    ANTI join that broadcasts the dim side here and shuffles co-partitioned
+    at scale).  Violation counts, not booleans, so the report is
+    engine-comparable and actionable."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("n_violations").cast("long"))
+
+    uniq = o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"))
+    pos = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_violations")
+    )
+    notnull = o.agg((F.count(F.lit(1)) - F.count("o_orderdate")).alias("n_violations"))
+    qty = l.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("n_violations")
+    )
+    fk = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return (
+        row("orders.o_orderkey unique", uniq)
+        .unionByName(row("orders.o_totalprice positive", pos))
+        .unionByName(row("orders.o_orderdate not null", notnull))
+        .unionByName(row("lineitem.l_quantity in [1,50]", qty))
+        .unionByName(row("lineitem.l_orderkey fk orders", fk))
+    )

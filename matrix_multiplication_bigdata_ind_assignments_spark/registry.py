@@ -122,6 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_summary_stats",
     "q_corr",
     "q_hist_bucket",
+    "q_data_expectations",
+    "q_zscore_outliers",
     # pipeline composites
     "q_token_shards",
     "q_decontaminate",
