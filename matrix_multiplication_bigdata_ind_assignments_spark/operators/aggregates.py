@@ -411,3 +411,22 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+@register("q_hll_union", oracle=None)  # HLL sketch values are engine-specific → rows-only
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HyperLogLog sketches of
+    user_id (hll_sketch_agg) unioned into one per-event-type estimate
+    (hll_union_agg).  THE pattern for distinct counts at 100 TB: each
+    partition/day materializes a ~KB sketch once, and any rollup
+    (day→month→total, per-shard→global) is a cheap sketch merge instead
+    of a re-scan.  Accuracy vs exact distinct is asserted in
+    tests/test_pyds.py-style unit coverage (rows-only for the gate)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_daily_sketches"),
+    )

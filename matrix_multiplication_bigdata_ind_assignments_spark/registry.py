@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_hist_bucket",
     "q_data_expectations",
     "q_zscore_outliers",
+    "q_hll_union",
     # pipeline composites
     "q_token_shards",
     "q_decontaminate",

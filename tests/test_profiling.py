@@ -65,3 +65,24 @@ def test_token_shards_contiguous_and_bounded(spark, sf_dir):
             assert shard == running // 2000
             running += toks[doc_id]
             totals[shard] = totals.get(shard, 0) + toks[doc_id]
+
+
+def test_hll_union_tracks_exact_distinct(spark, sf_dir):
+    """Merged daily HLL sketches must estimate within HLL error of the
+    exact per-type distinct user counts."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import q_hll_union
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    approx = {r["event_type"]: r["approx_users"] for r in q_hll_union(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
