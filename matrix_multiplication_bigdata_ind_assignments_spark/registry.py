@@ -43,80 +43,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Driver-facing ordering.  The correctness gate walks queries in dict order
-# under a budget, so the order IS the verification priority: queries that
-# have never earned a driver correctness row come first (LLM-pipeline
-# surface — dedup, similarity, text, streaming, sampling, profiling — per
-# VERDICT.md r1 item 3), queries already verified green in round 1 come
-# last.  Names not listed keep registration order after the listed ones.
+# under a budget (~50 queries/round), so the order IS the verification
+# priority.  Round-3 rotation (VERDICT.md r2 item 1): the 34 queries that
+# have never earned a driver correctness row in rounds 1-2 come first, then
+# 16 plan-sensitive round-1/2 greens as regression canaries (VERDICT.md r2
+# item 2), then everything else in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # previously-ERR, now fixed — must earn green rows
-    "q_range_join",
-    "q_asof_join",
-    "q_approx_percentiles",
-    # §2.2 canonical operators the round-1 gate never reached
-    "q_scd2_intervals",
-    "q_algo_filter",
-    "q_mem_column_resolve",
-    "q_results_scan_union",
-    "q_csv_sink",
-    # deduplication family
-    "q_dedup_exact",
-    "q_dedup_keep_first",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_near",
-    "q_dedup_components",
-    "q_dedup_components_star",
-    "q_dedup_semantic_groups",
-    "q_dedup_near_ml",
-    # similarity search
-    "q_cosine_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_pq",
-    "q_knn_graph",
-    # text analysis
-    "q_wordcount",
-    "q_tfidf",
-    "q_bm25",
-    "q_token_count",
-    "q_quality_score",
-    "q_langid",
-    "q_lang_profile",
-    "q_doc_fingerprint",
-    "q_text_stats",
-    "q_repetition_filter",
-    "q_pii_scrub",
-    "q_udtf_tokens",
-    "q_json_extract",
-    "q_date_buckets",
-    "q_vector_ops",
-    "q_chunk_overlap",
-    # flagship curation + multimodal ops promoted into the first-50 window
-    "q_sequence_pack",
-    "q_domain_cap",
-    "q_sample_weighted",
-    "q_multimodal_features",
-    "q_multimodal_phash_dedup",
-    # streaming headliners
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_dedup_incremental",
-    "q_stream_watermark_late",
-    "q_stream_rate_source",
-    "q_stream_python_source",
-    # sampling / curation
+    # --- never driver-checked (34) ---
+    # flagship pipeline composites
+    "q_corpus_clean_e2e",
+    "q_decontaminate",
+    "q_dedup_cross_source",
+    "q_corpus_mix",
+    "q_token_shards",
+    # sampling splits
     "q_sample_hash",
     "q_train_test_split",
     "q_stratified_sample",
-    "q_corpus_mix",
-    "q_json_variant",
-    "q_interval_arith",
-    "q_map_roundtrip",
     # profiling
     "q_null_profile",
     "q_summary_stats",
@@ -125,13 +68,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_data_expectations",
     "q_zscore_outliers",
     "q_hll_union",
-    # pipeline composites
-    "q_token_shards",
-    "q_decontaminate",
-    "q_dedup_cross_source",
-    "q_corpus_clean_e2e",
-    # multimodal
-    "q_multimodal_frame_sample",
     # sources / sinks
     "q_json_scan",
     "q_orc_roundtrip",
@@ -139,13 +75,39 @@ _PRIORITY: tuple[str, ...] = (
     "q_compact_small_files",
     "q_bucketed_join",
     "q_python_datasource",
-    # remaining never-checked
+    # remaining relational / functions surface
+    "q_json_variant",
+    "q_interval_arith",
+    "q_map_roundtrip",
     "q_window_ntile",
+    # streaming variants
+    "q_stream_rate_source",
+    "q_stream_python_source",
+    "q_stream_watermark_late",
     "q_stream_foreach_batch",
     "q_stream_stateful_counter",
     "q_stream_static_join",
     "q_stream_stream_join",
     "q_stream_transform_with_state",
+    # multimodal
+    "q_multimodal_frame_sample",
+    # --- regression canaries: plan-sensitive r1/r2 greens (16) ---
+    "q_matmul_dense",
+    "q_matmul_blocked",
+    "q_matmul_sparse",
+    "q_range_join",
+    "q_asof_join",
+    "q_scd2_intervals",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_embedding",
+    "q_cosine_topk",
+    "q_knn_graph",
+    "q_tfidf",
+    "q_sequence_pack",
+    "q_domain_cap",
+    "q_stream_tumbling",
+    "q_stream_session",
 )
 
 
