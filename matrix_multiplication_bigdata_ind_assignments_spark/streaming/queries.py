@@ -49,6 +49,36 @@ def _state_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _await_batches(q, target_batch_id: int, timeout_s: float = 120.0) -> None:
+    """Block until the streaming query has committed ``target_batch_id``.
+
+    Bounded replacement for a bare ``while True: sleep`` poll: every
+    iteration re-raises the stream's own error if it died (otherwise
+    ``lastProgress`` freezes and the poll would spin forever), and a hard
+    deadline turns a stalled source into a loud failure instead of a hung
+    driver."""
+    import time as _t
+
+    deadline = _t.monotonic() + timeout_s
+    while True:
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        p = q.lastProgress
+        if p is not None and p["batchId"] is not None and p["batchId"] >= target_batch_id:
+            return
+        if not q.isActive:
+            raise RuntimeError(
+                f"streaming query {q.name!r} stopped before batch {target_batch_id}"
+            )
+        if _t.monotonic() > deadline:
+            raise TimeoutError(
+                f"streaming query {q.name!r} did not reach batch "
+                f"{target_batch_id} within {timeout_s}s"
+            )
+        _t.sleep(0.05)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources need a directory: point at sf_dir and glob-filter
@@ -549,13 +579,7 @@ def q_stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stop once at least _RATE_BATCHES batches committed (the value
         # filter above makes any overshoot invisible): the source is
         # unbounded by construction, so the stop lives in the driver
-        import time as _t
-
-        while True:
-            p = q.lastProgress
-            if p is not None and p["batchId"] is not None and p["batchId"] >= _RATE_BATCHES:
-                break
-            _t.sleep(0.05)
+        _await_batches(q, _RATE_BATCHES)
         q.stop()
         q.awaitTermination()
     res = spark.table(name)
@@ -659,13 +683,7 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        import time as _t
-
-        while True:
-            p = q.lastProgress
-            if p is not None and p["batchId"] is not None and p["batchId"] >= n_batches:
-                break
-            _t.sleep(0.05)
+        _await_batches(q, n_batches)
         q.stop()
         q.awaitTermination()
     return spark.table(name)

@@ -117,3 +117,38 @@ def test_propagation_raises_on_unconverged_cap(spark, monkeypatch):
     chain = spark.createDataFrame([(i, i + 1) for i in range(60)], "va long, vb long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(spark, chain, "va", "vb").collect()
+
+
+def test_star_raises_on_unconverged_cap(spark, monkeypatch):
+    """connected_components_star must also fail loud when the round cap is
+    exhausted (ADVICE r2): a silently-partial contraction yields wrong
+    groups."""
+    import pytest
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    monkeypatch.setenv("MMBD_CC_MAX_ITERS", "1")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], "va long, vb long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(spark, chain, "va", "vb").collect()
+
+
+def test_embedding_fixture_threshold_margin():
+    """Fixture guard for q_dedup_embedding's oracle: the nearest cosine to
+    the 0.35 threshold must stay far above float64 fold-order error
+    (~1e-13), else GEMM-vs-sequential-dot rounding could flip a pair's
+    membership between Spark and the DuckDB oracle (ADVICE r2)."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("0.001", "0.01"):
+        vecs = duckdb.sql(
+            f"select embedding from '/root/testdata/sf{sf}/embeddings.parquet' order by vec_id"
+        ).fetchnumpy()["embedding"]
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        G = M @ M.T
+        gap = np.abs(G[np.triu_indices(len(M), 1)] - 0.35).min()
+        assert gap > 1e-9, f"sf{sf}: pair within {gap:.2e} of threshold"
