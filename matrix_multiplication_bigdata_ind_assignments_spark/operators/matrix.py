@@ -109,6 +109,28 @@ def _validate_coo(M: DataFrame, name: str) -> None:
         )
 
 
+# plan-identity → (nnz, extent) memo so repeated strategy="auto" calls over
+# the same logical operand (the common case: a query re-invoked per round)
+# launch ZERO extra stat jobs — the planner analogue of relational.py's
+# _RANGE_STATS.  Keyed on Catalyst's semanticHash (same key ⇔ same optimized
+# plan modulo cosmetic ids); stats describe immutable parquet fixtures, so
+# staleness is not a concern.
+_COO_STATS: dict[int, tuple[int, int]] = {}
+
+
+def _coo_stats(M: DataFrame) -> tuple[int, int]:
+    """(nnz, square extent) of a COO frame — one combined agg job on first
+    sight of a plan, memoized thereafter."""
+    key = M.semanticHash()
+    if key not in _COO_STATS:
+        s = M.agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.max(F.greatest("i", "j")).alias("hi"),
+        ).first()
+        _COO_STATS[key] = (s["nnz"], (s["hi"] or 0) + 1)
+    return _COO_STATS[key]
+
+
 def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int = 32) -> DataFrame:
     """C(i,j) = round(Σ_k A(i,k)·B(k,j), 6) as COO.
 
@@ -125,9 +147,9 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
     if strategy == "auto":
         from ..plans import choose_multiply_strategy
 
-        left_nnz = A.count()
-        right_nnz = B.count()
-        n = (A.agg(F.max(F.greatest("i", "j"))).collect()[0][0] or 0) + 1
+        left_nnz, n_a = _coo_stats(A)
+        right_nnz, n_b = _coo_stats(B)
+        n = max(n_a, n_b)
         density = right_nnz / max(n * n, 1)
         strategy = choose_multiply_strategy(left_nnz, right_nnz, n, density)
     if strategy in ("join", "broadcast"):

