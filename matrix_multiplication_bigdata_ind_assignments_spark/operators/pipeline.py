@@ -128,10 +128,15 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
        stamp each row with its partition id;
     2. local exclusive cumsum per partition (window keyed by pid);
     3. per-partition token totals → driver (one tiny row per partition)
-       → exclusive-cumsum base offsets broadcast back.
+       → exclusive-cumsum base offsets BROADCAST-JOINED back on pid.
 
-    Offsets are exact regardless of where the range boundaries fall, so
-    the sampling-based partitioner never affects the result."""
+    Step 3's return trip is a broadcast join of a tiny offsets DataFrame
+    (LocalTableScan → BroadcastHashJoin), not a ``create_map`` literal:
+    a 2·n_partitions-entry literal becomes a Catalyst-expression
+    liability at 10⁵ partitions, while the broadcast side stays O(1) in
+    plan size.  Offsets are exact regardless of where the range
+    boundaries fall, so the sampling-based partitioner never affects the
+    result."""
     n_parts = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents")
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
@@ -148,20 +153,18 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["pid"]: r["tot"]
         for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
     }
-    running, bases = 0, {}
+    running, bases = 0, []
     for pid in sorted(totals):
-        bases[pid] = running
+        bases.append((pid, running))
         running += totals[pid]
-    base_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(bases.items()) for x in kv]), F.col("pid")
-    )
+    offsets = spark.createDataFrame(bases or [(0, 0)], "pid int, base_off long")
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base_col
-    return base.select(
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("base_off")
+    return base.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         "n_tokens",
         (off / _PACK_CAPACITY).cast("long").alias("seq_id"),

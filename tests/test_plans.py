@@ -189,3 +189,12 @@ def test_phash_dedup_pairs_via_band_equijoin(spark, sf_dir, qs):
     plan = plan_of(qs["q_multimodal_phash_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_broadcasts_offsets(spark, sf_dir, qs):
+    """The two-pass prefix-sum's base offsets must come back via a
+    broadcast join keyed on pid, never a partitions-sized create_map
+    literal (Catalyst-expression liability at 10⁵ partitions)."""
+    p = plan_of(qs["q_sequence_pack"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "map_from" not in p and "create_map" not in p.lower()
