@@ -164,27 +164,16 @@ def _cmd_analyze(args: argparse.Namespace) -> int:
 
 
 def _maybe_plot(derived, out_dir: str) -> None:
-    """Optional PNG plots (ref `Stage 1/Visualization/mm_perf_visualizer.py:51-102`).
-    matplotlib isn't in this container, so the plotting step is gated;
-    the aggregate CSVs above carry the same information."""
-    try:  # pragma: no cover - matplotlib not installed here
-        import matplotlib
+    """PNG plots matching the reference visualizer set
+    (`Stage 1/Visualization/mm_perf_visualizer.py:51-102`,
+    `Stage 3/Visualization/mm_perf_parallel_visualizer.py:77-148`),
+    rendered by the engine's dependency-free rasterizer (plots.py — the
+    container has no matplotlib)."""
+    from .plots import render_report
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:
-        print("(matplotlib not installed — skipping PNG plots; aggregates written as CSV)")
-        return
     pdf = derived.toPandas()  # tiny: one row per (lang, algo, size, threads)
-    fig, ax = plt.subplots()
-    for (lang, algo), g in pdf.groupby(["lang", "algo"]):
-        g = g.sort_values("size")
-        ax.loglog(g["size"], g["avg_time_ms"], marker="o", label=f"{lang}/{algo}")
-    ax.set_xlabel("matrix size n")
-    ax.set_ylabel("avg time (ms)")
-    ax.legend()
-    fig.savefig(f"{out_dir}/time_vs_size.png", dpi=120)
-    print(f"wrote {out_dir}/time_vs_size.png")
+    for path in render_report(pdf, out_dir):
+        print(f"wrote {path}")
 
 
 def main() -> int:

@@ -1,0 +1,79 @@
+"""The analyze CLI's report: derived CSVs plus the reference visualizer's
+PNG set (`Stage 1/Visualization/mm_perf_visualizer.py:51-102`,
+`Stage 3/Visualization/mm_perf_parallel_visualizer.py:77-148`), rendered
+by the dependency-free rasterizer in plots.py."""
+
+import struct
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrix_multiplication_bigdata_ind_assignments_spark import plots
+
+
+def _png_dims(path):
+    with open(path, "rb") as f:
+        head = f.read(24)
+    assert head[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    w, h = struct.unpack(">II", head[16:24])
+    return w, h
+
+
+def test_write_png_signature_and_dims(tmp_path):
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    plots.write_png(p, img)
+    assert _png_dims(p) == (20, 10)
+
+
+def test_render_report_writes_full_plot_set(tmp_path):
+    rows = []
+    for lang in ("python", "pyspark"):
+        for size in (64, 256):
+            for threads in (1, 4):
+                t = (100.0 if lang == "python" else 20.0) * (size / 64) ** 3 / threads
+                rows.append(
+                    dict(lang=lang, algo="basic", size=size, threads=threads,
+                         avg_time_ms=t, rss_mb=10.0 + size,
+                         speedup=float(threads), efficiency=1.0)
+                )
+    written = plots.render_report(pd.DataFrame(rows), str(tmp_path))
+    names = {p.rsplit("/", 1)[1] for p in written}
+    assert {"mm_perf_time.png", "mm_perf_memory.png"} <= names
+    # thread sweep present → per-size parallel plots too
+    for n in (64, 256):
+        for stem in ("parallel_speedup", "parallel_efficiency", "parallel_time"):
+            assert f"{stem}_{n}.png" in names
+    for p in written:
+        w, h = _png_dims(p)
+        assert w > 100 and h > 100
+
+
+def test_analyze_cli_end_to_end(tmp_path, monkeypatch):
+    """analyze --out writes derived metrics CSVs and non-empty PNGs."""
+    csv = tmp_path / "results_python.csv"
+    lines = ["lang,algo,size,threads,repeats,avg_time_ms,rss_mb,extra"]
+    for size, t1 in ((64, 100.0), (128, 800.0)):
+        for threads in (1, 2, 4):
+            lines.append(f"python,basic,{size},{threads},3,{t1 / threads},50.0,x")
+    csv.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "report"
+    from matrix_multiplication_bigdata_ind_assignments_spark.__main__ import main
+
+    monkeypatch.setattr(sys, "argv", ["mmbd", "analyze", str(csv), "--out", str(out)])
+    assert main() == 0
+    assert (out / "mm_perf_time.png").stat().st_size > 0
+    assert (out / "mm_perf_memory.png").stat().st_size > 0
+    assert (out / "parallel_speedup_64.png").stat().st_size > 0
+    assert any((out / "derived_metrics").glob("*.csv"))
+
+
+def test_too_many_series_dropped_loudly(tmp_path, capsys):
+    series = [(f"s{i}", [1.0, 2.0], [1.0, float(i + 1)]) for i in range(10)]
+    p = str(tmp_path / "many.png")
+    plots.line_chart(p, series, "t", "x", "y")
+    assert _png_dims(p)[0] > 0
+    assert "dropped" in capsys.readouterr().out
