@@ -151,6 +151,11 @@ def main() -> int:
         "q_sequence_pack",
         "q_corpus_clean_e2e",
         "q_stream_tumbling",
+        # iterative + composite + approximate paths (VERDICT r2 item 6)
+        "q_dedup_components_star",
+        "q_ann_pq",
+        "q_scd2_intervals",
+        "q_decontaminate",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
