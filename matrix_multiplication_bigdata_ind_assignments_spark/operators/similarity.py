@@ -346,25 +346,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_M = 8  # subspaces (64-d → 8 × 8-d)
-_PQ_K = 16  # centroids per subspace → 4-bit codes, 8 per vector
+_PQ_K = 32  # centroids per subspace → 5-bit codes, 8 per vector
+_PQ_TRAIN = 2048  # codebook training sample bound (driver-side k-means)
+_PQ_ROUNDS = 10  # Lloyd iterations
+# ADC candidates per query that get exact re-ranking — the recall/cost
+# knob (a constant per query, independent of corpus size).  Measured at
+# sf0.1: shortlist 100 → recall@5 0.76, 200 → 0.88 (ANN_RECALL.md).
+_PQ_SHORTLIST = 200
+
+
+def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
+    """Per-subspace k-means codebooks, trained on a bounded deterministic
+    sample: (sub, code, codeword) rows.
+
+    This is the FAISS training pattern — codebooks are ALWAYS fit on a
+    driver-side sample (k·39..k·256 points suffice per subspace), never
+    distributed: the sample here is hard-capped at {_PQ_TRAIN} vectors
+    chosen by md5-hash order (deterministic, unbiased), so the collect is
+    O(1) in corpus size.  Lloyd iterations run in numpy with first-K
+    distinct-subvector init and empty-cluster re-seeding to the farthest
+    point — no RNG anywhere, so codes and recall are reproducible."""
+    import numpy as np
+
+    sample = (
+        unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_TRAIN)
+        .collect()
+    )
+    X = np.array([r["u"] for r in sample])  # (n, 64)
+    sub_dim = X.shape[1] // _PQ_M
+    book: list[tuple[int, int, list[float]]] = []
+    for s in range(_PQ_M):
+        S = X[:, s * sub_dim : (s + 1) * sub_dim]
+        C = S[np.unique(S.round(9), axis=0, return_index=True)[1][:_PQ_K]].copy()
+        if len(C) < _PQ_K:  # degenerate corpus: pad by repeating
+            C = np.resize(C, (_PQ_K, sub_dim))
+        for _ in range(_PQ_ROUNDS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_K):
+                members = S[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+                else:  # re-seed empty cluster to the worst-covered point
+                    C[k] = S[d2.min(axis=1).argmax()]
+        book.extend((s, k, [float(x) for x in C[k]]) for k in range(_PQ_K))
+    return book
 
 
 @register("q_ann_pq", oracle=None)  # approximate by construction → rows-only
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): unit-normalize,
-    split each vector into 8 subvectors, assign each to its nearest of 16
-    per-subspace centroids (codebook = the first 16 vectors' subvectors —
-    deterministic, data-derived), then answer queries by asymmetric
-    distance: the query precomputes a (subspace × centroid) distance
-    table and each candidate's distance is a SUM of 8 table lookups
-    joined on (subspace, code).
+    split each vector into 8 subvectors, assign each to its nearest of
+    {_PQ_K} per-subspace k-means centroids (trained on a bounded deterministic
+    sample — see _pq_train_codebook), answer queries by asymmetric
+    distance (query precomputes a (subspace × centroid) distance table;
+    a candidate's distance is a SUM of 8 table lookups joined on
+    (subspace, code)), then exact-re-rank the per-query ADC shortlist.
 
     Scale shape: codes are 8 small ints per vector (32× compression of a
     64-d float32 vector); encoding is a broadcast join + argmin window;
-    scoring is an equi-join of codes against a broadcast distance table +
-    one hash agg — no per-pair vector math at query time, which is the
-    property that lets PQ scan billions of codes.  Deterministic (no
-    RNG) → rows-only; recall vs the exact baseline asserted in tests."""
+    the coarse scan is an equi-join of codes against a broadcast distance
+    table + one hash agg — no per-pair vector math over the corpus, which
+    is the property that lets PQ scan billions of codes.  Only the
+    {_PQ_SHORTLIST}-candidate shortlist per query pays exact cosine math
+    (the standard FAISS re-rank stage).  Deterministic (no RNG) →
+    rows-only; recall vs the exact baseline asserted in tests and
+    recorded in ANN_RECALL.md."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
@@ -380,11 +429,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.slice("u", s * sub_dim + 1, sub_dim) for s in range(_PQ_M)])
         ).alias("sub", "subvec"),
     )
-    # codebook: subvectors of vec_id 0..15, one codeword per (sub, code)
-    book = subs.where(F.col("vec_id") < _PQ_K).select(
-        F.col("sub").alias("b_sub"),
-        F.col("vec_id").cast("int").alias("code"),
-        F.col("subvec").alias("codeword"),
+    book = spark.createDataFrame(
+        _pq_train_codebook(unit), "b_sub int, code int, codeword array<double>"
     )
     d2 = F.aggregate(
         F.zip_with("subvec", "codeword", lambda x, y: (x - y) * (x - y)),
@@ -418,8 +464,26 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qd2").alias("adist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    shortlist = (
+        approx.withColumn("srk", F.row_number().over(w))
+        .where(F.col("srk") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist: tiny (queries × shortlist) join, the
+    # only stage paying per-pair vector math
+    qv = unit.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cv = unit.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    cos = F.aggregate(F.zip_with("qu", "cu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        approx.withColumn("rk", F.row_number().over(w).cast("long"))
+        rescored.withColumn("rk", F.row_number().over(w2).cast("long"))
         .where(F.col("rk") <= _TOPK)
-        .select("query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rk")
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )

@@ -56,4 +56,6 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     approx2 = {(r["query_id"], r["neighbor_id"]) for r in S.q_ann_pq(spark, sf_dir).collect()}
     assert approx1 == approx2  # deterministic (data-derived codebook)
     recall = len(exact & approx1) / len(exact)
-    assert recall > 0.1  # 16-codeword PQ on near-random vectors is coarse
+    # k-means codebook + ADC-shortlist exact re-rank: measured 0.98 at
+    # sf0.001/sf0.01, 0.88 at sf0.1 (ANN_RECALL.md) — floor well below
+    assert recall > 0.6
