@@ -84,6 +84,81 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = 20  # tokens per dedup span
+
+
+@register(
+    "q_dedup_span_exact",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT)),
+                        i -> array_to_string(toks[i * {_SPAN_W} + 1 : i * {_SPAN_W} + {_SPAN_W}], ' ')) AS spans
+  FROM t
+),
+s AS (
+  SELECT doc_id, unnest(range(len(spans))) AS sidx, unnest(spans) AS span FROM sp
+),
+m AS (
+  SELECT doc_id, sidx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, sidx) AS rk
+  FROM s
+)
+SELECT doc_id,
+       COALESCE(string_agg(span, ' ' ORDER BY sidx) FILTER (WHERE rk = 1), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped
+FROM m GROUP BY doc_id
+""",
+)
+def q_dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN removal — the relational form of ExactSubstr dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): documents are segmented into fixed 20-token spans, every
+    span that already occurred earlier in the corpus (by (doc_id, sidx)
+    order, including earlier in the same document) is dropped, and each
+    document is reassembled from its surviving spans.  This removes
+    boilerplate/quote repetition that document-level dedup can't touch.
+
+    Scale shape: one shuffle keyed on the span text (window keep-first),
+    one hash agg to reassemble — both linear in corpus token count; the
+    reassembly list per doc is bounded by doc length.  The suffix-array
+    exactness of Lee et al. (arbitrary-offset substrings) trades into
+    fixed-boundary spans, the standard relational approximation."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("toks"))
+    n_spans = F.ceil(F.size("toks") / _SPAN_W).cast("int")
+    span_arr = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda s: F.array_join(F.slice("toks", s * _SPAN_W + 1, _SPAN_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select("doc_id", F.posexplode(span_arr).alias("sidx", "span"))
+    w = Window.partitionBy("span").orderBy("doc_id", "sidx")
+    marked = spans.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(F.col("rk") == 1, F.struct("sidx", "span"))
+    return marked.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum((F.col("rk") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rk") > 1).cast("long")).alias("n_dropped"),
+    )
+
+
 @register(
     "q_dedup_keep_first",
     oracle="""

@@ -152,3 +152,28 @@ def test_embedding_fixture_threshold_margin():
         G = M @ M.T
         gap = np.abs(G[np.triu_indices(len(M), 1)] - 0.35).min()
         assert gap > 1e-9, f"sf{sf}: pair within {gap:.2e} of threshold"
+
+
+def test_span_dedup_semantics(spark, tmp_path):
+    """Span-level dedup keeps the first occurrence of a repeated 20-token
+    span (cross-doc AND within-doc) and reassembles survivors in order."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        q_dedup_span_exact,
+    )
+
+    A = " ".join(f"a{i}" for i in range(20))
+    B = " ".join(f"b{i}" for i in range(20))
+    C = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (0, f"{A} {B}", "en", "s", 0),        # first occurrences of A, B
+        (1, f"{B} {C}", "en", "s", 0),        # B is a dup; C survives
+        (2, f"{C} {C} tail", "en", "s", 0),   # C dup twice; partial span survives
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in q_dedup_span_exact(spark, str(tmp_path)).collect()}
+    assert (out[0]["clean_text"], out[0]["n_kept"], out[0]["n_dropped"]) == (f"{A} {B}", 2, 0)
+    assert (out[1]["clean_text"], out[1]["n_kept"], out[1]["n_dropped"]) == (C, 1, 1)
+    assert (out[2]["clean_text"], out[2]["n_kept"], out[2]["n_dropped"]) == ("tail", 1, 2)
