@@ -32,5 +32,11 @@ def get_spark(app_name: str = "mmbd-spark", cpus: int | str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # runtime bloom-filter semi-join reduction: a shuffle join whose
+        # build side filters well gets a bloom filter pushed into the
+        # probe-side scan — the engine-native form of the "bloom prefilter
+        # before the exact anti join" dedup pattern, on by default here so
+        # big joins (incremental dedup vs history) shuffle fewer rows
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     return builder.getOrCreate()
