@@ -129,7 +129,12 @@ def q_dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly list per doc is bounded by doc length.  The suffix-array
     exactness of Lee et al. (arbitrary-offset substrings) trades into
     fixed-boundary spans, the standard relational approximation."""
-    d = load(spark, sf_dir, "documents")
+    return span_dedup(load(spark, sf_dir, "documents"))
+
+
+def span_dedup(d: DataFrame) -> DataFrame:
+    """Core of q_dedup_span_exact over any (doc_id, text) frame — split
+    out so the scaling probe can run it on blown-up corpora."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("toks"))
     n_spans = F.ceil(F.size("toks") / _SPAN_W).cast("int")

@@ -149,6 +149,14 @@ def main() -> int:
         w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
         return d.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
+    def span_dedup_probe(d):
+        """q_dedup_span_exact's shape: one shuffle keyed on span text +
+        one reassembly hash agg — on the blow-up every span recurs k×, so
+        the keep-first window does real k-way collapse."""
+        from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import span_dedup
+
+        return span_dedup(d)
+
     def rep_filter(d):
         """q_repetition_filter's shape: per-row trigram stats, NO shuffle —
         the scan-bound control: its ratio shows pure data-volume scaling."""
@@ -175,6 +183,7 @@ def main() -> int:
             "topk_window": lambda: topk(e),
             "range_join_1h": lambda: range_join(e),
             "exact_dedup": lambda: exact_dedup(d),
+            "span_dedup": lambda: span_dedup_probe(d),
             "repetition_filter": lambda: rep_filter(d),
         }.items():
             t0 = time.perf_counter()
@@ -251,6 +260,7 @@ def main() -> int:
         "topk_window",
         "range_join_1h",
         "exact_dedup",
+        "span_dedup",
         "repetition_filter",
     ):
         a, b = results[(name, 1)], results[(name, k)]
@@ -258,8 +268,9 @@ def main() -> int:
     lines += [
         "",
         "Notes: `repetition_filter` is the shuffle-free control (scan-bound,",
-        "pure projection); `exact_dedup` collapses k true duplicates per",
-        "group, so its ratio includes real collapse work.  `spmm_n2048`",
+        "pure projection); `exact_dedup` and `span_dedup` collapse k true",
+        "duplicates per group/span, so their ratios include real collapse",
+        "work.  `spmm_n2048`",
         "grows super-linearly by construction: more lineitem rows land in",
         "the same fixed n=2048 grid, so the matrix DENSIFIES and the",
         "intrinsic multiply pair count rises — a workload artifact of the",
