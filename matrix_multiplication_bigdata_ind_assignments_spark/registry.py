@@ -91,7 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_transform_with_state",
     # multimodal
     "q_multimodal_frame_sample",
-    # --- regression canaries: plan-sensitive r1/r2 greens (16) ---
+    # new in round 3 (needs its first driver row)
+    "q_dedup_span_exact",
+    # --- regression canaries: plan-sensitive r1/r2 greens (15) ---
     "q_matmul_dense",
     "q_matmul_blocked",
     "q_matmul_sparse",
@@ -105,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_graph",
     "q_tfidf",
     "q_sequence_pack",
-    "q_domain_cap",
     "q_stream_tumbling",
     "q_stream_session",
 )
