@@ -140,3 +140,45 @@ def test_prefix_sum_packing_matches_cumsum(spark, toks, cap):
         assert r["seq_id"] == off // cap
         assert r["seq_offset"] == off % cap
         off += t
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=50).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=docs_strategy)
+def test_span_dedup_matches_python_reference(spark, texts):
+    """span_dedup against a sequential-scan Python reference: identical
+    keep-first semantics for every generated corpus (tiny vocab forces
+    heavy span collisions)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        _SPAN_W,
+        span_dedup,
+    )
+
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in span_dedup(d).collect()
+    }
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        kept, n_kept, n_dropped = [], 0, 0
+        for s in range(0, len(toks), _SPAN_W):
+            span = " ".join(toks[s : s + _SPAN_W])
+            if span in seen:
+                n_dropped += 1
+            else:
+                seen.add(span)
+                kept.append(span)
+                n_kept += 1
+        if toks:
+            expected[doc_id] = (" ".join(kept), n_kept, n_dropped)
+    assert got == expected
