@@ -80,13 +80,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_TABLES = 4  # LSH tables (independent signatures, union of candidates)
+# LSH operating point (recall/candidate-volume knob): measured at sf0.1,
+# 4 tables × 4 bits → recall@5 0.44; 8 × 4 → 0.68 at ~2× the candidate
+# volume (ANN_RECALL.md).  More tables raise recall linearly in scan cost.
+_N_TABLES = 8  # LSH tables (independent signatures, union of candidates)
 _BITS_PER_TABLE = 4  # 2^4 = 16 buckets per table
 
 
 @register("q_ann_lsh", oracle=None)  # approximate by construction → rows-only
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table random-hyperplane LSH: 4 independent
+    """Approximate NN via multi-table random-hyperplane LSH: 8 independent
     4-bit signatures (sign of dot with md5-derived deterministic
     hyperplanes); a candidate is any vector sharing a bucket with the
     query in ANY table.  The candidate join is an equi-join on

@@ -14,7 +14,9 @@ def test_lsh_recall_and_determinism(spark, sf_dir):
     approx2 = _pairs(S.q_ann_lsh(spark, sf_dir))
     assert approx1 == approx2  # deterministic (md5-derived hyperplanes)
     recall = len(exact & approx1) / len(exact)
-    assert recall > 0.05  # 8-bit single-table LSH on near-orthogonal vectors is coarse
+    # 8 tables × 4 bits: measured 0.68 at sf0.1 (ANN_RECALL.md); diffuse
+    # near-orthogonal fixture vectors keep the ceiling well below 1
+    assert recall > 0.3
 
 
 def test_ivf_recall_and_determinism(spark, sf_dir):
