@@ -203,3 +203,34 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 64 * 64  # every cell exactly once, no replays
     assert df.select("i", "j").distinct().count() == 64 * 64
+
+
+def test_await_batches_raises_on_dead_stream(spark):
+    """_await_batches must surface a failed stream's own error instead of
+    spinning on lastProgress forever (ADVICE r2)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import StreamingQueryException
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        _await_batches,
+        _sink_counter,
+    )
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("kernel failure")
+
+    raw = spark.readStream.format("rate-micro-batch").option("rowsPerBatch", 10).load()
+    q = (
+        raw.select(boom("value").alias("v"))
+        .writeStream.format("memory")
+        .queryName(f"mmbd_sink_{next(_sink_counter)}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException):
+            _await_batches(q, 3, timeout_s=60)
+    finally:
+        q.stop()
