@@ -1,0 +1,67 @@
+"""Generate EXPLAINS.md: the physical-plan audit of the heaviest headline
+queries, with the scale-critical property each plan must show.
+
+Usage: python tools/gen_explains.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+# query → the property the plan must exhibit (checked by tests/test_plans.py
+# where assertable; restated here so the audit doc is self-contained)
+AUDIT = {
+    "q_matmul_blocked": "cogrouped-Arrow GEMM tiles; partial/final agg split; no O(n^3) row materialization",
+    "q_range_join": "bucketed equi-join on unix_micros longs; NO CartesianProduct / BroadcastNestedLoopJoin",
+    "q_dedup_minhash": "band equi-join only (inverted index); signature built in ONE hash agg",
+    "q_dedup_embedding": "2-D tile grid broadcast + cogroup shuffle; no theta self-join",
+    "q_knn_graph": "tile-local top-k before the merge window (tile output |block|*k, never |block|^2)",
+    "q_ann_pq": "Arrow ADC kernel over codes + broadcast re-rank joins; no per-pair corpus math",
+    "q_dedup_span_exact": "one shuffle keyed on span + reassembly hash agg; filters pushed to scan",
+    "q_sequence_pack": "range-partition + pid-local window; offsets return via BroadcastHashJoin (no SinglePartition over data)",
+    "q_star_join": "dims broadcast (BroadcastHashJoin), fact never shuffled for the dim joins",
+    "q_corpus_clean_e2e": "whole pipeline is ONE DAG: quality filter pushed down before dedup window",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+    from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
+
+    spark = get_spark("gen-explains")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    lines = [
+        "# Physical-plan audit",
+        "",
+        f"`python tools/gen_explains.py {sf_dir}` — AQE final plans"
+        " (`.explain(\"formatted\")` after execution) of the heaviest headline",
+        "queries, with the scale property each plan must show.  Regenerate after",
+        "any operator change; tests/test_plans.py asserts the checkable subset.",
+        "",
+    ]
+    for name, prop in AUDIT.items():
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # run → AQE final plan
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the node tree, drop the verbose per-node field dump
+        tree = plan.split("\n\n")[0]
+        lines += [f"## {name}", "", f"**Must show:** {prop}", "", "```", tree, "```", ""]
+    with open("/root/repo/EXPLAINS.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote EXPLAINS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
