@@ -2,11 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked deterministic fake (`_fake_decode`) behind an import-gate:
-if PIL were present the same plumbing would run a real decode.  Everything
-Spark-side — schema, partitioning, UDF signature, Arrow batch shape — is
-real and tested (tests/test_multimodal.py).
+Decode status: payloads in the library-free uncompressed formats (binary
+PPM ``P6`` and uncompressed 24/32-bit BMP) get a REAL numpy decode
+(`_decode_image`) — header parse, pixel grid, luminance — with features
+and pHash computed from actual pixels.  Compressed formats (JPEG/PNG/
+video) would need PIL/ffmpeg, which this container lacks, so any payload
+that isn't PPM/BMP falls back to the clearly-marked deterministic fake
+(`_fake_decode`).  Everything Spark-side — schema, partitioning, UDF
+signature, Arrow batch shape — is identical on both paths and tested
+(tests/test_multimodal.py, including real PPM/BMP fixtures).
 """
 
 from __future__ import annotations
@@ -53,6 +57,10 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_len", LongType()),
         StructField("checksum", LongType()),
         StructField("n_frames", LongType()),
+        # real pixel dimensions when the payload decoded (PPM/BMP); -1 on
+        # the fake-decode fallback path
+        StructField("frame_w", LongType()),
+        StructField("frame_h", LongType()),
     ]
 )
 
@@ -68,6 +76,64 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") % 640 + 16).cast("long").alias("width"),
         (F.col("n_chars") % 480 + 16).cast("long").alias("height"),
     )
+
+
+def _decode_image(payload: bytes):
+    """REAL decode of the library-free uncompressed image formats.
+
+    Returns an (H, W, 3) uint8 RGB array, or None when the payload isn't
+    binary PPM (``P6``) / uncompressed 24- or 32-bit BMP (``BM`` +
+    BI_RGB) — callers fall back to `_fake_decode` on None.  Pure
+    numpy + struct; formats needing entropy decoders (JPEG/PNG) stay
+    behind the PIL gate."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: P6 <w> <h> <maxval> then ONE whitespace then raw RGB;
+        # '#' comments may appear between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3 and pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                pos = payload.index(b"\n", pos) + 1
+            else:
+                end = pos
+                while end < len(payload) and not payload[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(payload[pos:end]))
+                pos = end
+        if len(tokens) < 3 or tokens[2] > 255:
+            return None
+        w, h = tokens[0], tokens[1]
+        raw = payload[pos + 1 : pos + 1 + w * h * 3]
+        if len(raw) < w * h * 3:
+            return None
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        flip, h = h > 0, abs(h)
+        ch = bpp // 8
+        stride = (w * ch + 3) & ~3  # rows padded to 4 bytes
+        if len(payload) < data_off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        if flip:
+            rows = rows[::-1]
+        return rows[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+    return None
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -90,13 +156,23 @@ def decode_features(media: DataFrame) -> DataFrame:
     pattern (not the fake kernel) is the 100 TB path for multimodal
     preprocessing."""
 
+    def decode_one(payload: bytes) -> dict:
+        img = _decode_image(payload)
+        if img is None:
+            # compressed/opaque payload: deterministic fake (PIL-gated
+            # formats would branch on _HAVE_PIL here)
+            return {**_fake_decode(payload), "frame_w": -1, "frame_h": -1}
+        return {
+            "byte_len": len(payload),
+            "checksum": int(img.sum(dtype="int64") % 1_000_003),
+            "n_frames": 1,
+            "frame_w": img.shape[1],
+            "frame_h": img.shape[0],
+        }
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        # The real decode (Image.open(BytesIO(payload)) → resize →
-        # features) would branch on _HAVE_PIL here; until that kernel is
-        # written, the deterministic fake is the unconditional fallback so
-        # the query works whether or not Pillow happens to be installed.
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_decode)
+            feats = pdf["payload"].map(decode_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -104,6 +180,8 @@ def decode_features(media: DataFrame) -> DataFrame:
                     "byte_len": feats.map(lambda f: f["byte_len"]),
                     "checksum": feats.map(lambda f: f["checksum"]),
                     "n_frames": feats.map(lambda f: f["n_frames"]),
+                    "frame_w": feats.map(lambda f: f["frame_w"]),
+                    "frame_h": feats.map(lambda f: f["frame_h"]),
                 }
             )
 
@@ -140,11 +218,12 @@ _PHASH_MAX_HAMMING = 10
 
 def phash_table(media: DataFrame) -> DataFrame:
     """Perceptual-hash kernel: decode each payload to an 8×8 luminance grid
-    (deterministic fake — see _fake_decode), 2-D DCT it (one einsum per
-    Arrow batch, no per-row Python), threshold the low-frequency block at
-    its median → a 64-bit pHash.  Near-identical media differing in a few
-    bytes land within a small Hamming distance — the image twin of
-    SimHash."""
+    (REAL pixels for PPM/BMP via _decode_image — Rec.601 luma +
+    nearest-neighbor 8×8 downsample; byte-grid fake for opaque payloads),
+    2-D DCT it (one einsum per Arrow batch, no per-row Python), threshold
+    the low-frequency block at its median → a 64-bit pHash.
+    Near-identical media differing in a few pixels land within a small
+    Hamming distance — the image twin of SimHash."""
     import numpy as np
 
     schema = StructType(
@@ -161,16 +240,22 @@ def phash_table(media: DataFrame) -> DataFrame:
     D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
     D[0, :] = np.sqrt(1.0 / n)
 
+    def lum_grid(payload: bytes) -> "np.ndarray":
+        img = _decode_image(payload)
+        if img is None:  # opaque payload: byte-grid fake (see module doc)
+            return np.resize(np.frombuffer(payload, dtype=np.uint8), n * n).reshape(n, n)
+        lum = img @ np.array([0.299, 0.587, 0.114])  # Rec.601 luma
+        # block-MEAN pooling to 8×8 (pHash's smoothing step — a
+        # nearest-neighbor sample would let per-pixel noise through)
+        ys = (np.arange(n) * lum.shape[0]) // n
+        xs = (np.arange(n) * lum.shape[1]) // n
+        pooled = np.add.reduceat(np.add.reduceat(lum, ys, axis=0), xs, axis=1)
+        counts = np.outer(np.diff(np.append(ys, lum.shape[0])), np.diff(np.append(xs, lum.shape[1])))
+        return pooled / counts
+
     def kernel(batches):
-        # Fake luminance decode is the unconditional fallback (see
-        # decode_features): a real PIL path would branch on _HAVE_PIL here.
         for pdf in batches:
-            grids = np.stack(
-                [
-                    np.resize(np.frombuffer(p, dtype=np.uint8), n * n).reshape(n, n)
-                    for p in pdf["payload"]
-                ]
-            ).astype(np.float64)
+            grids = np.stack([lum_grid(p) for p in pdf["payload"]]).astype(np.float64)
             coeffs = np.einsum("ij,bjk,lk->bil", D, grids, D)  # batched 2-D DCT
             flat = coeffs.reshape(len(pdf), n * n)[:, 1:]  # drop DC term
             med = np.median(flat, axis=1, keepdims=True)

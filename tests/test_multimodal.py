@@ -49,3 +49,70 @@ def test_phash_finds_every_exact_duplicate(spark, sf_dir):
     got = {(r["da"], r["db"]): r["hamming"] for r in q_multimodal_phash_dedup(spark, sf_dir).collect()}
     assert exact <= set(got)
     assert all(got[p] == 0 for p in exact)
+
+
+def _ppm(w, h, pix):
+    """pix: numpy (h, w, 3) uint8 → binary PPM bytes."""
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def _bmp24(pix):
+    """pix: numpy (h, w, 3) uint8 RGB → uncompressed 24-bit BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pix[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def test_decode_image_ppm_bmp_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    got_ppm = MM._decode_image(_ppm(9, 5, pix))
+    got_bmp = MM._decode_image(_bmp24(pix))
+    assert np.array_equal(got_ppm, pix)
+    assert np.array_equal(got_bmp, pix)
+    assert MM._decode_image(b"not an image at all") is None
+
+
+def test_real_decode_features_and_phash(spark):
+    """PPM/BMP payloads take the REAL pixel path: decoded dims surface in
+    frame_w/frame_h, and pHash is perceptual — an image and its
+    lightly-noised copy sit within the Hamming threshold while its
+    inverse is far away."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # textured base (random pixels): the pooled DCT coefficients all carry
+    # real magnitude, so sign bits are stable under small noise.  (A pure
+    # synthetic gradient has exactly-zero AC coefficients whose signs ARE
+    # noise — a known pHash property, not a kernel defect.)
+    base = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    noisy = np.clip(base.astype(int) + rng.integers(-6, 7, base.shape), 0, 255).astype(np.uint8)
+    rows = [
+        (0, "image", bytearray(_ppm(48, 32, base)), 48, 32),
+        (1, "image", bytearray(_bmp24(noisy)), 48, 32),
+        (2, "image", bytearray(_ppm(48, 32, 255 - base)), 48, 32),
+        (3, "audio", bytearray(b"opaque-bytes-no-image-here"), 0, 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    feats = {r["doc_id"]: r for r in MM.decode_features(media).collect()}
+    assert (feats[0]["frame_w"], feats[0]["frame_h"]) == (48, 32)
+    assert (feats[1]["frame_w"], feats[1]["frame_h"]) == (48, 32)
+    assert (feats[3]["frame_w"], feats[3]["frame_h"]) == (-1, -1)  # fake path
+
+    ph = {r["doc_id"]: r["phash"] for r in MM.phash_table(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(ph[0], ph[1]) <= 10  # near-dup: tiny pixel noise
+    assert ham(ph[0], ph[2]) >= 40  # inverse image flips most DCT signs
