@@ -65,16 +65,29 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_IMG_W = _IMG_H = 16  # fixture image dims: 16×16 RGB = 768 payload bytes
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture media table: each document's text bytes as an opaque payload
-    plus typed metadata — the schema a real image/audio table would have."""
+    """Fixture media table with typed metadata — the schema a real
+    image/audio table would have.  IMAGE rows carry a genuine binary-PPM
+    payload (header + the document's text bytes as a 16×16 RGB pixel
+    grid), so the decode kernels run their REAL pixel path end-to-end in
+    the driver gate; audio/video rows stay opaque byte blobs and exercise
+    the fallback path (their decoders would need ffmpeg)."""
     d = load(spark, sf_dir, "documents")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    # rpad both pads AND truncates to exactly w*h*3 ascii chars = bytes
+    pix = F.encode(F.rpad("text", _IMG_W * _IMG_H * 3, " "), "utf-8")
+    ppm = F.concat(F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()), pix)
     return d.select(
         "doc_id",
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-        (F.col("n_chars") % 640 + 16).cast("long").alias("width"),
-        (F.col("n_chars") % 480 + 16).cast("long").alias("height"),
+        mtype.alias("media_type"),
+        F.when(mtype == "image", ppm).otherwise(F.encode("text", "utf-8")).alias("payload"),
+        F.when(mtype == "image", F.lit(_IMG_W)).otherwise(F.col("n_chars") % 640 + 16).cast("long").alias("width"),
+        F.when(mtype == "image", F.lit(_IMG_H)).otherwise(F.col("n_chars") % 480 + 16).cast("long").alias("height"),
     )
 
 

@@ -13,10 +13,22 @@ def test_media_table_schema(spark, sf_dir):
 
 def test_decode_features_matches_local_computation(spark, sf_dir):
     m = MM.media_table(spark, sf_dir).limit(20).cache()
-    feats = {r["doc_id"]: (r["byte_len"], r["checksum"]) for r in MM.decode_features(m).collect()}
+    feats = {
+        r["doc_id"]: (r["byte_len"], r["checksum"], r["frame_w"], r["frame_h"])
+        for r in MM.decode_features(m).collect()
+    }
     for row in m.collect():
-        expected = MM._fake_decode(bytes(row["payload"]))
-        assert feats[row["doc_id"]] == (expected["byte_len"], expected["checksum"])
+        payload = bytes(row["payload"])
+        img = MM._decode_image(payload)
+        if row["media_type"] == "image":
+            # image rows carry a genuine PPM → REAL pixel path
+            assert img is not None and img.shape == (16, 16, 3)
+            expected = (len(payload), int(img.sum(dtype="int64") % 1_000_003), 16, 16)
+        else:
+            assert img is None
+            f = MM._fake_decode(payload)
+            expected = (f["byte_len"], f["checksum"], -1, -1)
+        assert feats[row["doc_id"]] == expected
 
 
 def test_feature_rollup_covers_all_modalities(spark, sf_dir):
