@@ -380,17 +380,24 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
     driver-side sample (k·39..k·256 points suffice per subspace), never
     distributed: the sample here is hard-capped at {_PQ_TRAIN} vectors
     chosen by md5-hash order (deterministic, unbiased), so the collect is
-    O(1) in corpus size.  Lloyd iterations run in numpy with first-K
-    distinct-subvector init and empty-cluster re-seeding to the farthest
-    point — no RNG anywhere, so codes and recall are reproducible."""
+    O(1) in corpus size.  The candidate set is first cut down by a hash-
+    THRESHOLD filter (pushdown-friendly, no shuffle) sized from the
+    corpus count so only ~4×{_PQ_TRAIN} rows reach the global sort — a
+    bare orderBy().limit() would full-sort the corpus at 100 TB.  Lloyd
+    iterations run in numpy with first-K distinct-subvector init and
+    empty-cluster re-seeding to the farthest point — no RNG anywhere, so
+    codes and recall are reproducible."""
     import numpy as np
 
-    sample = (
-        unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(_PQ_TRAIN)
-        .collect()
-    )
+    hashed = unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
+    n_rows = hashed.count()
+    if n_rows > 4 * _PQ_TRAIN:
+        # keep hashes below the fraction that yields ~4×_PQ_TRAIN rows in
+        # expectation (md5 hex is uniform); 2-hex-digit granularity keeps
+        # the cutoff a cheap prefix compare
+        frac = min(255, max(1, (4 * _PQ_TRAIN * 256) // n_rows))
+        hashed = hashed.where(F.col("h") < F.lit(f"{frac:02x}"))
+    sample = hashed.orderBy("h", "vec_id").limit(_PQ_TRAIN).collect()
     X = np.array([r["u"] for r in sample])  # (n, 64)
     sub_dim = X.shape[1] // _PQ_M
     book: list[tuple[int, int, list[float]]] = []
