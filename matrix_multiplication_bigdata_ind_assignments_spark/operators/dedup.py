@@ -539,15 +539,19 @@ def connected_components_star(
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
         max_rounds = int(os.environ.get("MMBD_CC_MAX_ITERS", "50"))
+        prev_n = edges.count()
         for _ in range(max_rounds):
             prev = edges
             edges = small_star(large_star(edges)).localCheckpoint(eager=True)
             # exact set equality (both sides are distinct canonical edge
             # sets): same count + empty difference.  A hash-sum signature
             # could collide across different edge sets and stop early with
-            # silently wrong components.
-            if edges.count() == prev.count() and edges.exceptAll(prev).isEmpty():
+            # silently wrong components.  prev's count is carried from the
+            # last round — no second scan of the checkpointed set.
+            n = edges.count()
+            if n == prev_n and edges.exceptAll(prev).isEmpty():
                 break  # edge set stable ⇒ stars formed
+            prev_n = n
         else:
             raise RuntimeError(
                 f"connected_components_star did not converge in {max_rounds} "

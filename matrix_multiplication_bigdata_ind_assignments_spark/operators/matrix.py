@@ -113,16 +113,22 @@ def _validate_coo(M: DataFrame, name: str) -> None:
 # the same logical operand (the common case: a query re-invoked per round)
 # launch ZERO extra stat jobs — the planner analogue of relational.py's
 # _RANGE_STATS.  Keyed on Catalyst's semanticHash (same key ⇔ same optimized
-# plan modulo cosmetic ids); stats describe immutable parquet fixtures, so
-# staleness is not a concern.
+# plan modulo cosmetic ids).  CAVEAT: the memo assumes a plan's underlying
+# data is immutable for the session (true for the parquet fixtures); a
+# caller whose source directory gains files under an identical plan should
+# call _COO_STATS.clear() before re-planning.  Bounded so distinct plans
+# can't grow the dict without limit.
 _COO_STATS: dict[int, tuple[int, int]] = {}
+_COO_STATS_MAX = 256
 
 
 def _coo_stats(M: DataFrame) -> tuple[int, int]:
     """(nnz, square extent) of a COO frame — one combined agg job on first
-    sight of a plan, memoized thereafter."""
+    sight of a plan, memoized thereafter (see _COO_STATS caveat)."""
     key = M.semanticHash()
     if key not in _COO_STATS:
+        if len(_COO_STATS) >= _COO_STATS_MAX:
+            _COO_STATS.clear()
         s = M.agg(
             F.count(F.lit(1)).alias("nnz"),
             F.max(F.greatest("i", "j")).alias("hi"),

@@ -105,27 +105,32 @@ def _decode_image(payload: bytes):
 
     if payload[:2] == b"P6":
         # header: P6 <w> <h> <maxval> then ONE whitespace then raw RGB;
-        # '#' comments may appear between tokens
-        pos, tokens = 2, []
-        while len(tokens) < 3 and pos < len(payload):
-            c = payload[pos : pos + 1]
-            if c.isspace():
-                pos += 1
-            elif c == b"#":
-                pos = payload.index(b"\n", pos) + 1
-            else:
-                end = pos
-                while end < len(payload) and not payload[end : end + 1].isspace():
-                    end += 1
-                tokens.append(int(payload[pos:end]))
-                pos = end
-        if len(tokens) < 3 or tokens[2] > 255:
+        # '#' comments may appear between tokens.  Opaque payloads that
+        # merely START with 'P6' (e.g. text bytes) fail the parse — any
+        # malformed token/comment means "not an image", never a crash.
+        try:
+            pos, tokens = 2, []
+            while len(tokens) < 3 and pos < len(payload):
+                c = payload[pos : pos + 1]
+                if c.isspace():
+                    pos += 1
+                elif c == b"#":
+                    pos = payload.index(b"\n", pos) + 1
+                else:
+                    end = pos
+                    while end < len(payload) and not payload[end : end + 1].isspace():
+                        end += 1
+                    tokens.append(int(payload[pos:end]))
+                    pos = end
+            if len(tokens) < 3 or tokens[2] > 255 or tokens[0] <= 0 or tokens[1] <= 0:
+                return None
+            w, h = tokens[0], tokens[1]
+            raw = payload[pos + 1 : pos + 1 + w * h * 3]
+            if len(raw) < w * h * 3:
+                return None
+            return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+        except ValueError:
             return None
-        w, h = tokens[0], tokens[1]
-        raw = payload[pos + 1 : pos + 1 + w * h * 3]
-        if len(raw) < w * h * 3:
-            return None
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
 
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -258,6 +263,10 @@ def phash_table(media: DataFrame) -> DataFrame:
         if img is None:  # opaque payload: byte-grid fake (see module doc)
             return np.resize(np.frombuffer(payload, dtype=np.uint8), n * n).reshape(n, n)
         lum = img @ np.array([0.299, 0.587, 0.114])  # Rec.601 luma
+        if min(lum.shape) < n:
+            # tiny image: repeat-sample (block-mean's reduceat boundaries
+            # would repeat → zero-count cells → division by zero)
+            return lum[(np.arange(n) * lum.shape[0]) // n][:, (np.arange(n) * lum.shape[1]) // n]
         # block-MEAN pooling to 8×8 (pHash's smoothing step — a
         # nearest-neighbor sample would let per-pixel noise through)
         ys = (np.arange(n) * lum.shape[0]) // n

@@ -378,11 +378,11 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
 
     This is the FAISS training pattern — codebooks are ALWAYS fit on a
     driver-side sample (k·39..k·256 points suffice per subspace), never
-    distributed: the sample here is hard-capped at {_PQ_TRAIN} vectors
+    distributed: the sample here is hard-capped at _PQ_TRAIN (2048) vectors
     chosen by md5-hash order (deterministic, unbiased), so the collect is
     O(1) in corpus size.  The candidate set is first cut down by a hash-
     THRESHOLD filter (pushdown-friendly, no shuffle) sized from the
-    corpus count so only ~4×{_PQ_TRAIN} rows reach the global sort — a
+    corpus count so only ~4×_PQ_TRAIN rows reach the global sort — a
     bare orderBy().limit() would full-sort the corpus at 100 TB.  Lloyd
     iterations run in numpy with first-K distinct-subvector init and
     empty-cluster re-seeding to the farthest point — no RNG anywhere, so
@@ -423,7 +423,7 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): unit-normalize,
     split each vector into 8 subvectors, assign each to its nearest of
-    {_PQ_K} per-subspace k-means centroids (trained on a bounded deterministic
+    _PQ_K (32) per-subspace k-means centroids (trained on a bounded deterministic
     sample — see _pq_train_codebook), answer queries by asymmetric
     distance (query precomputes a (subspace × centroid) distance table;
     a candidate's distance is a SUM of 8 table lookups joined on
@@ -436,7 +436,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     M·K higher-order-function evaluations per row cost ~2× the numpy
     gather — measured 2.8 s → 1.4 s at sf0.1) — no per-pair vector math
     over the corpus, which is the property that lets PQ scan billions of
-    codes.  Only the {_PQ_SHORTLIST}-candidate shortlist per query pays
+    codes.  Only the _PQ_SHORTLIST-candidate (200) shortlist per query pays
     exact cosine math (the standard FAISS re-rank stage).  Deterministic
     (no RNG) → rows-only; recall vs the exact baseline asserted in tests
     and recorded in ANN_RECALL.md."""

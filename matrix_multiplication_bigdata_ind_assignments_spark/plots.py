@@ -230,6 +230,8 @@ def line_chart(
         return
 
     def make_scale(vals, kind, p_lo, p_hi):
+        if kind == "log" and not any(v > 0 for v in vals):
+            kind = "linear"  # all-zero/negative data can't plot on a log axis
         if kind == "log":
             vals = [v for v in vals if v > 0]
             lo, hi = math.log10(min(vals)), math.log10(max(vals))

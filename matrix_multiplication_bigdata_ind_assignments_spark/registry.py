@@ -44,12 +44,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Driver-facing ordering.  The correctness gate walks queries in dict order
 # under a budget (~50 queries/round), so the order IS the verification
-# priority.  Round-3 rotation (VERDICT.md r2 item 1): the 34 queries that
-# have never earned a driver correctness row in rounds 1-2 come first, then
-# 16 plan-sensitive round-1/2 greens as regression canaries (VERDICT.md r2
-# item 2), then everything else in registration order.
+# priority.  Round-3 rotation (VERDICT.md r2 item 1): the 35 queries with
+# no driver correctness row yet (34 never checked in rounds 1-2 plus the
+# round-3-new span dedup) come first, then 15 plan-sensitive round-1/2
+# greens as regression canaries (VERDICT.md r2 item 2), then everything
+# else in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (34) ---
+    # --- never driver-checked (34 from rounds 1-2) ---
     # flagship pipeline composites
     "q_corpus_clean_e2e",
     "q_decontaminate",

@@ -68,6 +68,9 @@ def _await_batches(q, target_batch_id: int, timeout_s: float = 120.0) -> None:
         if p is not None and p["batchId"] is not None and p["batchId"] >= target_batch_id:
             return
         if not q.isActive:
+            exc = q.exception()  # the stream may have died since the check above
+            if exc is not None:
+                raise exc
             raise RuntimeError(
                 f"streaming query {q.name!r} stopped before batch {target_batch_id}"
             )
