@@ -42,13 +42,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Driver-facing ordering.  The correctness gate walks queries in dict order
-# under a budget (~50 queries/round), so the order IS the verification
-# priority.  Round-3 rotation (VERDICT.md r2 item 1): the 35 queries with
-# no driver correctness row yet (34 never checked in rounds 1-2 plus the
-# round-3-new span dedup) come first, then 15 plan-sensitive round-1/2
-# greens as regression canaries (VERDICT.md r2 item 2), then everything
-# else in registration order.
+# Driver-facing ordering preferences.  The correctness gate walks queries
+# in dict order under a budget (~50 queries/round), so order IS the
+# verification priority — but the ORDER ITSELF is computed data-driven in
+# _ordered() from the driver's own CORRECTNESS_r*.json records: queries
+# with no driver row yet always go first (a new op earns its row the next
+# round with no manual rotation), then the _CANARIES below as every-round
+# regression cover, then the remaining greens rotated across rounds.
+# _PRIORITY holds only the preferred ordering for still-unchecked names.
 _PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (34 from rounds 1-2) ---
     # flagship pipeline composites
@@ -94,7 +95,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_frame_sample",
     # new in round 3 (needs its first driver row)
     "q_dedup_span_exact",
-    # --- regression canaries: plan-sensitive r1/r2 greens (15) ---
+)
+
+# Plan-sensitive greens re-verified EVERY round (placed right after any
+# still-unchecked names): one per major physical-plan family, so a plan
+# regression can't rot silently while the window chases new rows.
+_CANARIES: tuple[str, ...] = (
     "q_matmul_dense",
     "q_matmul_blocked",
     "q_matmul_sparse",
@@ -113,13 +119,47 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_checked() -> tuple[set[str], int]:
+    """(names with a driver correctness row so far, number of past rounds)
+    from the CORRECTNESS_r*.json files the driver leaves in the repo root."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    rounds = 0
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rounds += 1
+        try:
+            with open(p) as f:
+                checked |= set(json.load(f))
+        except (OSError, ValueError):  # pragma: no cover - corrupt/absent file
+            pass
+    return checked, rounds
+
+
 def _ordered() -> list[Query]:
+    """Gate-facing order, DATA-DRIVEN from the driver's own correctness
+    records: (1) queries with no driver row yet — every query earns a row
+    before any green is re-verified — ordered by _PRIORITY preference then
+    registration; (2) the _PRIORITY canaries (plan-sensitive greens that
+    must stay under regression watch every round); (3) all remaining
+    greens, rotated by round count so successive rounds re-verify
+    different slices of the already-green surface."""
     _load_all()
-    # priority names first (in _PRIORITY order), then the rest in
-    # registration order
-    prioritized = [n for n in _PRIORITY if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
-    return [REGISTRY[n] for n in prioritized + rest]
+    checked, rounds = _driver_checked()
+    names = list(REGISTRY)
+    pref = {n: i for i, n in enumerate(_PRIORITY)}
+    never = sorted(
+        (n for n in names if n not in checked), key=lambda n: (pref.get(n, len(pref)), names.index(n))
+    )
+    canaries = [n for n in _CANARIES if n in REGISTRY and n in checked]
+    rest = [n for n in names if n in checked and n not in set(canaries)]
+    if rest:
+        k = (rounds * 29) % len(rest)
+        rest = rest[k:] + rest[:k]
+    return [REGISTRY[n] for n in never + canaries + rest]
 
 
 def queries() -> dict[str, QueryFn]:

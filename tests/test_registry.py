@@ -40,3 +40,32 @@ def test_priority_names_all_exist():
     assert missing == [], missing
     # and the priority list itself has no duplicates
     assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+
+
+def test_canary_names_all_exist():
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    qs = set(entry_mod.queries())
+    assert [n for n in registry._CANARIES if n not in qs] == []
+    assert len(registry._CANARIES) == len(set(registry._CANARIES))
+
+
+def test_ordering_is_driver_record_driven(monkeypatch):
+    """Never-driver-checked queries always precede checked ones; canaries
+    come right after; the green tail rotates with the round count."""
+    from unittest import mock
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    all_names = set(entry_mod.queries())
+    some = sorted(all_names)[:40]
+    with mock.patch.object(registry, "_driver_checked", return_value=(set(some), 2)):
+        ordered = list(registry.queries())
+        n_never = len(all_names) - len(some)
+        assert set(ordered[:n_never]) == all_names - set(some)
+    with mock.patch.object(registry, "_driver_checked", return_value=(all_names, 3)) as _:
+        r4 = list(registry.queries())[:50]
+        assert [n for n in r4 if n in registry._CANARIES] == list(registry._CANARIES)
+    with mock.patch.object(registry, "_driver_checked", return_value=(all_names, 4)):
+        r5 = list(registry.queries())[:50]
+    assert set(r4) != set(r5)  # rotation moves the green slice each round
