@@ -1,0 +1,237 @@
+"""Distributed BPE tokenizer training (SURVEY.md §2.3 training-pipeline
+extension surface): learn byte-pair-encoding merge rules from the corpus
+the way sentencepiece/HF tokenizers do, but with every corpus-sized step
+a Spark aggregation.
+
+The classic algorithm (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units") iterates: count adjacent symbol pairs
+over the word-frequency table, merge the most frequent pair everywhere,
+repeat.  The scale decomposition:
+
+- the CORPUS-sized work — word counting — is one hash aggregation
+  (map-side combinable), done once;
+- each merge round then runs over the DISTINCT-WORD table (orders of
+  magnitude smaller than the corpus; ~10M rows even at 100 TB of text),
+  as a posexplode + groupBy-sum pair count, an argmax pulled to the
+  driver (one row), and a vectorized Arrow kernel applying the merge to
+  the symbol sequences.
+
+Determinism: ties in pair frequency break lexicographically, so the
+learned merge table is a pure function of the corpus (no RNG) — asserted
+against a sequential pure-Python reference in tests/test_tokenizer.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+
+_BPE_MERGES = 20
+_END = "</w>"  # end-of-word marker, per the original BPE formulation
+
+# (sf_dir, n_merges) → learned rules: training is deterministic per
+# corpus, so q_bpe_train / q_bpe_encode share one training run per
+# fixture (train-once/apply-many, the same memo pattern as similarity's
+# _PQ_BOOKS)
+_BPE_RULES: dict[tuple[str, int], list] = {}
+
+
+def _rules_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    key = (sf_dir, _BPE_MERGES)
+    if key not in _BPE_RULES:
+        _BPE_RULES[key] = bpe_train(_word_freqs(spark, sf_dir))
+    return _BPE_RULES[key]
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+_BPE_LOCAL_VOCAB = 100_000  # distinct-word bound for in-memory training
+
+
+def bpe_train(words: DataFrame, n_merges: int = _BPE_MERGES) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from a (w, freq) table.
+
+    Returns [(rank, left, right, pair_count), ...].  The corpus-sized
+    work (word counting) happened upstream; the merge loop itself runs
+    over word COUNTS, which is how HF/sentencepiece train too — so when
+    the distinct vocabulary is bounded (≤ MMBD_BPE_LOCAL_VOCAB, default
+    100k — natural-language vocabularies are), the loop runs in-process
+    on the collected counts.  Open vocabularies (code identifiers, URLs)
+    past the bound take the fully distributed per-round path
+    (_bpe_train_distributed); both paths produce the identical rule
+    table (equivalence-tested)."""
+    import os
+
+    bound = int(os.environ.get("MMBD_BPE_LOCAL_VOCAB", _BPE_LOCAL_VOCAB))
+    if words.count() <= bound:
+        freqs = {r["w"]: r["freq"] for r in words.collect()}
+        return _bpe_train_local(freqs, n_merges)
+    return _bpe_train_distributed(words, n_merges)
+
+
+def _bpe_train_local(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Sequential merge loop over collected word counts (the textbook
+    algorithm, deterministic lexicographic tie-break)."""
+    seqs = {w: list(w) + [_END] for w in word_freqs}
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < 2:
+            break
+        rules.append((rank, left, right, n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+def _bpe_train_distributed(
+    words: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Per-round distributed merge loop: each round is one pair-count
+    aggregation over the distinct-word table plus a single argmax row to
+    the driver (the merge is applied lazily inside the next round's
+    Arrow kernel via the rule list in its closure)."""
+    import os
+
+    spark = words.sparkSession
+    base = words.select(
+        "w", "freq", F.concat(F.split(F.col("w"), ""), F.array(F.lit(_END))).alias("syms")
+    ).localCheckpoint(eager=True)
+
+    # the per-round aggregations run over the tiny distinct-word table —
+    # pin shuffle partitions so 20 rounds don't pay 200-task scheduling
+    # each (same pattern as dedup's MMBD_CC_SHUFFLE_PARTITIONS)
+    n_part = os.environ.get("MMBD_BPE_SHUFFLE_PARTITIONS", "8")
+    old_part = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_part)
+
+    rules: list[tuple[int, str, str, int]] = []
+
+    def apply_rules_kernel(sym_s: pd.Series) -> pd.Series:
+        # replay the learned merges in rank order over each symbol list —
+        # vectorized per Arrow batch, O(len * n_rules) per word
+        rl = [(l, r) for _, l, r, _ in rules]
+
+        def apply_one(syms):
+            syms = list(syms)
+            for left, right in rl:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return sym_s.map(apply_one)
+
+    try:
+        for rank in range(n_merges):
+            merged_udf = F.pandas_udf(apply_rules_kernel, "array<string>")
+            cur = base.select("w", "freq", merged_udf("syms").alias("syms"))
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.posexplode(
+                        F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0)))
+                    ).alias("i", "left"),
+                    "syms",
+                )
+                .select("freq", "left", F.expr("syms[i + 1]").alias("right"))
+                .groupBy("left", "right")
+                .agg(F.sum("freq").alias("n"))
+            )
+            top = pairs.orderBy(F.desc("n"), F.asc("left"), F.asc("right")).limit(1).collect()
+            if not top or top[0]["n"] < 2:
+                break  # vocabulary exhausted: nothing left worth merging
+            r = top[0]
+            rules.append((rank, r["left"], r["right"], int(r["n"])))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_part)
+    return rules
+
+
+@register("q_bpe_train", oracle=None)  # iterative argmax loop → rows-only
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule table learned from the documents corpus — the
+    tokenizer-training step of a data pipeline, distributed (see module
+    doc; equivalence vs a sequential reference in tests)."""
+    rules = _rules_for(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, pair_count long"
+    )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=None,  # depends on the learned rules → rows-only (equivalence-tested)
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under the learned BPE vocabulary: each document's
+    per-word symbol count after applying all merge rules — the "tokens
+    per doc" statistic a data pipeline budgets with.  Rules broadcast in
+    the kernel closure; the corpus pass is a single mapInPandas-style
+    projection + aggregation."""
+    rl = [(l, r) for _, l, r, _ in _rules_for(spark, sf_dir)]
+
+    @F.pandas_udf("long")
+    def n_tokens(word_s: pd.Series) -> pd.Series:
+        def count_one(w):
+            syms = list(w) + [_END]
+            for left, right in rl:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return word_s.map(count_one)
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    # per-distinct-word token count, broadcast back onto the corpus: the
+    # kernel runs |vocab| times, not |corpus| times
+    vocab = words.select("w").distinct().select("w", n_tokens("w").alias("w_tokens"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("w_tokens").alias("bpe_tokens"), F.count(F.lit(1)).alias("n_words"))
+    )

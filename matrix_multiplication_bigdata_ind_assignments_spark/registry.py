@@ -187,6 +187,7 @@ def _load_all() -> None:
         dedup,
         similarity,
         text,
+        tokenizer,
         multimodal,
         bench_results,
         sampling,
