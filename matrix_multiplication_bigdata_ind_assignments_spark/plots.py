@@ -335,11 +335,17 @@ def render_report(pdf, out_dir: str) -> list[str]:
 
     def by_series(frame, ycol, agg):
         # one point per (series, size): a thread sweep contributes its best
-        # time / peak memory, matching the reference's one-row-per-size CSVs
+        # time / peak memory, matching the reference's one-row-per-size CSVs.
+        # When (lang, algo) overflows the 8-hue palette, fold to lang-only
+        # series — the reference's Plot 1 grouping — instead of dropping.
+        keys = ["lang", "algo"]
+        if frame.groupby(keys).ngroups > len(PALETTE):
+            keys = ["lang"]
         out = []
-        for (lang, algo), g in frame.groupby(["lang", "algo"]):
+        for key, g in frame.groupby(keys):
             g = g.groupby("size", as_index=False).agg({ycol: agg}).sort_values("size")
-            out.append((f"{lang}/{algo}", list(g["size"]), list(g[ycol])))
+            label = "/".join(key) if isinstance(key, tuple) else key
+            out.append((label, list(g["size"]), list(g[ycol])))
         return out
 
     p = f"{out_dir}/mm_perf_time.png"
@@ -367,10 +373,14 @@ def render_report(pdf, out_dir: str) -> list[str]:
                 ("efficiency", "parallel_efficiency", "efficiency (speedup/p)", "linear"),
                 ("avg_time_ms", "parallel_time", "time (ms)", "log"),
             ):
+                keys = ["lang", "algo"]
+                if sub.groupby(keys).ngroups > len(PALETTE):
+                    keys = ["lang"]  # fold to lang-only (reference grouping)
                 rows = []
-                for (lang, algo), g in sub.groupby(["lang", "algo"]):
-                    g = g.sort_values("threads")
-                    rows.append((f"{lang}/{algo}", list(g["threads"]), list(g[ycol])))
+                for key, g in sub.groupby(keys):
+                    g = g.groupby("threads", as_index=False).agg({ycol: "min"}).sort_values("threads")
+                    label = "/".join(key) if isinstance(key, tuple) else key
+                    rows.append((label, list(g["threads"]), list(g[ycol])))
                 p = f"{out_dir}/{stem}_{n}.png"
                 line_chart(
                     p, rows, f"{stem.split('_')[1]} vs threads (n={n})",

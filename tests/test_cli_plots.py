@@ -77,3 +77,40 @@ def test_too_many_series_dropped_loudly(tmp_path, capsys):
     plots.line_chart(p, series, "t", "x", "y")
     assert _png_dims(p)[0] > 0
     assert "dropped" in capsys.readouterr().out
+
+
+def test_analyze_reads_heterogeneous_reference_schemas(tmp_path, monkeypatch):
+    """The reference's own CSVs disagree per stage/language (no algo or
+    threads columns, memory column name varies); analyze must normalize
+    and union them (mirrors Stage 1 visualizer's mem_map)."""
+    (tmp_path / "results_c.csv").write_text(
+        "lang,size,repeats,avg_time_ms,rss_now_mb,rss_peak_mb,allocated_mb\n"
+        "c,64,3,0.183,3.85,3.85,0.09\nc,128,3,1.4,3.9,4.0,0.1\n"
+    )
+    (tmp_path / "results_python.csv").write_text(
+        "lang,size,repeats,avg_time_ms,psutil_rss_mb_now,psutil_vms_mb_now,psutil_peak_rss_mb,tracemalloc_peak_mib\n"
+        "python,64,3,71.5,22.1,13.7,23.7,0.52\npython,128,3,580.1,22.9,13.9,24.1,0.6\n"
+    )
+    (tmp_path / "results_java_par.csv").write_text(
+        "lang,size,threads,repeats,avg_time_ms,speedup,efficiency,memory_mb\n"
+        "java,64,1,3,29.0,1.0,1.0,6.05\njava,64,4,3,9.1,1.0,0.25,7.2\n"
+    )
+    out = tmp_path / "report"
+    from matrix_multiplication_bigdata_ind_assignments_spark.__main__ import main
+
+    monkeypatch.setattr(
+        sys, "argv", ["mmbd", "analyze", str(tmp_path / "results_*.csv"), "--out", str(out)]
+    )
+    assert main() == 0
+    assert (out / "mm_perf_time.png").stat().st_size > 0
+    assert (out / "mm_perf_memory.png").stat().st_size > 0  # all three mem col variants coalesced
+    import pandas as pd
+
+    csvs = list((out / "derived_metrics").glob("*.csv"))
+    pdf = pd.concat([pd.read_csv(c) for c in csvs])
+    assert set(pdf["lang"]) == {"c", "python", "java"}
+    assert set(pdf["algo"]) == {"basic"}  # defaulted where the column was absent
+    assert pdf["rss_mb"].notna().all()
+    # derived speedup over the java thread sweep is REAL, not the broken 1.0
+    jv = pdf[(pdf["lang"] == "java") & (pdf["threads"] == 4)]
+    assert abs(float(jv["speedup"].iloc[0]) - 29.0 / 9.1) < 0.01
