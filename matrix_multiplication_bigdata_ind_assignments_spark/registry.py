@@ -100,22 +100,26 @@ _PRIORITY: tuple[str, ...] = (
 # Plan-sensitive greens re-verified EVERY round (placed right after any
 # still-unchecked names): one per major physical-plan family, so a plan
 # regression can't rot silently while the window chases new rows.
+# Ordered by irreplaceability — when unchecked names crowd the ~50-query
+# window, canaries are cut from the TAIL, so the single representative of
+# each family (streaming, windows+prefix-sum, dedup, similarity, matmul,
+# joins) sits before same-family spares.
 _CANARIES: tuple[str, ...] = (
     "q_matmul_dense",
-    "q_matmul_blocked",
-    "q_matmul_sparse",
     "q_range_join",
+    "q_dedup_minhash",
+    "q_stream_tumbling",
+    "q_sequence_pack",
+    "q_knn_graph",
+    "q_matmul_blocked",
     "q_asof_join",
+    "q_dedup_embedding",
+    "q_stream_session",
+    "q_cosine_topk",
     "q_scd2_intervals",
     "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_embedding",
-    "q_cosine_topk",
-    "q_knn_graph",
+    "q_matmul_sparse",
     "q_tfidf",
-    "q_sequence_pack",
-    "q_stream_tumbling",
-    "q_stream_session",
 )
 
 
