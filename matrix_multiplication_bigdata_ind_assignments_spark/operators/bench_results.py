@@ -280,3 +280,75 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("v"), 6).alias("row_sum"),
     )
+
+
+_Z_BITS = 16  # bits per dimension interleaved into the 32-bit z-value
+
+
+def _zvalue(df: DataFrame, ca: str, cb: str):
+    """Morton z-value of two numeric columns, each first RANGE-NORMALIZED
+    to the full _Z_BITS width (one min/max agg) — without normalization a
+    narrow dimension's high bits are constant and the interleave
+    degenerates to single-column ordering (Delta's OPTIMIZE ZORDER
+    range-normalizes for the same reason).  Bit ops are pure JVM
+    (shiftleft/shiftright/bitwiseAND), no UDF."""
+    s = df.agg(
+        F.min(ca).alias("a_lo"), F.max(ca).alias("a_hi"),
+        F.min(cb).alias("b_lo"), F.max(cb).alias("b_hi"),
+    ).first()
+    top = (1 << _Z_BITS) - 1
+
+    def norm(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return ((col.cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast("int")
+
+    a, b = norm(F.col(ca), s["a_lo"], s["a_hi"]), norm(F.col(cb), s["b_lo"], s["b_hi"])
+    z = F.lit(0)
+    for bit in range(_Z_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, bit).bitwiseAND(F.lit(1)), 2 * bit))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), 2 * bit + 1))
+        )
+    return z
+
+
+@register(
+    "q_zorder_sink",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n, {sql_dec_sum("l_quantity", 2)} AS total_qty
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 500 AND 1500
+""",
+)
+def q_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file clustering + multi-dimensional pruned
+    read — the OPTIMIZE ZORDER technique: lineitem lands as parquet
+    range-partitioned AND sorted by the interleaved-bit z-value of
+    (l_orderkey, l_partkey), then a 2-D range filter reads it back.
+
+    Why this layout at 100 TB: hive partitioning prunes on ONE column and
+    explodes directories at high cardinality; z-ordering keeps rows close
+    in BOTH dimensions inside few files, so parquet row-group min/max
+    stats prune most of the table for any 2-D box predicate (each file
+    covers a compact square-ish region of the key plane, not a full
+    stripe).  The oracle checks the clustered read returns exactly the
+    plain filter's answer; tests/test_partitioning.py asserts the
+    clustering quality (per-file key spans shrink vs an unclustered
+    write)."""
+    out = tempfile.mkdtemp(prefix="mmbd_zorder_")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    (
+        l.withColumn("zval", _zvalue(l, "l_orderkey", "l_partkey"))
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        F.col("l_orderkey").between(1000, 3000) & F.col("l_partkey").between(500, 1500)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity", 2).alias("total_qty"),
+    )
