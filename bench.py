@@ -53,8 +53,40 @@ def main() -> int:
     from matrix_multiplication_bigdata_ind_assignments_spark.operators import matrix as M
     from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
 
-    spark = get_spark("mmbd-bench", cpus=cpus)
+    # UI on for the bench session only: the REST endpoint
+    # /api/v1/applications/<id>/executors is how Spark exposes per-executor
+    # peak memory (the mirror of the reference's per-process RSS tracking,
+    # ref `Stage 1/C Implementation/mm_baseline.c:54-84`,
+    # `MMBaseline.java:44-60`); processTreeMetrics adds Python-worker RSS.
+    spark = get_spark(
+        "mmbd-bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.executor.processTreeMetrics.enabled": "true",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def executor_peak_mb() -> float | None:
+        """Peak executor memory (JVM heap + direct/mapped pools + Python
+        worker RSS) in MB via the Spark REST API; None if unpollable."""
+        try:
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/executors", timeout=5) as r:
+                execs = json.load(r)
+            peak = 0
+            for e in execs:
+                pm = e.get("peakMemoryMetrics") or {}
+                jvm = pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0)
+                py = pm.get("ProcessTreePythonRSSBytes", 0)
+                peak = max(peak, jvm + py)
+            return round(peak / 1024 / 1024, 1) if peak else None
+        except Exception:
+            return None
 
     qs = registry.queries()
 
@@ -165,8 +197,10 @@ def main() -> int:
     # cold first run here measures Janino codegen + Python worker spin-up,
     # not the plan.  SPARK_GRAFT_BENCH_WARMUP=0 restores cold-run timing.
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
+    exec_peak_after: dict[str, float] = {}
     for name, thunk in benches.items():
         for _ in range(warmup):
             thunk()
@@ -175,10 +209,20 @@ def main() -> int:
             t0 = time.perf_counter()
             thunk()
             times.append(time.perf_counter() - t0)
-        # min over repeats: the steady-state number, robust to background
-        # load spikes (observed ±40% on shared hardware); the reference
-        # harness likewise reports JIT-warmed steady state (BASELINE.md)
+        # Headline "queries" uses min over repeats (steady state, robust to
+        # background load spikes observed at ±40% on shared hardware);
+        # "queries_mean" records the avg-of-repeats number BASELINE.md's
+        # reference figures use, so cross-round and vs-baseline comparisons
+        # can be made method-for-method (ADVICE r3: min-vs-mean is a
+        # methodology choice, not warm-up — record both).
         timings[name] = round(min(times), 3)
+        timings_mean[name] = round(sum(times) / len(times), 3)
+        pk = executor_peak_mb()
+        if pk is not None:
+            # executor peaks are monotonic since JVM start, so this is the
+            # peak-so-far AFTER this query — a jump attributes the high-water
+            # mark to the query that caused it
+            exec_peak_after[name] = pk
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
@@ -188,19 +232,22 @@ def main() -> int:
 
     rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "driver_peak_rss_mb": rss_mb,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_mean": timings_mean,
+        "timing_method": f"min_over_{repeats}_repeats_after_{warmup}_warmup;"
+        " queries_mean=avg_of_repeats (BASELINE.md comparator method)",
+        "sf": sf,
+        "cpus": int(cpus),
+        "driver_peak_rss_mb": rss_mb,
+    }
+    if exec_peak_after:
+        out["executor_peak_mb"] = max(exec_peak_after.values())
+        out["executor_peak_after_query_mb"] = exec_peak_after
+    print(json.dumps(out))
     return 0
 
 

@@ -300,10 +300,13 @@ def _zvalue(df: DataFrame, ca: str, cb: str):
 
     def norm(col, lo, hi):
         span = max(int(hi) - int(lo), 1)
-        return ((col.cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast("int")
+        # long, not int: bit 15 of dimension b lands on interleaved bit 31,
+        # which in an int column is the sign bit — half the rows would sort
+        # "b-upper-half first" instead of canonical Morton order.
+        return ((col.cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast("long")
 
     a, b = norm(F.col(ca), s["a_lo"], s["a_hi"]), norm(F.col(cb), s["b_lo"], s["b_hi"])
-    z = F.lit(0)
+    z = F.lit(0).cast("long")
     for bit in range(_Z_BITS):
         z = (
             z.bitwiseOR(F.shiftleft(F.shiftright(a, bit).bitwiseAND(F.lit(1)), 2 * bit))

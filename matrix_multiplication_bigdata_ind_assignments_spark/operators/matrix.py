@@ -118,23 +118,30 @@ def _validate_coo(M: DataFrame, name: str) -> None:
 # caller whose source directory gains files under an identical plan should
 # call _COO_STATS.clear() before re-planning.  Bounded so distinct plans
 # can't grow the dict without limit.
-_COO_STATS: dict[int, tuple[int, int]] = {}
+_COO_STATS: dict[int, tuple[DataFrame, tuple[int, int]]] = {}
 _COO_STATS_MAX = 256
 
 
 def _coo_stats(M: DataFrame) -> tuple[int, int]:
     """(nnz, square extent) of a COO frame — one combined agg job on first
-    sight of a plan, memoized thereafter (see _COO_STATS caveat)."""
+    sight of a plan, memoized thereafter (see _COO_STATS caveat).
+
+    semanticHash is 32-bit, so a hit is confirmed with sameSemantics
+    against the stored frame before reuse — a silent collision would hand
+    the planner the wrong (nnz, extent) and pick a suboptimal strategy."""
     key = M.semanticHash()
-    if key not in _COO_STATS:
-        if len(_COO_STATS) >= _COO_STATS_MAX:
-            _COO_STATS.clear()
-        s = M.agg(
-            F.count(F.lit(1)).alias("nnz"),
-            F.max(F.greatest("i", "j")).alias("hi"),
-        ).first()
-        _COO_STATS[key] = (s["nnz"], (s["hi"] or 0) + 1)
-    return _COO_STATS[key]
+    hit = _COO_STATS.get(key)
+    if hit is not None and M.sameSemantics(hit[0]):
+        return hit[1]
+    if len(_COO_STATS) >= _COO_STATS_MAX:
+        _COO_STATS.clear()
+    s = M.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.max(F.greatest("i", "j")).alias("hi"),
+    ).first()
+    stats = (s["nnz"], (s["hi"] or 0) + 1)
+    _COO_STATS[key] = (M, stats)
+    return stats
 
 
 def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int = 32) -> DataFrame:

@@ -291,28 +291,50 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF probe count (recall/scan-fraction knob): measured at sf0.1,
-# 2 probes → recall@5 0.46, 3 → ~0.6 (ANN_RECALL.md); cell membership is
-# only weakly informative on the angularly diffuse fixture, so each
-# extra probe buys ~linear recall for ~linear scan cost.
-_IVF_PROBES = 3
+# IVF probe count (recall/scan-fraction knob).  Round-3's IVF-flat scanned
+# probed cells at EXACT dot-product rate, so 3/10 probes was the affordable
+# point — recall@5 0.58, limited by cell containment on the angularly
+# diffuse fixture (label radii ≈85°).  Round 4 moves the in-cell scan to
+# PQ-ADC rate (8 table lookups per candidate vs 64 multiplies), which buys
+# ~8× more probed volume at equal cost: 7/10 probes at ADC rate ≈ 0.9
+# cells of exact-scan work, and containment at 7 probes pushes recall@5
+# to 0.86 (sf0.1) / 0.88 (sf0.01) — ≥ the 0.8 bar (ANN_RECALL.md; floor
+# asserted in tests/test_similarity.py).
+_IVF_PROBES = 7
+# ADC shortlist per query that pays exact re-ranking (same knob as
+# _PQ_SHORTLIST; constant per query, independent of corpus size).
+_IVF_SHORTLIST = 200
 
 
 @register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: 10 deterministic centroids (the label-0..9 mean
-    vectors — a k-means surrogate with no RNG), every vector assigned to
-    its nearest centroid, queries probe the _IVF_PROBES nearest centroid
-    cells only.  Centroids are tiny → broadcast; the probe join is an
-    equi-join on cell id.  Rows-only (approximate); recall asserted in
-    tests."""
+    """IVF-PQ ANN (the FAISS IVFPQ architecture): 10 deterministic coarse
+    centroids (label-0..9 mean vectors — a k-means surrogate with no RNG)
+    partition the corpus into cells; every vector also carries an 8-byte
+    PQ code (reusing q_ann_pq's memoized codebook).  A query probes its
+    _IVF_PROBES nearest cells, scores ONLY those cells' members by
+    asymmetric distance — per candidate, 8 JVM-side table lookups
+    (zip_with/element_at/aggregate), no vector math — then exact-re-ranks
+    the _IVF_SHORTLIST best.
+
+    Scale shape: the index is (cell id + 8 small ints) per vector; the
+    probe is an equi-join on cell id against a broadcast query list, so
+    per-query work is (probed-cell volume at ADC-lookup rate) + a
+    constant-size exact re-rank — the sublinear-scan path that lets IVF-PQ
+    serve billion-vector corpora.  Deterministic (no RNG) but approximate
+    → rows-only; recall vs the exact baseline asserted in
+    tests/test_similarity.py and recorded in ANN_RECALL.md."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
-    base = e.select("vec_id", "label", emb.alias("emb"))
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select("vec_id", "label", F.transform(emb, lambda x: x / nrm).alias("u"))
 
-    # centroid per label: elementwise mean via posexplode + re-assemble
+    # coarse quantizer: centroid per label (elementwise mean of unit
+    # vectors via posexplode + re-assemble), tiny → broadcast
     cent = (
-        base.select("label", F.posexplode("emb").alias("d", "x"))
+        unit.select("label", F.posexplode("u").alias("d", "x"))
         .groupBy("label", "d")
         .agg(F.avg("x").alias("cx"))
         .groupBy("label")
@@ -323,35 +345,86 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell"), "cemb")
     )
-
-    cdot = F.aggregate(F.zip_with("emb", "cemb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    cdot = F.aggregate(F.zip_with("u", "cemb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     cnorm = F.sqrt(F.aggregate(F.transform("cemb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    vnorm = F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    scored_cells = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "emb", "cell", (cdot / (cnorm * vnorm)).alias("ccos"), vnorm.alias("nrm")
+    scored_cells = unit.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "u", "cell", (cdot / cnorm).alias("ccos")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     ranked = scored_cells.withColumn("crk", F.row_number().over(w_assign))
-    assigned = ranked.where(F.col("crk") == 1).select("vec_id", "emb", "nrm", "cell")
-    probes = ranked.where((F.col("crk") <= _IVF_PROBES) & (F.col("vec_id") < _N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn"), "cell"
+
+    # PQ half: memoized codebook (shared with q_ann_pq) + one Arrow encode
+    # kernel over the corpus — this IS the index build; at serving scale
+    # codes are written once and scanned many times
+    bkey = (sf_dir, _PQ_K)
+    if bkey not in _PQ_BOOKS:
+        _PQ_BOOKS[bkey] = _pq_train_codebook(unit.select("vec_id", "u"))
+    C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
+    for s, k, cw in _PQ_BOOKS[bkey]:
+        C[s, k] = cw
+
+    @F.pandas_udf("array<int>")
+    def pq_codes(u: pd.Series) -> pd.Series:
+        X = np.stack(u.values).reshape(len(u), _PQ_M, -1)
+        codes = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=2)
+        return pd.Series(list(codes.astype("int32")))
+
+    assigned = ranked.where(F.col("crk") == 1).select("vec_id", "cell", pq_codes("u").alias("codes"))
+
+    # query-side: per-query (subspace × centroid) ADC tables, built
+    # driver-side from the explicitly bounded query set and joined in as a
+    # broadcast table (10 × 8 × 32 doubles)
+    qrows = sorted(
+        unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    Q = np.array([r["u"] for r in qrows]).reshape(len(qrows), _PQ_M, -1)
+    qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n_q, M, K)
+    qtab_df = spark.createDataFrame(
+        [(int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]]) for i, r in enumerate(qrows)],
+        "query_id long, tab array<array<double>>",
     )
 
-    dot = F.aggregate(F.zip_with("qe", "emb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = (
-        probes.join(assigned, "cell")
+    probes = ranked.where((F.col("crk") <= _IVF_PROBES) & (F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+
+    # ADC scan of the probed cells: equi-join on cell id, then 8 table
+    # lookups per candidate — all JVM-side, no per-pair vector math
+    adist = F.aggregate(
+        F.zip_with("codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    candidates = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot / (F.col("qn") * F.col("nrm"))).alias("cos"),
-        )
+        .join(F.broadcast(qtab_df), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    shortlist = (
+        candidates.withColumn("srk", F.row_number().over(w_short))
+        .where(F.col("srk") <= _IVF_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: constant (queries × shortlist) work
+    qv = unit.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cv = unit.select(F.col("vec_id").alias("neighbor_id"), F.col("u").alias("cu"))
+    cos = F.aggregate(F.zip_with("qu", "cu", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= _TOPK)
-        .distinct()
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
 

@@ -124,22 +124,36 @@ _CANARIES: tuple[str, ...] = (
 
 
 def _driver_checked() -> tuple[set[str], int]:
-    """(names with a driver correctness row so far, number of past rounds)
-    from the CORRECTNESS_r*.json files the driver leaves in the repo root."""
+    """(names whose LATEST driver correctness row succeeded, number of past
+    rounds) from the CORRECTNESS_r*.json files the driver leaves in the repo
+    root.  A row only counts as "checked" when the run actually verified the
+    query: err is null (or the declared ``no_oracle`` rows-only mode) and no
+    match flag is False.  A query whose most recent row errored or
+    mismatched re-enters the never-checked front of the gate ordering so it
+    is re-verified next round instead of rotating with the green tail."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
+    latest: dict[str, dict] = {}
     rounds = 0
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rounds += 1
         try:
             with open(p) as f:
-                checked |= set(json.load(f))
+                for name, row in json.load(f).items():
+                    latest[name] = row if isinstance(row, dict) else {}
         except (OSError, ValueError):  # pragma: no cover - corrupt/absent file
             pass
+    checked = {
+        n
+        for n, row in latest.items()
+        if row.get("err") in (None, "no_oracle")
+        and row.get("rows_match") is not False
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    }
     return checked, rounds
 
 

@@ -16,7 +16,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "mmbd-spark", cpus: int | str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "mmbd-spark",
+    cpus: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = os.environ.get("MMBD_SHUFFLE_PARTITIONS", "32")
     builder = (
@@ -39,4 +43,6 @@ def get_spark(app_name: str = "mmbd-spark", cpus: int | str | None = None) -> Sp
         # big joins (incremental dedup vs history) shuffle fewer rows
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -25,7 +25,10 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     approx2 = _pairs(S.q_ann_ivf(spark, sf_dir))
     assert approx1 == approx2
     recall = len(exact & approx1) / len(exact)
-    assert recall > 0.2  # 2-probe IVF over 10 cells
+    # IVF-PQ (7 probes at ADC rate + exact re-rank): measured 0.88 at
+    # sf0.001/sf0.01, 0.86 at sf0.1 (ANN_RECALL.md) — the 0.8 bar with
+    # a noise margin below
+    assert recall >= 0.75
 
 def test_topk_exact_has_k_rows_per_query(spark, sf_dir):
     df = S.q_cosine_topk(spark, sf_dir)
