@@ -114,13 +114,25 @@ def _bpe_train_local(
     return rules
 
 
+# checkpoint cadence for the distributed merge loop: every _BPE_CKPT_EVERY
+# rounds the merged symbol table is materialized (localCheckpoint) so each
+# round's Arrow kernel applies only the rules learned SINCE the last
+# checkpoint.  Without this the kernel replays ALL prior rules from the
+# raw table every round — O(rounds²·vocab) total work, quadratic exactly
+# in the large-vocab/many-merge regime the distributed path exists for
+# (VERDICT r3).  With it, total kernel work is O(rounds·vocab·ckpt_every).
+_BPE_CKPT_EVERY = 16
+
+
 def _bpe_train_distributed(
     words: DataFrame, n_merges: int
 ) -> list[tuple[int, str, str, int]]:
     """Per-round distributed merge loop: each round is one pair-count
     aggregation over the distinct-word table plus a single argmax row to
-    the driver (the merge is applied lazily inside the next round's
-    Arrow kernel via the rule list in its closure)."""
+    the driver; the merge itself is applied lazily inside the next
+    round's Arrow kernel (only the rules since the last checkpoint — the
+    symbol table is re-materialized every _BPE_CKPT_EVERY rounds so
+    per-round work stays flat as the rule list grows)."""
     import os
 
     spark = words.sparkSession
@@ -132,36 +144,38 @@ def _bpe_train_distributed(
     # pin shuffle partitions so 20 rounds don't pay 200-task scheduling
     # each (same pattern as dedup's MMBD_CC_SHUFFLE_PARTITIONS)
     n_part = os.environ.get("MMBD_BPE_SHUFFLE_PARTITIONS", "8")
+    ckpt_every = int(os.environ.get("MMBD_BPE_CKPT_EVERY", _BPE_CKPT_EVERY))
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
 
     rules: list[tuple[int, str, str, int]] = []
+    pending: list[tuple[str, str]] = []  # rules not yet baked into `base`
 
-    def apply_rules_kernel(sym_s: pd.Series) -> pd.Series:
-        # replay the learned merges in rank order over each symbol list —
-        # vectorized per Arrow batch, O(len * n_rules) per word
-        rl = [(l, r) for _, l, r, _ in rules]
+    def make_kernel(rule_list: list[tuple[str, str]]):
+        # snapshot the pending-rule list into the closure at wrap time (the
+        # udf serializes on creation, so a live reference would be stale)
+        def apply_rules_kernel(sym_s: pd.Series) -> pd.Series:
+            def apply_one(syms):
+                syms = list(syms)
+                for left, right in rule_list:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                return syms
 
-        def apply_one(syms):
-            syms = list(syms)
-            for left, right in rl:
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
+            return sym_s.map(apply_one)
 
-        return sym_s.map(apply_one)
+        return F.pandas_udf(apply_rules_kernel, "array<string>")
 
     try:
         for rank in range(n_merges):
-            merged_udf = F.pandas_udf(apply_rules_kernel, "array<string>")
-            cur = base.select("w", "freq", merged_udf("syms").alias("syms"))
+            cur = base.select("w", "freq", make_kernel(list(pending))("syms").alias("syms"))
             pairs = (
                 cur.select(
                     "freq",
@@ -179,6 +193,14 @@ def _bpe_train_distributed(
                 break  # vocabulary exhausted: nothing left worth merging
             r = top[0]
             rules.append((rank, r["left"], r["right"], int(r["n"])))
+            pending.append((r["left"], r["right"]))
+            if len(pending) >= ckpt_every:
+                old_base = base
+                base = base.select(
+                    "w", "freq", make_kernel(list(pending))("syms").alias("syms")
+                ).localCheckpoint(eager=True)
+                pending.clear()
+                old_base.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
     return rules
