@@ -232,7 +232,7 @@ def main() -> int:
 
     rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -245,9 +245,36 @@ def main() -> int:
         "driver_peak_rss_mb": rss_mb,
     }
     if exec_peak_after:
-        out["executor_peak_mb"] = max(exec_peak_after.values())
-        out["executor_peak_after_query_mb"] = exec_peak_after
-    print(json.dumps(out))
+        full["executor_peak_mb"] = max(exec_peak_after.values())
+        full["executor_peak_after_query_mb"] = exec_peak_after
+    # The driver records only the TAIL (~2 kB) of bench stdout, and r4's
+    # grown JSON line overflowed it, truncating the primary min-timings
+    # dict (VERDICT r4 "what's wrong" #3).  Truncation-proofing, twofold:
+    # (1) the complete record is written to BENCH_local.json in the repo
+    # root (committed per round), (2) the stdout line is kept compact —
+    # peaks/rss/prose live only in the file, separators are tight, and the
+    # primary "queries" (min) dict is LAST so even a truncated tail still
+    # carries it whole.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=2)
+            f.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        "method": f"min{repeats}+mean{repeats}_warm{warmup}",
+        "full": "BENCH_local.json",
+        "queries_mean": timings_mean,
+        "queries": timings,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

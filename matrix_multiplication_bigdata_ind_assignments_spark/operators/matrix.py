@@ -118,7 +118,7 @@ def _validate_coo(M: DataFrame, name: str) -> None:
 # caller whose source directory gains files under an identical plan should
 # call _COO_STATS.clear() before re-planning.  Bounded so distinct plans
 # can't grow the dict without limit.
-_COO_STATS: dict[int, tuple[DataFrame, tuple[int, int]]] = {}
+_COO_STATS: dict[int, list[tuple[DataFrame, tuple[int, int]]]] = {}
 _COO_STATS_MAX = 256
 
 
@@ -127,20 +127,29 @@ def _coo_stats(M: DataFrame) -> tuple[int, int]:
     sight of a plan, memoized thereafter (see _COO_STATS caveat).
 
     semanticHash is 32-bit, so a hit is confirmed with sameSemantics
-    against the stored frame before reuse — a silent collision would hand
-    the planner the wrong (nnz, extent) and pick a suboptimal strategy."""
+    against the stored frames before reuse — a silent collision would hand
+    the planner the wrong (nnz, extent) and pick a suboptimal strategy.
+    Each hash key holds a small LIST of (frame, stats) so two colliding
+    plans coexist instead of alternately evicting each other; sameSemantics
+    is guarded because a frame from a stopped/replaced SparkSession can
+    raise instead of simply missing."""
     key = M.semanticHash()
-    hit = _COO_STATS.get(key)
-    if hit is not None and M.sameSemantics(hit[0]):
-        return hit[1]
-    if len(_COO_STATS) >= _COO_STATS_MAX:
+    bucket = _COO_STATS.get(key, [])
+    for frame, stats in bucket:
+        try:
+            if M.sameSemantics(frame):
+                return stats
+        except Exception:  # stale frame from a stopped session — recompute
+            continue
+    if sum(len(b) for b in _COO_STATS.values()) >= _COO_STATS_MAX:
         _COO_STATS.clear()
+        bucket = []
     s = M.agg(
         F.count(F.lit(1)).alias("nnz"),
         F.max(F.greatest("i", "j")).alias("hi"),
     ).first()
     stats = (s["nnz"], (s["hi"] or 0) + 1)
-    _COO_STATS[key] = (M, stats)
+    _COO_STATS[key] = (bucket + [(M, stats)])[-4:]
     return stats
 
 

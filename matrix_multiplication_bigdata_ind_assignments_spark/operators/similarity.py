@@ -23,6 +23,13 @@ _TOPK = 5
 _N_QUERIES = 10  # query set: vec_id < 10
 
 
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """Empty result with the shared top-k schema — the zero-query
+    short-circuit for the ANN paths whose driver-side query collect would
+    otherwise feed numpy a 0-row reshape."""
+    return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rk long")
+
+
 def _normed(e):
     emb = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
@@ -378,6 +385,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
         key=lambda r: r["vec_id"],
     )
+    if not qrows:  # no query vectors in range → empty result, not a reshape error
+        return _empty_topk(spark)
     Q = np.array([r["u"] for r in qrows]).reshape(len(qrows), _PQ_M, -1)
     qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n_q, M, K)
     qtab_df = spark.createDataFrame(
@@ -536,6 +545,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         unit.where(F.col("vec_id") < _N_QUERIES).collect(), key=lambda r: r["vec_id"]
     )
+    if not qrows:  # no query vectors in range → empty result, not a reshape error
+        return _empty_topk(spark)
     qids = np.array([r["vec_id"] for r in qrows])
     Q = np.array([r["u"] for r in qrows]).reshape(len(qrows), _PQ_M, -1)
     qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)

@@ -203,6 +203,13 @@ def _bpe_train_distributed(
                 old_base.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        # release the final checkpoint's cached blocks (earlier ones are
+        # unpersisted at each checkpoint boundary above) — without this,
+        # every training call leaks one localCheckpoint until session end
+        try:
+            base.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     return rules
 
 

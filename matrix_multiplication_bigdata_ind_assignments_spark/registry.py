@@ -123,32 +123,34 @@ _CANARIES: tuple[str, ...] = (
 )
 
 
-def _driver_checked() -> tuple[set[str], int]:
-    """(names whose LATEST driver correctness row succeeded, number of past
-    rounds) from the CORRECTNESS_r*.json files the driver leaves in the repo
-    root.  A row only counts as "checked" when the run actually verified the
-    query: err is null (or the declared ``no_oracle`` rows-only mode) and no
-    match flag is False.  A query whose most recent row errored or
+def _driver_checked() -> tuple[dict[str, int], int]:
+    """({name -> round index of its latest successful driver row}, number of
+    past rounds) from the CORRECTNESS_r*.json files the driver leaves in the
+    repo root.  A row only counts as "checked" when the run actually verified
+    the query: err is null (or the declared ``no_oracle`` rows-only mode) and
+    no match flag is False.  A query whose most recent row errored or
     mismatched re-enters the never-checked front of the gate ordering so it
-    is re-verified next round instead of rotating with the green tail."""
+    is re-verified next round instead of rotating with the green tail.
+    Malformed (non-dict) rows are recorded as errored for the same reason —
+    they carry no evidence of verification."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     rounds = 0
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rounds += 1
         try:
             with open(p) as f:
                 for name, row in json.load(f).items():
-                    latest[name] = row if isinstance(row, dict) else {}
+                    latest[name] = (rounds, row if isinstance(row, dict) else {"err": "malformed"})
         except (OSError, ValueError):  # pragma: no cover - corrupt/absent file
             pass
     checked = {
-        n
-        for n, row in latest.items()
+        n: rnd
+        for n, (rnd, row) in latest.items()
         if row.get("err") in (None, "no_oracle")
         and row.get("rows_match") is not False
         and row.get("schema_match") is not False
@@ -161,10 +163,12 @@ def _ordered() -> list[Query]:
     """Gate-facing order, DATA-DRIVEN from the driver's own correctness
     records: (1) queries with no driver row yet — every query earns a row
     before any green is re-verified — ordered by _PRIORITY preference then
-    registration; (2) the _PRIORITY canaries (plan-sensitive greens that
+    registration; (2) the _CANARIES (plan-sensitive greens that
     must stay under regression watch every round); (3) all remaining
-    greens, rotated by round count so successive rounds re-verify
-    different slices of the already-green surface."""
+    greens, least-recently-verified first (by the round of each name's
+    latest successful driver row, tie-broken by registration order), so
+    with a ~50-query window every green is re-verified within a provable
+    bound — no fixed-stride variance."""
     _load_all()
     checked, rounds = _driver_checked()
     names = list(REGISTRY)
@@ -173,10 +177,11 @@ def _ordered() -> list[Query]:
         (n for n in names if n not in checked), key=lambda n: (pref.get(n, len(pref)), names.index(n))
     )
     canaries = [n for n in _CANARIES if n in REGISTRY and n in checked]
-    rest = [n for n in names if n in checked and n not in set(canaries)]
-    if rest:
-        k = (rounds * 29) % len(rest)
-        rest = rest[k:] + rest[:k]
+    del rounds  # ordering now depends on per-name last-green rounds only
+    rest = sorted(
+        (n for n in names if n in checked and n not in set(canaries)),
+        key=lambda n: (checked[n], names.index(n)),
+    )
     return [REGISTRY[n] for n in never + canaries + rest]
 
 

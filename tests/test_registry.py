@@ -52,20 +52,51 @@ def test_canary_names_all_exist():
 
 def test_ordering_is_driver_record_driven(monkeypatch):
     """Never-driver-checked queries always precede checked ones; canaries
-    come right after; the green tail rotates with the round count."""
+    come right after; the green tail is ordered least-recently-verified
+    first."""
     from unittest import mock
 
     from matrix_multiplication_bigdata_ind_assignments_spark import registry
 
     all_names = set(entry_mod.queries())
-    some = sorted(all_names)[:40]
-    with mock.patch.object(registry, "_driver_checked", return_value=(set(some), 2)):
+    some = {n: 1 for n in sorted(all_names)[:40]}
+    with mock.patch.object(registry, "_driver_checked", return_value=(some, 2)):
         ordered = list(registry.queries())
         n_never = len(all_names) - len(some)
         assert set(ordered[:n_never]) == all_names - set(some)
-    with mock.patch.object(registry, "_driver_checked", return_value=(all_names, 3)) as _:
-        r4 = list(registry.queries())[:50]
-        assert [n for n in r4 if n in registry._CANARIES] == list(registry._CANARIES)
-    with mock.patch.object(registry, "_driver_checked", return_value=(all_names, 4)):
-        r5 = list(registry.queries())[:50]
-    assert set(r4) != set(r5)  # rotation moves the green slice each round
+    # all green, half verified in round 1 and half in round 2: the round-1
+    # (stalest) half must fill the rotating tail before any round-2 name
+    names = sorted(all_names)
+    last = {n: (1 if i < len(names) // 2 else 2) for i, n in enumerate(names)}
+    with mock.patch.object(registry, "_driver_checked", return_value=(last, 2)):
+        ordered = list(registry.queries())
+        assert [n for n in ordered[:50] if n in registry._CANARIES] == list(registry._CANARIES)
+        tail = [n for n in ordered if n not in registry._CANARIES]
+        stale = {n for n, r in last.items() if r == 1 and n not in registry._CANARIES}
+        assert set(tail[: len(stale)]) == stale
+
+
+def test_lru_rotation_bounds_staleness():
+    """Simulate successive driver rounds with a 50-query window over the
+    real registry: under least-recently-verified ordering, every query is
+    re-verified within ceil(n_rest / slack) rounds of its last check."""
+    import math
+    from unittest import mock
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    all_names = list(entry_mod.queries())
+    window = 50
+    canaries = [n for n in registry._CANARIES if n in all_names]
+    n_rest = len(all_names) - len(canaries)
+    slack = window - len(canaries)
+    bound = math.ceil(n_rest / slack)
+    # everyone starts verified in round 0
+    last = {n: 0 for n in all_names}
+    for rnd in range(1, bound + 3):
+        with mock.patch.object(registry, "_driver_checked", return_value=(dict(last), rnd)):
+            picked = list(registry.queries())[:window]
+        for n in picked:
+            last[n] = rnd
+        staleness = [rnd - r for n, r in last.items()]
+        assert max(staleness) <= bound, (rnd, max(staleness))
