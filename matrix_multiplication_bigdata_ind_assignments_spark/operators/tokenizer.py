@@ -224,10 +224,79 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_bpe_encode",
-    oracle=None,  # depends on the learned rules → rows-only (equivalence-tested)
+# --- q_bpe_encode oracle -------------------------------------------------
+# The encode step is deterministic GIVEN the learned merge rules, and the
+# rules themselves are a pure function of the corpus (deterministic
+# tie-break) — so an oracle exists: train an INDEPENDENT copy of the rules
+# from DuckDB word counts + the sequential textbook loop, then unroll the
+# merge list into a replace() chain over delimiter-wrapped symbol strings
+# (VERDICT r4 task 3).  Each symbol is wrapped chr(30)…chr(31); a merge
+# (l, r) is `replace(s, ⟨l⟩⟨r⟩, ⟨lr⟩)` — because the delimiters are fully
+# consumed inside the match, SQL's left-to-right non-overlapping replace
+# is exactly BPE's greedy left-to-right merge pass (verified: [a,a,a] → 2
+# symbols, [a,a,a,a] → 2).  Token count = number of chr(31) terminators.
+
+_BPE_ORACLE_MEMO: dict[str, str] = {}
+
+
+def _bpe_rules_via_duckdb(sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Rules trained WITHOUT Spark: DuckDB word counts + the sequential
+    textbook loop — an independent path from q_bpe_train's Spark
+    aggregation, so a divergence between the two trainings surfaces as an
+    oracle mismatch instead of being assumed away."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT w, count(*) AS freq FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS w FROM read_parquet(?)"
+            ") WHERE w <> '' GROUP BY w",
+            [f"{sf_dir}/documents.parquet"],
+        ).fetchall()
+    finally:
+        con.close()
+    return _bpe_train_local({w: f for w, f in rows}, _BPE_MERGES)
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    if sf_dir in _BPE_ORACLE_MEMO:
+        return _BPE_ORACLE_MEMO[sf_dir]
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def wrap(sym: str) -> str:
+        return f"chr(30)||{lit(sym)}||chr(31)"
+
+    expr = (
+        "array_to_string(list_transform(string_split(w, ''),"
+        " c -> chr(30)||c||chr(31)), '')"
+        f" || {wrap(_END)}"
+    )
+    for _, left, right, _ in _bpe_rules_via_duckdb(sf_dir):
+        expr = f"replace({expr}, {wrap(left)}||{wrap(right)}, {wrap(left + right)})"
+    sql = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+tok AS (
+  SELECT w, CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS w_tokens
+  FROM (SELECT w, {expr} AS s FROM (SELECT DISTINCT w FROM words))
 )
+SELECT words.doc_id,
+       CAST(sum(w_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM words JOIN tok USING (w)
+GROUP BY words.doc_id
+"""
+    _BPE_ORACLE_MEMO[sf_dir] = sql
+    return sql
+
+
+@register("q_bpe_encode", oracle=_bpe_encode_oracle)
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts under the learned BPE vocabulary: each document's
     per-word symbol count after applying all merge rules — the "tokens

@@ -19,18 +19,30 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+#: An oracle is ANSI SQL for DuckDB — either a literal string, or a
+#: callable ``(sf_dir) -> str`` for queries whose oracle embeds DATA
+#: derived from the corpus (e.g. q_bpe_encode unrolls the learned merge
+#: rules into a replace() chain; the rules depend on which fixture is
+#: being checked).  None => rows-only check.
+OracleSpec = "str | Callable[[str], str] | None"
+
+
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: QueryFn
-    oracle: Optional[str]  # ANSI SQL for DuckDB; None => rows-only check
+    oracle: Optional[object]  # see OracleSpec
     doc: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
 
+# The real driver runs its oracle comparison at sf=0.01; callable oracles
+# resolve against this fixture when no explicit sf_dir is given.
+DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+
+def register(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as query ``name`` with optional oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -189,8 +201,16 @@ def queries() -> dict[str, QueryFn]:
     return {q.name: q.fn for q in _ordered()}
 
 
-def oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
+def oracles(sf_dir: str = DRIVER_ORACLE_SF) -> dict[str, str]:
+    """Resolved oracle SQL per query.  Callable oracles are rendered for
+    ``sf_dir`` (the driver's fixed sf0.01 by default; tools/oracle_check.py
+    passes the fixture it is actually checking)."""
+    out: dict[str, str] = {}
+    for q in _ordered():
+        if q.oracle is None:
+            continue
+        out[q.name] = q.oracle(sf_dir) if callable(q.oracle) else q.oracle
+    return out
 
 
 _LOADED = False

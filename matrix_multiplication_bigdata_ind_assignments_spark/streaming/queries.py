@@ -312,12 +312,24 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark_late", oracle=None)  # state-eviction demo → rows-only
+@register(
+    "q_stream_watermark_late",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY hour_start
+HAVING hour_start + 3600 <= (SELECT epoch(max(ts)) - 1800 FROM events)
+""",
+)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + append-mode windowed count: windows are only emitted
-    once the 30-minute watermark passes, exercising state eviction; with
-    the in-order availableNow replay all windows close, so row count equals
-    the tumbling query's."""
+    once the 30-minute watermark passes, exercising state eviction.  Under
+    the in-order availableNow replay the final watermark settles at
+    max(ts) - 30min, so the append sink holds exactly the windows whose
+    END is at or below it — every hour bucket except the last (719 of 720
+    on the fixtures).  That closed-form is the oracle: the batch hour
+    GROUP BY with a HAVING on the final watermark (VERDICT r4 task 4)."""
     s = _stream_events(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "30 minutes")

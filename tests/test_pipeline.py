@@ -22,7 +22,9 @@ def test_cross_source_one_survivor_per_key(spark, sf_dir):
     out = q_dedup_cross_source(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
-    keyed = d.select("doc_id", "source", F.array_join(F.slice(toks, 1, 3), " ").alias("k"))
+    keyed = d.select(
+        "doc_id", "source", F.md5(F.lower(F.array_join(toks, " "))).alias("k")
+    )
     n_keys = keyed.select("k").distinct().count()
     assert out.count() == n_keys
     assert out.select("k").distinct().count() == n_keys
@@ -36,6 +38,25 @@ def test_cross_source_one_survivor_per_key(spark, sf_dir):
     }
     for r in out.collect():
         assert (r["source"], r["doc_id"]) == best[r["k"]]
+
+
+def test_cross_source_shared_prefix_not_collapsed(spark, tmp_path):
+    """Regression (VERDICT r4 task 5): two docs sharing their 3 leading
+    tokens but with different bodies must BOTH survive — the old 3-token
+    prefix key collapsed them; identical-modulo-spacing/case docs still
+    dedup."""
+    rows = [
+        (1, "cc", "the quick brown fox jumps"),
+        (2, "aa", "the quick brown cat sleeps"),  # same 3-token prefix, distinct body
+        (3, "bb", "THE  QUICK   brown fox JUMPS"),  # doc 1 modulo case/spacing
+    ]
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in q_dedup_cross_source(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 3}  # doc 3 ('bb') beats doc 1 ('cc') on source precedence
+    assert out[2]["source"] == "aa"
+    assert out[3]["source"] == "bb"
 
 
 def test_range_join_strategies_agree_at_high_rate(spark, sf_dir):

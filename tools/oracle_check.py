@@ -72,7 +72,7 @@ def main() -> int:
     qs = registry.queries()
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
-    oracles = registry.oracles()
+    oracles = registry.oracles(sf_dir)
     failures = []
     for name, fn in sorted(qs.items()):
         t0 = time.time()
