@@ -2,15 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-Decode status: payloads in the library-free uncompressed formats (binary
-PPM ``P6`` and uncompressed 24/32-bit BMP) get a REAL numpy decode
-(`_decode_image`) — header parse, pixel grid, luminance — with features
-and pHash computed from actual pixels.  Compressed formats (JPEG/PNG/
-video) would need PIL/ffmpeg, which this container lacks, so any payload
-that isn't PPM/BMP falls back to the clearly-marked deterministic fake
-(`_fake_decode`).  Everything Spark-side — schema, partitioning, UDF
-signature, Arrow batch shape — is identical on both paths and tested
-(tests/test_multimodal.py, including real PPM/BMP fixtures).
+Decode status: payloads in the library-free uncompressed formats get a
+REAL numpy decode — binary PPM ``P6`` and uncompressed 24/32-bit BMP via
+`_decode_image` (header parse, pixel grid, luminance), and 16-bit PCM
+WAV via `_decode_audio` (RIFF chunk walk, int16 sample array) — with
+features, pHash, and audio stats computed from actual pixels/samples.
+Compressed formats (JPEG/PNG/MP3/video) would need PIL/ffmpeg, which
+this container lacks, so any payload that isn't PPM/BMP/PCM-WAV falls
+back to the clearly-marked deterministic fake (`_fake_decode`).
+Everything Spark-side — schema, partitioning, UDF signature, Arrow batch
+shape — is identical on both paths and tested (tests/test_multimodal.py,
+including real PPM/BMP/WAV fixtures).
 """
 
 from __future__ import annotations
@@ -68,13 +70,38 @@ FEATURE_SCHEMA = StructType(
 _IMG_W = _IMG_H = 16  # fixture image dims: 16×16 RGB = 768 payload bytes
 
 
+_WAV_RATE = 8000  # fixture sample rate (8 kHz mono telephone-band PCM)
+
+
+def _wav_bytes(samples, rate: int = _WAV_RATE, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE container around int16 PCM samples — header+raw
+    like the PPM builder, zero dependencies."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture media table with typed metadata — the schema a real
     image/audio table would have.  IMAGE rows carry a genuine binary-PPM
     payload (header + the document's text bytes as a 16×16 RGB pixel
-    grid), so the decode kernels run their REAL pixel path end-to-end in
-    the driver gate; audio/video rows stay opaque byte blobs and exercise
-    the fallback path (their decoders would need ffmpeg)."""
+    grid) and AUDIO rows a genuine 16-bit PCM WAV (RIFF header + the
+    text bytes viewed as int16 samples), so the decode kernels run their
+    REAL pixel/sample paths end-to-end in the driver gate; video rows
+    stay opaque byte blobs and exercise the fallback path (a real video
+    decoder would need ffmpeg)."""
     d = load(spark, sf_dir, "documents")
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")
@@ -82,10 +109,26 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rpad both pads AND truncates to exactly w*h*3 ascii chars = bytes
     pix = F.encode(F.rpad("text", _IMG_W * _IMG_H * 3, " "), "utf-8")
     ppm = F.concat(F.lit(f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()), pix)
+
+    @F.pandas_udf("binary")
+    def wav_payload(text_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(t: str) -> bytes:
+            b = (t or " ").encode("utf-8")
+            n = 160 + len(b) % 160  # deterministic per-doc sample count
+            reps = (2 * n + len(b) - 1) // len(b)
+            return _wav_bytes(np.frombuffer((b * reps)[: 2 * n], dtype="<i2"))
+
+        return text_s.map(one)
+
     return d.select(
         "doc_id",
         mtype.alias("media_type"),
-        F.when(mtype == "image", ppm).otherwise(F.encode("text", "utf-8")).alias("payload"),
+        F.when(mtype == "image", ppm)
+        .when(mtype == "audio", wav_payload("text"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
         F.when(mtype == "image", F.lit(_IMG_W)).otherwise(F.col("n_chars") % 640 + 16).cast("long").alias("width"),
         F.when(mtype == "image", F.lit(_IMG_H)).otherwise(F.col("n_chars") % 480 + 16).cast("long").alias("height"),
     )
@@ -154,6 +197,40 @@ def _decode_image(payload: bytes):
     return None
 
 
+def _decode_audio(payload: bytes):
+    """REAL decode of 16-bit PCM WAV (the one audio format parseable with
+    stdlib struct + numpy alone — VERDICT r4 task 6).
+
+    Walks the RIFF chunk list (word-aligned), requires a ``fmt `` chunk
+    declaring format 1 (PCM) at 16 bits, and returns
+    ``(samples int16 ndarray, sample_rate, n_channels)`` — or None for
+    anything else (compressed WAV, float WAV, non-RIFF), sending the
+    caller to `_fake_decode` exactly like `_decode_image` does."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate <= 0:
+        return None
+    usable = len(data) // (2 * n_ch) * (2 * n_ch)
+    return np.frombuffer(data[:usable], dtype="<i2"), rate, n_ch
+
+
 def _fake_decode(payload: bytes) -> dict:
     """DETERMINISTIC FAKE of a media decode (no PIL/ffmpeg in container).
 
@@ -176,17 +253,31 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def decode_one(payload: bytes) -> dict:
         img = _decode_image(payload)
-        if img is None:
-            # compressed/opaque payload: deterministic fake (PIL-gated
-            # formats would branch on _HAVE_PIL here)
-            return {**_fake_decode(payload), "frame_w": -1, "frame_h": -1}
-        return {
-            "byte_len": len(payload),
-            "checksum": int(img.sum(dtype="int64") % 1_000_003),
-            "n_frames": 1,
-            "frame_w": img.shape[1],
-            "frame_h": img.shape[0],
-        }
+        if img is not None:
+            return {
+                "byte_len": len(payload),
+                "checksum": int(img.sum(dtype="int64") % 1_000_003),
+                "n_frames": 1,
+                "frame_w": img.shape[1],
+                "frame_h": img.shape[0],
+            }
+        aud = _decode_audio(payload)
+        if aud is not None:
+            samples, rate, n_ch = aud
+            # audio features FROM THE SAMPLES: checksum over decoded PCM,
+            # n_frames = per-channel sample count, (frame_w, frame_h)
+            # repurposed as (sample_rate, channels) — ≠ -1 marks the real
+            # decode path, same convention as images
+            return {
+                "byte_len": len(payload),
+                "checksum": int(samples.sum(dtype="int64") % 1_000_003),
+                "n_frames": len(samples) // n_ch,
+                "frame_w": rate,
+                "frame_h": n_ch,
+            }
+        # compressed/opaque payload: deterministic fake (PIL/ffmpeg-gated
+        # formats would branch on _HAVE_PIL here)
+        return {**_fake_decode(payload), "frame_w": -1, "frame_h": -1}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:

@@ -24,8 +24,15 @@ def test_decode_features_matches_local_computation(spark, sf_dir):
             # image rows carry a genuine PPM → REAL pixel path
             assert img is not None and img.shape == (16, 16, 3)
             expected = (len(payload), int(img.sum(dtype="int64") % 1_000_003), 16, 16)
+        elif row["media_type"] == "audio":
+            # audio rows carry a genuine PCM WAV → REAL sample path
+            aud = MM._decode_audio(payload)
+            assert aud is not None
+            samples, rate, n_ch = aud
+            assert (rate, n_ch) == (MM._WAV_RATE, 1)
+            expected = (len(payload), int(samples.sum(dtype="int64") % 1_000_003), rate, n_ch)
         else:
-            assert img is None
+            assert img is None and MM._decode_audio(payload) is None
             f = MM._fake_decode(payload)
             expected = (f["byte_len"], f["checksum"], -1, -1)
         assert feats[row["doc_id"]] == expected
@@ -95,6 +102,45 @@ def test_decode_image_ppm_bmp_roundtrip():
     assert np.array_equal(got_ppm, pix)
     assert np.array_equal(got_bmp, pix)
     assert MM._decode_image(b"not an image at all") is None
+
+
+def test_decode_audio_stdlib_wave_fixture(tmp_path):
+    """A WAV written by Python's own stdlib `wave` module (an independent
+    encoder) must decode to the exact samples, rate, and channel count;
+    non-PCM and truncated payloads must return None."""
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-(2**15), 2**15, 777, dtype=np.int16)
+    p = tmp_path / "fixture.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(samples.tobytes())
+    got = MM._decode_audio(p.read_bytes())
+    assert got is not None
+    dec, rate, n_ch = got
+    assert (rate, n_ch) == (44100, 2)
+    # 777 int16 values = 388 complete 2-channel frames + 1 dangling value
+    assert np.array_equal(dec, samples[:776])
+    assert MM._decode_audio(b"RIFFxxxxWAVE") is None  # no chunks
+    assert MM._decode_audio(b"not audio") is None
+    # float-PCM (format 3) is a real WAV we can't decode → None, not junk
+    bad = bytearray(MM._wav_bytes(samples[:16]))
+    bad[20] = 3
+    assert MM._decode_audio(bytes(bad)) is None
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    s = np.arange(-50, 50, dtype=np.int16)
+    dec, rate, n_ch = MM._decode_audio(MM._wav_bytes(s))
+    assert rate == MM._WAV_RATE and n_ch == 1
+    assert np.array_equal(dec, s)
 
 
 def test_real_decode_features_and_phash(spark):
