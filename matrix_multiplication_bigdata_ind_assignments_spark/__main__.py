@@ -104,89 +104,15 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
-# Memory column per source schema, most-specific first — the reference's
-# CSVs disagree per stage/language (`Stage 1/Visualization/
-# mm_perf_visualizer.py:74-78` carries the same mem_map): C rss_peak_mb,
-# Python psutil_peak_rss_mb (Stage 1) / rss_mb (Stage 3), Java
-# heap_peak_mb / memory_mb.
-_MEM_COLS = ("rss_mb", "rss_peak_mb", "psutil_peak_rss_mb", "memory_mb", "heap_peak_mb")
-
-
-def _read_results_corpus(spark, pattern: str):
-    """Read a results-CSV corpus with HETEROGENEOUS schemas (the
-    reference's own files: Stage 1 has no algo/threads, Stage 3 no algo,
-    memory column name varies by language).  Files are grouped by their
-    header line, each group read with its own schema, columns normalized
-    (algo→'basic', threads→1, first present memory column→rss_mb), then
-    unioned by name."""
-    import glob as globmod
-
-    from pyspark.sql import functions as F
-
-    paths = sorted(globmod.glob(pattern, recursive=True)) or [pattern]
-    by_header: dict[str, list[str]] = {}
-    for p in paths:
-        try:
-            with open(p) as f:
-                by_header.setdefault(f.readline().strip(), []).append(p)
-        except OSError:
-            by_header.setdefault("", []).append(p)
-
-    parts = []
-    for _, files in sorted(by_header.items()):
-        raw = (
-            spark.read.option("header", True)
-            .csv(files)
-            .withColumn("source_file", F.input_file_name())
-        )
-        cols = set(raw.columns)
-        mem = next((c for c in _MEM_COLS if c in cols), None)
-        # locale fix + coercion (ref `Stage 1/Visualization/mm_perf_visualizer.py:39-46`)
-        parts.append(
-            raw.select(
-                F.lower("lang").alias("lang"),
-                (F.col("algo") if "algo" in cols else F.lit("basic")).alias("algo"),
-                F.col("size").cast("long").alias("size"),
-                (F.col("threads") if "threads" in cols else F.lit(1)).cast("int").alias("threads"),
-                F.expr("try_cast(regexp_replace(avg_time_ms, ',', '.') AS DOUBLE)").alias(
-                    "avg_time_ms"
-                ),
-                (
-                    F.expr(f"try_cast(regexp_replace({mem}, ',', '.') AS DOUBLE)")
-                    if mem
-                    else F.lit(None).cast("double")
-                ).alias("rss_mb"),
-                "source_file",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
 def _cmd_analyze(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
+    from .operators.bench_results import derive_metrics, read_results_corpus
     from .session import get_spark
 
     spark = get_spark("mmbd-analyze")
     spark.sparkContext.setLogLevel("ERROR")
-    cleaned = _read_results_corpus(spark, args.glob)
-    # relational speedup/efficiency over the WHOLE table — the reference
-    # computed this per-process and always got 1.0/0.0 (SURVEY.md §2.1)
-    w = Window.partitionBy("lang", "algo", "size").orderBy("threads")
-    derived = cleaned.withColumn("t1", F.first("avg_time_ms").over(w)).select(
-        "lang",
-        "algo",
-        "size",
-        "threads",
-        "avg_time_ms",
-        "rss_mb",
-        F.round(F.col("t1") / F.col("avg_time_ms"), 3).alias("speedup"),
-        F.round(F.col("t1") / F.col("avg_time_ms") / F.col("threads"), 3).alias("efficiency"),
-    )
+    derived = derive_metrics(read_results_corpus(spark, args.glob))
     os.makedirs(args.out, exist_ok=True)
     derived.orderBy("lang", "algo", "size", "threads").coalesce(1).write.mode(
         "overwrite"

@@ -51,6 +51,137 @@ def _write_corpus(spark: SparkSession, sf_dir: str, root: str) -> list[str]:
     return paths
 
 
+# Memory column per source schema, most-specific first — the reference's
+# CSVs disagree per stage/language (`Stage 1/Visualization/
+# mm_perf_visualizer.py:74-78` carries the same mem_map): C rss_peak_mb,
+# Python psutil_peak_rss_mb (Stage 1) / rss_mb (Stage 3), Java
+# heap_peak_mb / memory_mb.
+_MEM_COLS = ("rss_mb", "rss_peak_mb", "psutil_peak_rss_mb", "memory_mb", "heap_peak_mb")
+
+
+def read_results_corpus(spark: SparkSession, pattern: str) -> DataFrame:
+    """Read a results-CSV corpus with HETEROGENEOUS schemas (the
+    reference's own files: Stage 1 has no algo/threads, Stage 3 no algo,
+    memory column name varies by language).  Files are grouped by their
+    header line, each group read with its own schema, columns normalized
+    (algo→'basic', threads→1, first present memory column→rss_mb), then
+    unioned by name."""
+    import glob as globmod
+
+    paths = sorted(globmod.glob(pattern, recursive=True)) or [pattern]
+    by_header: dict[str, list[str]] = {}
+    for p in paths:
+        try:
+            with open(p) as f:
+                by_header.setdefault(f.readline().strip(), []).append(p)
+        except OSError:
+            by_header.setdefault("", []).append(p)
+
+    parts = []
+    for _, files in sorted(by_header.items()):
+        raw = (
+            spark.read.option("header", True)
+            .csv(files)
+            .withColumn("source_file", F.input_file_name())
+        )
+        cols = set(raw.columns)
+        mem = next((c for c in _MEM_COLS if c in cols), None)
+        # locale fix + coercion (ref `Stage 1/Visualization/mm_perf_visualizer.py:39-46`)
+        parts.append(
+            raw.select(
+                F.lower("lang").alias("lang"),
+                (F.col("algo") if "algo" in cols else F.lit("basic")).alias("algo"),
+                F.col("size").cast("long").alias("size"),
+                (F.col("threads") if "threads" in cols else F.lit(1)).cast("int").alias("threads"),
+                F.expr("try_cast(regexp_replace(avg_time_ms, ',', '.') AS DOUBLE)").alias(
+                    "avg_time_ms"
+                ),
+                (
+                    F.expr(f"try_cast(regexp_replace({mem}, ',', '.') AS DOUBLE)")
+                    if mem
+                    else F.lit(None).cast("double")
+                ).alias("rss_mb"),
+                "source_file",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def derive_metrics(cleaned: DataFrame) -> DataFrame:
+    """Relational speedup/efficiency over the WHOLE table — the reference
+    computed this per-process and always got 1.0/0.0 (SURVEY.md §2.1).
+    T1 is the lowest-thread-count time of each (lang, algo, size) series
+    (avg_time_ms tie-break keeps the window deterministic when a corpus
+    repeats a thread count)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang", "algo", "size").orderBy("threads", "avg_time_ms")
+    return cleaned.withColumn("t1", F.first("avg_time_ms").over(w)).select(
+        "lang",
+        "algo",
+        "size",
+        "threads",
+        "avg_time_ms",
+        "rss_mb",
+        F.round(F.col("t1") / F.col("avg_time_ms"), 3).alias("speedup"),
+        F.round(F.col("t1") / F.col("avg_time_ms") / F.col("threads"), 3).alias("efficiency"),
+    )
+
+
+# committed fixture corpus mirroring the reference's own heterogeneous
+# results files (Stage 1 C/Python without algo/threads + decimal commas,
+# Stage 3 Java thread sweep) — lets the analyze derivation be ORACLE-gated
+# (VERDICT r4 task 8) instead of only CLI-tested
+_FIXTURE_CORPUS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "results_corpus",
+)
+
+
+def _analyze_oracle_sql() -> str:
+    def src(fname: str, algo: str, threads: str, mem: str) -> str:
+        return f"""
+  SELECT lower(lang) AS lang, {algo} AS algo, CAST(size AS BIGINT) AS size,
+         CAST({threads} AS INT) AS threads,
+         CAST(replace(avg_time_ms, ',', '.') AS DOUBLE) AS avg_time_ms,
+         CAST(replace({mem}, ',', '.') AS DOUBLE) AS rss_mb
+  FROM read_csv('{_FIXTURE_CORPUS}/{fname}', header=true, all_varchar=true)"""
+
+    return f"""
+WITH u AS ({src("results_c.csv", "'basic'", "1", "rss_peak_mb")}
+UNION ALL{src("results_python.csv", "'basic'", "1", "psutil_peak_rss_mb")}
+UNION ALL{src("results_java_par.csv", "algo", "threads", "memory_mb")}
+),
+d AS (
+  SELECT lang, algo, size, threads, avg_time_ms, rss_mb,
+         first_value(avg_time_ms) OVER (
+           PARTITION BY lang, algo, size ORDER BY threads, avg_time_ms) AS t1
+  FROM u
+)
+SELECT lang, algo, size, threads, avg_time_ms, rss_mb,
+       round(t1 / avg_time_ms, 3) AS speedup,
+       round(t1 / avg_time_ms / threads, 3) AS efficiency
+FROM d
+"""
+
+
+@register("q_analyze_derived", oracle=_analyze_oracle_sql())
+def q_analyze_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyze CLI's derived-metrics table over the committed fixture
+    corpus (fixtures/results_corpus/): heterogeneous-schema CSV union →
+    normalization (lang casefold, algo/threads defaults, comma→dot locale
+    fix, per-schema memory column) → windowed T1 → speedup/efficiency.
+    The one reference-facing computation chain (visualizer front-end +
+    fixed speedup math) as an oracle-checked query; `sf_dir` is unused —
+    the corpus is the fixture, as it is for the reference's own CSVs."""
+    cleaned = read_results_corpus(spark, os.path.join(_FIXTURE_CORPUS, "results_*.csv"))
+    return derive_metrics(cleaned)
+
+
 @register("q_results_scan_union", oracle=None)  # file side effects → rows-only
 def q_results_scan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV corpus scan + lineage + union + cleaning: glob read,
