@@ -295,7 +295,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical band.  The full pipeline is oracle-checked because the hash
     family is md5+integer-mix (engine-neutral).  At scale the band-bucket
     join is the only pairing step — O(candidates), never O(n²)."""
-    d = load(spark, sf_dir, "documents")
+    return minhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
+    """q_dedup_minhash's pipeline over an arbitrary (doc_id, text) frame —
+    shared with the scaling probe so blow-up corpora run the identical
+    plan."""
     sh = _shingle_rows(d)
 
     # single-pass signature: all 16 minhashes as columns of ONE hash-agg
@@ -484,7 +490,7 @@ def connected_components(spark: SparkSession, pairs: DataFrame, a: str, b: str) 
 
 
 def connected_components_star(
-    spark: SparkSession, pairs: DataFrame, a: str, b: str
+    spark: SparkSession, pairs: DataFrame, a: str, b: str, stats: dict | None = None
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -540,7 +546,9 @@ def connected_components_star(
     try:
         max_rounds = int(os.environ.get("MMBD_CC_MAX_ITERS", "50"))
         prev_n = edges.count()
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
+            if stats is not None:
+                stats["rounds"] = rnd + 1  # rounds actually executed
             prev = edges
             edges = small_star(large_star(edges)).localCheckpoint(eager=True)
             # exact set equality (both sides are distinct canonical edge

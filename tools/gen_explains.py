@@ -15,7 +15,10 @@ sys.path.insert(0, "/root/repo")
 # query → the property the plan must exhibit (checked by tests/test_plans.py
 # where assertable; restated here so the audit doc is self-contained)
 AUDIT = {
-    "q_matmul_blocked": "cogrouped-Arrow GEMM tiles; partial/final agg split; no O(n^3) row materialization",
+    "q_matmul_blocked": "cogrouped-Arrow GEMM tiles; partial/final agg split; no O(n^3) row "
+    "materialization. A BroadcastNestedLoopJoin IS expected here and benign: its build side is "
+    "the tiny distinct block-key list (matrix.py pairs each data block with every block column), "
+    "not a data-x-data cross join — do not confuse it with the banned O(n^2) anti-pattern",
     "q_range_join": "bucketed equi-join on unix_micros longs; NO CartesianProduct / BroadcastNestedLoopJoin",
     "q_dedup_minhash": "band equi-join only (inverted index); signature built in ONE hash agg",
     "q_dedup_embedding": "2-D tile grid broadcast + cogroup shuffle; no theta self-join",

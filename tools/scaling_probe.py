@@ -240,6 +240,48 @@ def main() -> int:
         tile_results[mult] = time.perf_counter() - t0
         print(f"emb_tiled_allpairs x{mult}: {tile_results[mult]:.2f}s", flush=True)
 
+    # --- MinHash → components end-to-end blow-up (VERDICT r4 task 7) ----
+    # Corpus ×k with PER-COPY TOKEN PERTURBATION (every token suffixed with
+    # the copy index): copies are mutually shingle-disjoint, so the corpus
+    # grows k× with a CONSTANT dup-rate — the "bigger crawl, same dup
+    # structure" scenario.  The probe records what the quadratic failure
+    # modes would inflate: band-bucket candidate-pair volume (should be
+    # ~k×, never k²) and star-contraction round count (should be flat —
+    # component structure is per-copy identical).
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        connected_components_star,
+        minhash_pairs,
+    )
+
+    mh_results = {}
+    for mult in (1, k):
+        parts = []
+        for c in range(mult):
+            p = dc.select(
+                (F.col("doc_id") + F.lit(c * dkey_span)).alias("doc_id"),
+                (
+                    F.regexp_replace("text", r"(\S+)", f"$1@{c}") if c else F.col("text")
+                ).alias("text"),
+            )
+            parts.append(p)
+        d_m = parts[0]
+        for p in parts[1:]:
+            d_m = d_m.unionByName(p)
+        t0 = time.perf_counter()
+        cand = minhash_pairs(d_m).localCheckpoint(eager=True)
+        n_cand = cand.count()
+        t_cand = time.perf_counter() - t0
+        stats: dict = {}
+        comp = connected_components_star(spark, cand, "da", "db", stats=stats)
+        n_comp = comp.count()
+        wall = time.perf_counter() - t0
+        mh_results[mult] = (n_cand, t_cand, stats.get("rounds", 0), n_comp, wall)
+        print(
+            f"minhash_components x{mult}: {n_cand} candidates ({t_cand:.2f}s), "
+            f"{stats.get('rounds')} rounds, {n_comp} comps, {wall:.2f}s total",
+            flush=True,
+        )
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -299,6 +341,30 @@ def main() -> int:
         "cost more than they save, so the planner keeps the event-level",
         "join for sparse streams.  Identical pair counts on both paths",
         "(equivalence test: tests/test_pipeline.py).",
+    ]
+    (c1, tc1, r1, n1, w1), (ck, tck, rk, nk, wk) = mh_results[1], mh_results[k]
+    lines += [
+        "",
+        "## MinHash → components end-to-end blow-up",
+        "",
+        f"Documents ×{k} with per-copy token perturbation (copies are",
+        "shingle-disjoint, so the corpus grows with a CONSTANT dup-rate —",
+        "a bigger crawl with the same duplication structure):",
+        "",
+        "| corpus | band candidates | candidate ratio | contraction rounds | components | end-to-end (s) |",
+        "|---|---|---|---|---|---|",
+        f"| 1× | {c1:,} | 1× | {r1} | {n1:,} | {w1:.2f} |",
+        f"| {k}× | {ck:,} | {ck / max(c1, 1):.1f}× | {rk} | {nk:,} | {wk:.2f} |",
+        "",
+        f"Candidate volume scales ~linearly ({ck / max(c1, 1):.1f}× for {k}× docs — the",
+        "band-bucket equi-join never goes O(n²)), and the star contraction",
+        f"holds its round count ({r1} → {rk}; the done-bar is ≤+2) because",
+        "per-copy component structure is unchanged.  What WOULD blow up at",
+        "real scale is a mega-hot band bucket (boilerplate shared by",
+        "millions of docs): the bucket's pair list is quadratic in its",
+        "size, so production runs cap bucket width (drop or split buckets",
+        "past ~10k members — dropping only loses candidates that exact/",
+        "span dedup already catches).",
     ]
     a, b = tile_results[1], tile_results[k]
     lines += [
