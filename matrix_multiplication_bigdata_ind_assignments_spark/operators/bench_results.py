@@ -182,12 +182,32 @@ def q_analyze_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_metrics(cleaned)
 
 
-@register("q_results_scan_union", oracle=None)  # file side effects → rows-only
+@register(
+    "q_results_scan_union",
+    oracle="""
+WITH base AS (
+  SELECT event_type, round(avg(value), 3) AS avg_value FROM events GROUP BY event_type
+)
+SELECT lang, lang AS source_file_lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(avg_value), 3) AS sum_avg_value,
+       round(CAST(CASE WHEN lang = 'c' THEN 12 * count(*) ELSE 0 END AS DOUBLE), 3) AS sum_rss
+FROM (VALUES ('python'), ('c'), ('java')) l(lang), base
+GROUP BY lang
+""",
+)
 def q_results_scan_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV corpus scan + lineage + union + cleaning: glob read,
     input_file_name() lineage column, unionByName(allowMissingColumns)
     across heterogeneous schemas, comma→dot locale fix, try_cast coercion —
-    the reference visualizer front-end as one declarative pipeline."""
+    the reference visualizer front-end as one declarative pipeline.
+
+    Oracle-checked despite the tmp-file side effect: the corpus content is
+    a pure function of events (one row per event_type per lang, c rows
+    carrying rss 12 and decimal commas), so the expected aggregate is
+    computable straight off the events view — the round-trip through CSV
+    text, the per-schema union, and the locale fix all have to survive for
+    the hash to match."""
     root = tempfile.mkdtemp(prefix="mmbd_corpus_")
     _write_corpus(spark, sf_dir, root)
     wide = spark.read.option("header", True).csv(os.path.join(root, "results_c.csv"))
@@ -233,16 +253,27 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_csv_sink", oracle=None)  # file side effects → rows-only
+@register(
+    "q_csv_sink",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST({sql_dec_sum("value", 3)} AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""",
+)
 def q_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Results CSV sink + read-back (ref CSV writers
     `Stage 1/Python Implementation/mm_baseline.py:73-84`): write a header
     CSV with explicit schema, read it back, prove round-trip equality by
-    returning the re-read aggregate."""
+    returning the re-read aggregate.  The sum is exact fixed-point
+    (dec_sum) so the CSV text is deterministic and the read-back equals
+    the same aggregation computed directly on the events view — which is
+    the oracle; the file side effect is on the path under test, not an
+    excuse to skip the check."""
     out = tempfile.mkdtemp(prefix="mmbd_sink_")
     e = load(spark, sf_dir, "events")
     res = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total")
+        F.count(F.lit(1)).alias("n"), dec_sum("value", 3).alias("total")
     )
     res.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.option("header", True).schema("event_type string, n long, total double").csv(out)
@@ -301,11 +332,22 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_compact_small_files", oracle=None)  # file-count side effects → rows-only
+@register(
+    "q_compact_small_files",
+    oracle="""
+SELECT CAST(16 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS rows_before, CAST(count(*) AS BIGINT) AS rows_after
+FROM events WHERE event_type = 'purchase'
+""",
+)
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction: 64 micro-batch-sized parquet files rewritten
-    into 4 right-sized ones (repartition → write), with row-count equality
-    proven in the result.  The operational fix for streaming-ingest debris
+    """Small-file compaction: 16 micro-batch-sized parquet files rewritten
+    into 2 right-sized ones (repartition → write), with row-count equality
+    proven in the result.  The outcome IS oracle-checkable even though the
+    mechanism is a file side effect: repartition(k) writes exactly k
+    non-empty parquet files and compaction must not change the row count,
+    so the expected row equals (16, 2, n_purchase, n_purchase) computed
+    straight off the events view.  The operational fix for streaming-ingest debris
     — at 100 TB a table of 10 MB files makes every scan pay per-file open
     + task-schedule cost, and the NameNode/metastore pays the listing; the
     compactor is one shuffle sized by target file count

@@ -265,9 +265,7 @@ def _mh_constants() -> list[tuple[int, int]]:
     return out
 
 
-@register(
-    "q_dedup_minhash",
-    oracle=f"""
+_SQL_MINHASH_PAIRS = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 base AS (
   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh
@@ -287,8 +285,10 @@ SELECT a.doc_id AS da, b.doc_id AS db,
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-""",
-)
+"""
+
+
+@register("q_dedup_minhash", oracle=_SQL_MINHASH_PAIRS)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 32-bit md5 base hash → 16
     universal-hash minhashes → 4 bands of 4 → candidate pairs share an
@@ -576,7 +576,35 @@ def connected_components_star(
     )
 
 
-@register("q_dedup_components_star", oracle=None)  # iterative fixpoint → rows-only
+def _sql_components(pairs_sql: str, a: str, b: str) -> str:
+    """DuckDB oracle for connected components over a SQL-expressible pair
+    graph: recursive transitive closure (UNION-deduped, so it terminates)
+    + min-label per node.  The iterative Spark fixpoints were rows-only
+    because SQL can't express a *bounded-round* contraction — but it CAN
+    express the closure itself, and at the oracle scales the candidate
+    graphs are tiny (≤ thousands of edges), so the |component|²-row reach
+    table is cheap.  The closure is an independent algorithm (path
+    enumeration vs label propagation / star contraction), which is
+    exactly what an oracle should be."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT {a} AS u, {b} AS v FROM pairs
+  UNION ALL
+  SELECT {b} AS u, {a} AS v FROM pairs
+),
+reach(n, m) AS (
+  SELECT DISTINCT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+),
+lbl AS (SELECT n, min(m) AS comp FROM reach GROUP BY n)
+SELECT comp, CAST(count(*) AS BIGINT) AS n_members, min(n) AS keeper_id
+FROM lbl GROUP BY comp
+"""
+
+
+@register("q_dedup_components_star", oracle=_sql_components(_SQL_MINHASH_PAIRS, "da", "db"))
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup groups over the MinHash-LSH candidate graph via
     large-star/small-star contraction — the diameter-independent twin of
@@ -585,7 +613,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(spark, q_dedup_minhash(spark, sf_dir), "da", "db")
 
 
-@register("q_dedup_components", oracle=None)  # iterative fixpoint → rows-only
+@register("q_dedup_components", oracle=_sql_components(_SQL_MINHASH_PAIRS, "da", "db"))
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph — the
     step that turns pairwise matches into dedup groups (see
@@ -593,7 +621,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, q_dedup_minhash(spark, sf_dir), "da", "db")
 
 
-@register("q_dedup_semantic_groups", oracle=None)  # iterative fixpoint → rows-only
+# oracle is a CALLABLE only because _SQL_EMB_PAIRS is defined further down
+# the module (shared with q_dedup_embedding); it resolves at gate time
+@register("q_dedup_semantic_groups", oracle=lambda sf_dir: _sql_components(_SQL_EMB_PAIRS, "va", "vb"))
 def q_dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup: the EXACT cosine-threshold pair graph
     (tiled GEMM join, q_dedup_embedding) collapsed into groups, one
@@ -646,9 +676,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_near_ml(spark, sf_dir)
 
 
-@register(
-    "q_dedup_embedding",
-    oracle="""
+_SQL_EMB_PAIRS = """
 WITH n AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -658,8 +686,10 @@ SELECT a.vec_id AS va, b.vec_id AS vb,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.nrm * b.nrm), 6) AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.nrm * b.nrm) >= 0.35
-""",
-)
+"""
+
+
+@register("q_dedup_embedding", oracle=_SQL_EMB_PAIRS)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine ≥ 0.35 — EXACT,
     via a 2-D tiled block join (the blocked-matmul shape, not a theta

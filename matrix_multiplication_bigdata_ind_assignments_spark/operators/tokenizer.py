@@ -213,11 +213,37 @@ def _bpe_train_distributed(
     return rules
 
 
-@register("q_bpe_train", oracle=None)  # iterative argmax loop → rows-only
+def _bpe_train_oracle(sf_dir: str) -> str:
+    """Training is a deterministic pure function of the corpus, so the
+    rule TABLE itself has an oracle: an independently-trained copy (DuckDB
+    word counts + the sequential textbook loop — no Spark anywhere in the
+    path) emitted as a VALUES list.  A divergence in counts, tie-breaks,
+    or merge order between the Spark training and the textbook algorithm
+    shows up as a hash mismatch."""
+    rules = _bpe_rules_via_duckdb(sf_dir)
+    if not rules:
+        return (
+            "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS left_sym,"
+            " CAST(NULL AS VARCHAR) AS right_sym, CAST(NULL AS BIGINT) AS pair_count WHERE FALSE"
+        )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({rk}, {lit(l)}, {lit(r)}, {n})" for rk, l, r, n in rules)
+    return (
+        f"SELECT CAST(rank AS INT) AS rank, left_sym AS \"left\","
+        f" right_sym AS \"right\", CAST(pair_count AS BIGINT) AS pair_count"
+        f" FROM (VALUES {vals}) t(rank, left_sym, right_sym, pair_count)"
+    )
+
+
+@register("q_bpe_train", oracle=_bpe_train_oracle)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule table learned from the documents corpus — the
     tokenizer-training step of a data pipeline, distributed (see module
-    doc; equivalence vs a sequential reference in tests)."""
+    doc; equivalence vs a sequential reference in tests, and vs an
+    independently DuckDB-trained rule table in the oracle gate)."""
     rules = _rules_for(spark, sf_dir)
     return spark.createDataFrame(
         rules, "rank int, left string, right string, pair_count long"
