@@ -87,21 +87,35 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH operating point (recall/candidate-volume knob): measured at sf0.1,
-# 4 tables × 4 bits → recall@5 0.44; 8 × 4 → 0.68 at ~2× the candidate
-# volume (ANN_RECALL.md).  More tables raise recall linearly in scan cost.
-_N_TABLES = 8  # LSH tables (independent signatures, union of candidates)
-_BITS_PER_TABLE = 4  # 2^4 = 16 buckets per table
+# LSH operating point (recall/candidate-volume knob), chosen from an
+# offline sweep at sf0.1 (recall@5 @ candidate fraction of corpus):
+#   8×4b exact-probe        0.68 @ 40%   (r3 operating point)
+#   8×4b + Hamming-1 probe  1.00 @ 94%   (4-bit tables degenerate: probes
+#                                         cover most of a 16-bucket space)
+#   12×8b + Hamming-1       0.82 @ 35%
+#   16×8b + Hamming-1       0.88 @ 44%   ← chosen: +0.20 recall over r3 at
+#                                          the same scan budget
+# More tables grow the INDEX (T entries/vector); more probes only grow the
+# tiny query-side join keys — the standard multi-probe trade (Lv et al.,
+# "Multi-Probe LSH", VLDB 2007).
+_N_TABLES = 16  # LSH tables (independent signatures, union of candidates)
+_BITS_PER_TABLE = 8  # 2^8 = 256 buckets per table
+_LSH_MULTIPROBE = True  # probe each query bucket + its 8 Hamming-1 flips
 
 
 @register("q_ann_lsh", oracle=None)  # approximate by construction → rows-only
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table random-hyperplane LSH: 8 independent
-    4-bit signatures (sign of dot with md5-derived deterministic
+    """Approximate NN via multi-table random-hyperplane LSH: 16 independent
+    8-bit signatures (sign of dot with md5-derived deterministic
     hyperplanes); a candidate is any vector sharing a bucket with the
-    query in ANY table.  The candidate join is an equi-join on
-    (table, bucket) — O(candidates), never O(n) per query — which is the
-    100 TB path.  Deterministic (no RNG, SURVEY.md §1.4) but approximate →
+    query in ANY table — with multi-probe, any vector in a probed bucket:
+    each QUERY also probes the 8 Hamming-1 flips of its bucket per table
+    (a near-boundary projection flips one sign, which is exactly where
+    true neighbors of diffuse vectors get lost).  The probe fan-out is on
+    the 10-row query side only — the index keeps one bucket per vector
+    per table, and the candidate join stays an equi-join on (table,
+    bucket) — O(candidates), never O(n) per query — which is the 100 TB
+    path.  Deterministic (no RNG, SURVEY.md §1.4) but approximate →
     rows-only; recall vs the exact baseline is asserted in
     tests/test_similarity.py."""
     e = load(spark, sf_dir, "embeddings")
@@ -151,12 +165,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rename every column on each join side: q, the candidate index, and
     # the vector payload all derive from the same scan (self-join lineage)
+    # multi-probe: the query side fans out to its bucket plus the 4
+    # Hamming-1 buckets per table (bit-flip via XOR); 5× keys on 10 query
+    # rows, zero change to the index side
+    probe_buckets = (
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(_BITS_PER_TABLE)
+                ],
+            )
+        )
+        if _LSH_MULTIPROBE
+        else F.col("bucket")
+    )
     q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         F.col("nrm").alias("qn"),
         F.col("tbl").alias("q_tbl"),
-        F.col("bucket").alias("q_bucket"),
+        probe_buckets.alias("q_bucket"),
     )
     index = bucketed.select(
         F.col("vec_id").alias("cand_id"), F.col("tbl").alias("c_tbl"), F.col("bucket").alias("c_bucket")

@@ -14,9 +14,10 @@ def test_lsh_recall_and_determinism(spark, sf_dir):
     approx2 = _pairs(S.q_ann_lsh(spark, sf_dir))
     assert approx1 == approx2  # deterministic (md5-derived hyperplanes)
     recall = len(exact & approx1) / len(exact)
-    # 8 tables × 4 bits: measured 0.68 at sf0.1 (ANN_RECALL.md); diffuse
-    # near-orthogonal fixture vectors keep the ceiling well below 1
-    assert recall > 0.3
+    # 16 tables × 8 bits + query-side Hamming-1 multi-probe: measured 0.88
+    # at sf0.1 / 0.82 at sf0.01 (ANN_RECALL.md) — 0.8 bar with a noise
+    # margin below
+    assert recall >= 0.75
 
 
 def test_ivf_recall_and_determinism(spark, sf_dir):
