@@ -297,10 +297,66 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-@register("q_multimodal_features", oracle=None)  # binary kernel → rows-only
+# The feature kernels ARE oracle-checkable even though they run over
+# binary payloads: every payload is a deterministic function of
+# documents.text (PPM = header + rpad'ed text bytes as pixels, WAV =
+# header + tiled text bytes as int16 samples, video = raw text bytes into
+# the fake byte-fold), and the corpus is pure ASCII (chars = bytes, which
+# the builder below relies on via ord()).  The oracle recomputes each
+# modality's checksum from text with DuckDB list lambdas — so payload
+# construction, the RIFF/PPM header parses, int16 sample decode, and the
+# Arrow batching all have to agree end-to-end for the hash to match.
+# DuckDB's % follows the dividend sign (C semantics) while numpy's
+# follows the divisor (Python semantics): the audio sample sum can be
+# negative, hence the pmod wrapper there.
+_SQL_MEDIA_FEATURES = """
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+         list_transform(string_split(text, ''), c -> ord(c)) AS b,
+         length(text) AS L
+  FROM documents
+"""
+_SQL_MEDIA_CHECKSUMS = """
+  SELECT doc_id, media_type,
+    CAST(CASE media_type
+      WHEN 'image' THEN 13 + 768
+      WHEN 'audio' THEN 44 + 2 * (160 + L % 160)
+      ELSE L END AS BIGINT) AS byte_len,
+    CAST(CASE media_type
+      WHEN 'image' THEN
+        list_sum(list_transform(range(768),
+          i -> CASE WHEN i < L THEN b[i + 1] ELSE 32 END)) % 1000003
+      WHEN 'audio' THEN
+        ((list_sum(list_transform(range(160 + L % 160),
+            j -> CASE WHEN b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] >= 32768
+                 THEN b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] - 65536
+                 ELSE b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] END))
+          % 1000003) + 1000003) % 1000003
+      ELSE
+        list_reduce(list_prepend(0, list_transform(range(L), i -> b[i + 1] + i)),
+                    (s, e) -> (s * 131 + e) % 1000003)
+      END AS BIGINT) AS checksum,
+    CAST(CASE media_type WHEN 'video' THEN L % 30 + 1
+         WHEN 'audio' THEN 160 + L % 160 ELSE 1 END AS BIGINT) AS n_frames
+"""
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+WITH m AS ({_SQL_MEDIA_FEATURES}),
+feat AS ({_SQL_MEDIA_CHECKSUMS} FROM m)
+SELECT media_type, CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(byte_len), 6) AS avg_bytes,
+       CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct_checksums
+FROM feat GROUP BY media_type
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over the media table, then a per-modality
-    rollup (count, avg byte length, distinct checksums)."""
+    rollup (count, avg byte length, distinct checksums).  Oracle-checked:
+    see _SQL_MEDIA_CHECKSUMS — DuckDB re-derives each modality's checksum
+    from the text the payload was built from."""
     feats = decode_features(media_table(spark, sf_dir))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -309,7 +365,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_frame_sample", oracle=None)  # binary kernel → rows-only
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+WITH m AS ({_SQL_MEDIA_FEATURES}),
+feat AS ({_SQL_MEDIA_CHECKSUMS} FROM m WHERE media_type = 'video')
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx, checksum
+FROM feat
+""",
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: for video rows, emit one row per sampled frame
     index (every 10th frame) — the explode-after-decode pattern."""
