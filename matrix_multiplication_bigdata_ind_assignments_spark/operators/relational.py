@@ -481,3 +481,89 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
       WHERE o.o_totalprice > 250000
     """)
+
+
+# Bloom semi-join pre-filter: m bits / k hashes sized for ~30k keys at
+# sf0.1 (fp ≈ 2%); at real scale size m ≈ 10·|dim keys| bits — a 100M-key
+# dim is a ~120 MB broadcast bloom where its join hash table would be GBs.
+_BLOOM_BITS = 1 << 18
+_BLOOM_HASHES = 3
+
+
+@register(
+    "q_bloom_semi_join",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a Bloom-filter pre-filter — THE shuffle-volume
+    reducer for fact⋉dim at 100 TB: the dim's key set is folded into an
+    m-bit Bloom filter (k=3 xxhash64 probes), stored as a ≤m/64-row
+    (word_idx, bits) table that BROADCASTS; the fact side tests membership
+    via k broadcast equi-joins on word_idx + bitmask ANDs — all map-side,
+    the fact never shuffles for the pre-filter.  Bloom filters admit false
+    positives but NO false negatives, so a final exact semi join over the
+    pruned survivors restores exactness — which is why the oracle is the
+    plain SQL semi join: the bloom must be result-transparent.
+
+    Plan shape: one tiny shuffle to build the bloom (dim keys → bit
+    positions → bit_or per word), k+1 broadcast joins on the fact, one agg.
+    The exact finish joins only the pre-filtered survivors (~|priority
+    slice| + fp·|fact|), which is the shuffle the bloom just shrank ~5×.
+    tests/test_bloom_join.py asserts the no-false-negative invariant and
+    real pruning."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    dim_keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    m = _BLOOM_BITS
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(_BLOOM_HASHES)
+        ]
+
+    # bit masks via shiftleft, not pow() — pow goes through doubles and
+    # corrupts the 2^63 bit; the table materializes only words with set bits
+    bloom = (
+        dim_keys.select(F.explode(F.array(*positions(F.col("k")))).alias("p"))
+        .groupBy(F.shiftright("p", 6).alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))").alias("bits"))
+    )
+
+    fact = lineitem.select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    probed = fact
+    for i in range(_BLOOM_HASHES):
+        p = F.pmod(F.xxhash64("l_orderkey", F.lit(i)), F.lit(m))
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        probed = (
+            probed.withColumn(f"p{i}", p)
+            .join(F.broadcast(b), F.shiftright(f"p{i}", 6) == F.col(f"w{i}"), "left")
+            .where(
+                F.expr(
+                    f"bits{i} is not null and "
+                    f"(bits{i} & shiftleft(cast(1 as bigint), cast(p{i} % 64 as int))) != 0"
+                )
+            )
+            .drop(f"p{i}", f"w{i}", f"bits{i}")
+        )
+    # exact finish over the pruned survivors: false positives drop here
+    survivors = probed.join(
+        dim_keys.withColumnRenamed("k", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
