@@ -163,6 +163,7 @@ def main() -> int:
     for name in (
         "q_agg_pricing_summary",
         "q_star_join",
+        "q_bloom_semi_join",
         "q_join_smj",
         "q_range_join",
         "q_asof_join",

@@ -198,3 +198,12 @@ def test_sequence_pack_broadcasts_offsets(spark, sf_dir, qs):
     p = plan_of(qs["q_sequence_pack"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "map_from" not in p and "create_map" not in p.lower()
+
+
+def test_bloom_semi_join_fact_side_never_exchanges(spark, sf_dir, qs):
+    """The bloom pre-filter + dim semi must all be broadcast joins: the
+    fact side's first Exchange is the final aggregate's, never a join's."""
+    plan = plan_of(qs["q_bloom_semi_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word probes + dim semi
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

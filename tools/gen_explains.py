@@ -27,6 +27,8 @@ AUDIT = {
     "q_dedup_span_exact": "one shuffle keyed on span + reassembly hash agg; filters pushed to scan",
     "q_sequence_pack": "range-partition + pid-local window; offsets return via BroadcastHashJoin (no SinglePartition over data)",
     "q_star_join": "dims broadcast (BroadcastHashJoin), fact never shuffled for the dim joins",
+    "q_bloom_semi_join": "bloom word-table probes + dim semi all BroadcastHashJoin; the fact side "
+    "has NO Exchange before the final partial/final aggregate (the pre-filter is map-side)",
     "q_corpus_clean_e2e": "whole pipeline is ONE DAG: quality filter pushed down before dedup window",
 }
 
