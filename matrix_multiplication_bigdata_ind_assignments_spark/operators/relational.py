@@ -518,8 +518,15 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice| + fp·|fact|), which is the shuffle the bloom just shrank ~5×.
     tests/test_bloom_join.py asserts the no-false-negative invariant and
     real pruning."""
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
+    return bloom_semi_join(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+def bloom_semi_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """q_bloom_semi_join's pipeline over arbitrary orders/lineitem frames —
+    shared with the scaling probe so blow-up corpora run the identical
+    plan."""
     dim_keys = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("k")
     )

@@ -240,6 +240,38 @@ def main() -> int:
         tile_results[mult] = time.perf_counter() - t0
         print(f"emb_tiled_allpairs x{mult}: {tile_results[mult]:.2f}s", flush=True)
 
+    # --- Bloom semi-join vs plain semi join under blow-up ----------------
+    # Both sides of the comparison aggregate the same result; the bloom
+    # variant pre-filters the fact with broadcast word-table probes so the
+    # exact semi join only sees survivors.  The fact blow-up multiplies
+    # keys (offset per copy), so the dim slice stays a constant FRACTION —
+    # the realistic "bigger fact, same selectivity" scale-up.
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import bloom_semi_join
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.numeric import dec_sum as _dec
+
+    def plain_semi(o, l):
+        return (
+            l.join(
+                o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"),
+                l.l_orderkey == F.col("o_orderkey"),
+                "left_semi",
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            )
+        )
+
+    bloom_results = {}
+    for mult in (1, k):
+        l_m, o_m, _, _ = variants(mult)
+        for sname, fn in (("plain_semi", plain_semi), ("bloom_semi", bloom_semi_join)):
+            t0 = time.perf_counter()
+            fn(o_m, l_m).write.format("noop").mode("overwrite").save()
+            bloom_results[(sname, mult)] = time.perf_counter() - t0
+            print(f"{sname} x{mult}: {bloom_results[(sname, mult)]:.2f}s", flush=True)
+
     # --- MinHash → components end-to-end blow-up (VERDICT r4 task 7) ----
     # Corpus ×k with PER-COPY TOKEN PERTURBATION (every token suffixed with
     # the copy index): copies are mutually shingle-disjoint, so the corpus
@@ -341,6 +373,29 @@ def main() -> int:
         "cost more than they save, so the planner keeps the event-level",
         "join for sparse streams.  Identical pair counts on both paths",
         "(equivalence test: tests/test_pipeline.py).",
+    ]
+    lines += [
+        "",
+        "## Bloom semi-join pre-filter",
+        "",
+        "`q_bloom_semi_join` vs the plain shuffle semi join computing the",
+        f"same aggregate, fact ×{k} with the dim slice a constant fraction:",
+        "",
+        f"| variant | 1× (s) | {k}× (s) | growth |",
+        "|---|---|---|---|",
+    ]
+    for sname in ("plain_semi", "bloom_semi"):
+        a, b = bloom_results[(sname, 1)], bloom_results[(sname, k)]
+        lines.append(f"| {sname} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    lines += [
+        "",
+        "At local[32] both scale linearly (the fixture fact fits memory);",
+        "the bloom's structural win is WHERE the work lands: its probes are",
+        "broadcast map-side joins, so the only fact shuffle left is the",
+        "final aggregate's — on a cluster the pre-filter cuts semi-join",
+        "shuffle volume to (true slice + ~2% false positives) of the fact,",
+        "the property asserted by tests/test_bloom_join.py and the",
+        "no-fact-exchange plan guard in tests/test_plans.py.",
     ]
     (c1, tc1, r1, n1, w1), (ck, tck, rk, nk, wk) = mh_results[1], mh_results[k]
     lines += [
