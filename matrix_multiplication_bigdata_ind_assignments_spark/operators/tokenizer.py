@@ -285,9 +285,11 @@ def _bpe_rules_via_duckdb(sf_dir: str) -> list[tuple[int, str, str, int]]:
     return _bpe_train_local({w: f for w, f in rows}, _BPE_MERGES)
 
 
-def _bpe_encode_oracle(sf_dir: str) -> str:
-    if sf_dir in _BPE_ORACLE_MEMO:
-        return _BPE_ORACLE_MEMO[sf_dir]
+def _bpe_sql_symcount_expr(rules) -> str:
+    """SQL expression: symbol count of column ``w`` after applying the
+    merge ``rules`` in rank order — the delimiter-wrapped replace chain
+    whose left-to-right non-overlap semantics equal the Python apply loop
+    (property-tested in tests/test_tokenizer.py)."""
 
     def lit(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -300,8 +302,15 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
         " c -> chr(30)||c||chr(31)), '')"
         f" || {wrap(_END)}"
     )
-    for _, left, right, _ in _bpe_rules_via_duckdb(sf_dir):
+    for _, left, right, _ in rules:
         expr = f"replace({expr}, {wrap(left)}||{wrap(right)}, {wrap(left + right)})"
+    return f"length({expr}) - length(replace({expr}, chr(31), ''))"
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    if sf_dir in _BPE_ORACLE_MEMO:
+        return _BPE_ORACLE_MEMO[sf_dir]
+    count_expr = _bpe_sql_symcount_expr(_bpe_rules_via_duckdb(sf_dir))
     sql = f"""
 WITH words AS (
   SELECT doc_id, w
@@ -309,8 +318,8 @@ WITH words AS (
   WHERE w <> ''
 ),
 tok AS (
-  SELECT w, CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS w_tokens
-  FROM (SELECT w, {expr} AS s FROM (SELECT DISTINCT w FROM words))
+  SELECT w, CAST({count_expr} AS BIGINT) AS w_tokens
+  FROM (SELECT DISTINCT w FROM words)
 )
 SELECT words.doc_id,
        CAST(sum(w_tokens) AS BIGINT) AS bpe_tokens,

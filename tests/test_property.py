@@ -182,3 +182,93 @@ def test_span_dedup_matches_python_reference(spark, texts):
         if toks:
             expected[doc_id] = (" ".join(kept), n_kept, n_dropped)
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc'", min_size=1, max_size=10), min_size=1, max_size=20
+    ),
+    n_merges=st.integers(min_value=1, max_value=12),
+)
+def test_bpe_sql_replace_chain_matches_python_apply(words, n_merges):
+    """The delimiter-wrapped SQL replace chain (the q_bpe_encode oracle's
+    core) must produce the exact per-word symbol count of the Python
+    apply loop for ANY corpus and learned rule list — including repeated
+    symbols (the overlap case the delimiter trick exists for) and quotes
+    (SQL literal escaping)."""
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.tokenizer import (
+        _END,
+        _bpe_sql_symcount_expr,
+        _bpe_train_local,
+    )
+
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    rules = _bpe_train_local(freqs, n_merges)
+
+    def py_count(w: str) -> int:
+        syms = list(w) + [_END]
+        for _, left, right, _ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    con = duckdb.connect()
+    try:
+        expr = _bpe_sql_symcount_expr(rules)
+        for w in set(words):
+            got = con.execute(f"SELECT {expr} FROM (SELECT ? AS w)", [w]).fetchone()[0]
+            assert got == py_count(w), (w, rules)
+    finally:
+        con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_components_closure_oracle_matches_spark_fixpoints(spark, edges):
+    """The recursive-transitive-closure SQL (the components oracle) must
+    agree with BOTH Spark fixpoints (min-label propagation and
+    large-star/small-star contraction) on arbitrary graphs — chains,
+    cliques, self-merging stars, everything hypothesis throws."""
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        _sql_components,
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, "da long, db long")
+    a = {
+        (r["comp"], r["n_members"], r["keeper_id"])
+        for r in connected_components(spark, pairs, "da", "db").collect()
+    }
+    b = {
+        (r["comp"], r["n_members"], r["keeper_id"])
+        for r in connected_components_star(spark, pairs, "da", "db").collect()
+    }
+    vals = ", ".join(f"({x}, {y})" for x, y in edges)
+    sql = _sql_components(f"SELECT * FROM (VALUES {vals}) t(da, db)", "da", "db")
+    con = duckdb.connect()
+    try:
+        c = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    finally:
+        con.close()
+    assert a == b == c
