@@ -114,3 +114,28 @@ def test_analyze_reads_heterogeneous_reference_schemas(tmp_path, monkeypatch):
     # derived speedup over the java thread sweep is REAL, not the broken 1.0
     jv = pdf[(pdf["lang"] == "java") & (pdf["threads"] == 4)]
     assert abs(float(jv["speedup"].iloc[0]) - 29.0 / 9.1) < 0.01
+
+
+def test_run_cli_writes_harness_csv_then_analyze_consumes_it(tmp_path, monkeypatch):
+    """The reference user journey end-to-end: `run` benchmarks a kernel and
+    writes the harness-schema CSV; `analyze` consumes that same file."""
+    out_csv = tmp_path / "results_pyspark.csv"
+    from matrix_multiplication_bigdata_ind_assignments_spark.__main__ import main
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["mmbd", "run", "64", "--algo", "basic", "-r", "1",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out_csv)],
+    )
+    assert main() == 0
+    lines = out_csv.read_text().strip().split("\n")
+    assert lines[0] == "lang,algo,size,threads,repeats,avg_time_ms,rss_mb,extra"
+    cells = lines[1].split(",")
+    assert cells[0] == "pyspark" and cells[1] == "basic" and int(cells[2]) == 64
+    assert float(cells[5]) > 0  # a real timing
+
+    report = tmp_path / "report"
+    monkeypatch.setattr(sys, "argv", ["mmbd", "analyze", str(out_csv), "--out", str(report)])
+    assert main() == 0
+    assert any((report / "derived_metrics").glob("*.csv"))
