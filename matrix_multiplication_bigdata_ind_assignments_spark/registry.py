@@ -60,10 +60,11 @@ def register(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
 # _ordered() from the driver's own CORRECTNESS_r*.json records: queries
 # with no driver row yet always go first (a new op earns its row the next
 # round with no manual rotation), then the _CANARIES below as every-round
-# regression cover, then the remaining greens rotated across rounds.
-# _PRIORITY holds only the preferred ordering for still-unchecked names.
+# regression cover, then the remaining greens least-recently-verified
+# first.  _PRIORITY holds only the preferred ordering for still-unchecked
+# names — dormant once every query has a green row (as of r5), but a
+# query whose latest row errors re-enters this front, in this order.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (34 from rounds 1-2) ---
     # flagship pipeline composites
     "q_corpus_clean_e2e",
     "q_decontaminate",
