@@ -240,6 +240,57 @@ def main() -> int:
         tile_results[mult] = time.perf_counter() - t0
         print(f"emb_tiled_allpairs x{mult}: {tile_results[mult]:.2f}s", flush=True)
 
+    # --- skewed hot-key join: naive vs AQE skew-split vs explicit salt --
+    # 90% of the k×-blown fact is remapped onto ONE part key (the mega-key
+    # regime: a boilerplate domain, a null-ish default, a viral item).
+    # Three physical answers to the same logical join+agg:
+    #   naive  = shuffle_hash join, AQE skew handling OFF (one reducer
+    #            owns 90% of the fact — the failure mode)
+    #   aqe    = sort-merge join with AQE skewJoin ON (the default rescue)
+    #   salted = q_skew_join_salted's 16-way salt (the explicit pattern
+    #            for when skew survives AQE)
+    pt = load(spark, sf_dir, "part")
+    l_k, _, _, _ = variants(k)
+    hot = l_k.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(F.col("l_partkey")),
+    ).select("l_partkey", "l_quantity")
+
+    def skew_agg(joined):
+        return joined.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+        )
+
+    def naive():
+        return skew_agg(hot.join(pt.hint("shuffle_hash"), hot.l_partkey == pt.p_partkey))
+
+    def aqe_smj():
+        return skew_agg(hot.join(pt.hint("merge"), hot.l_partkey == pt.p_partkey))
+
+    def salted():
+        n_salts = 16
+        lf = hot.withColumn("salt", (F.monotonically_increasing_id() % n_salts).cast("int"))
+        pf = pt.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+        return skew_agg(
+            lf.join(pf.hint("shuffle_hash"), (lf.l_partkey == pf.p_partkey) & (lf.salt == pf.salt))
+        )
+
+    skew_results = {}
+    for sname, fn, skew_conf in (
+        ("naive_shj", naive, "false"),
+        ("aqe_smj", aqe_smj, "true"),
+        ("salted_shj", salted, "false"),
+    ):
+        old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_conf)
+        try:
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            skew_results[sname] = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+        print(f"skew_{sname} x{k}: {skew_results[sname]:.2f}s", flush=True)
+
     # --- Bloom semi-join vs plain semi join under blow-up ----------------
     # Both sides of the comparison aggregate the same result; the bloom
     # variant pre-filters the fact with broadcast word-table probes so the
@@ -373,6 +424,24 @@ def main() -> int:
         "cost more than they save, so the planner keeps the event-level",
         "join for sparse streams.  Identical pair counts on both paths",
         "(equivalence test: tests/test_pipeline.py).",
+    ]
+    lines += [
+        "",
+        "## Skewed hot-key join (90% of the fact on ONE key)",
+        "",
+        f"The same join+agg over the {k}× fact with 90% of rows remapped to a",
+        "single part key — the mega-key regime:",
+        "",
+        "| physical strategy | wall (s) | note |",
+        "|---|---|---|",
+        f"| naive shuffle_hash, AQE skew OFF | {skew_results['naive_shj']:.2f} | one reducer owns 90% of the fact |",
+        f"| sort-merge + AQE skew-split | {skew_results['aqe_smj']:.2f} | the default rescue |",
+        f"| 16-way salt (q_skew_join_salted) | {skew_results['salted_shj']:.2f} | explicit pattern when skew survives AQE |",
+        "",
+        "On a 32-core box the single hot reducer is latency-bound, not",
+        "capacity-bound; at 1000 executors the naive row is the one that",
+        "turns a 5-minute job into a 5-hour straggler while salting keeps",
+        "every reducer at 1/16 of the hot key.",
     ]
     lines += [
         "",
