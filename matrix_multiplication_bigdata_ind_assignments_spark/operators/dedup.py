@@ -23,6 +23,46 @@ from ..sources import load
 # fully oracle-checkable.
 
 
+def _lsh_bucket_cap() -> int:
+    """Hot-bucket width cap for LSH candidate generation (SCALING.md
+    'mega-hot band bucket' guard).  A bucket (band signature / shared
+    shingle) holding W members emits W·(W-1)/2 candidate pairs — at crawl
+    scale one boilerplate bucket shared by millions of docs turns the
+    whole equi-join quadratic.  Buckets wider than the cap are SPLIT into
+    ceil(W/cap) sub-buckets by a secondary member hash, bounding per-
+    bucket pair work at ~cap² while keeping intra-sub candidates (pairs
+    straddling a split are lost — acceptable: members of a mega-bucket
+    share ubiquitous boilerplate that exact/span dedup already catches,
+    and each doc pair has _MINHASH_SEEDS//_BAND_SIZE independent band
+    chances to collide elsewhere).  The cap is far above any fixture
+    bucket width, so oracle results are bit-identical below it."""
+    import os
+
+    return int(os.environ.get("MMBD_LSH_BUCKET_CAP", "10000"))
+
+
+def _split_hot_buckets(df: DataFrame, bucket_cols: list[str], member_col: str, cap: int) -> DataFrame:
+    """Append a ``sub`` column: 0 for buckets within ``cap``; a secondary
+    md5-derived hash of the member id in [0, ceil(W/cap)) for wider ones.
+    Both sides of the candidate self-join must then also match on ``sub``.
+
+    One window pass keyed on the bucket columns — the same key the
+    candidate join shuffles on anyway, so at scale the exchange is reused
+    and the guard costs one sort, not an extra shuffle."""
+    width = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    # md5-derived secondary hash (not F.hash: engine-portable convention,
+    # and independent of the primary bucket hash by construction)
+    member_h = F.conv(F.substring(F.md5(F.col(member_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return df.withColumn(
+        "sub",
+        F.when(width <= cap, F.lit(0).cast("long")).otherwise(
+            F.pmod(member_h, F.ceil(width / cap))
+        ),
+    )
+
+
 def _shingle_rows(d: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh) rows: distinct word-level n-gram shingles per document.
 
@@ -164,6 +204,99 @@ def span_dedup(d: DataFrame) -> DataFrame:
     )
 
 
+_SQL_SPAN_ROLLING = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(toks) - {_SPAN_W - 1}, 0)),
+                        i -> md5(array_to_string(toks[i + 1 : i + {_SPAN_W}], ' '))) AS hs
+  FROM t
+),
+g AS (SELECT doc_id, unnest(range(len(hs))) AS pos, unnest(hs) AS h FROM sp),
+m AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM g
+),
+dups AS (SELECT doc_id, list(pos ORDER BY pos) AS dps FROM m WHERE rk > 1 GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(range(len(toks))) AS i, unnest(toks) AS tk FROM t),
+j AS (
+  SELECT tok.doc_id AS doc_id, i, tk,
+         COALESCE(len(list_filter(d.dps, p -> p <= i AND i < p + {_SPAN_W})) > 0, FALSE) AS dropped
+  FROM tok LEFT JOIN dups d ON tok.doc_id = d.doc_id
+)
+SELECT doc_id,
+       COALESCE(string_agg(tk, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped
+FROM j GROUP BY doc_id
+"""
+
+
+@register("q_dedup_span_strided", oracle=_SQL_SPAN_ROLLING)
+def q_dedup_span_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-free duplicated-span removal — closes q_dedup_span_exact's
+    fidelity gap (VERDICT r5 item 2): fixed non-overlapping spans miss a
+    duplicated passage offset by <20 tokens from a span boundary, because
+    the cut points differ between occurrences.  Here spans are emitted at
+    EVERY token position (rolling 20-gram, the stride-1 limit of the
+    strided family — md5 plays the rolling hash): a token is dropped iff
+    it is covered by some 20-gram whose text already occurred earlier in
+    the corpus (by (doc_id, pos) order).  Any duplicated passage of ≥20
+    tokens is caught at ARBITRARY alignment — the Lee et al. ExactSubstr
+    semantics (min match length = 20) in relational form.
+
+    Scale shape: |tokens| gram rows (same order as the 3-gram shingle
+    pipeline) keyed on a 16-byte hash — one window shuffle on the gram
+    hash, one per-doc agg; the per-doc duplicate-position list is bounded
+    by doc length, and the coverage test is an array `exists` over that
+    list, never a corpus-sized join."""
+    return span_dedup_rolling(load(spark, sf_dir, "documents"))
+
+
+def span_dedup_rolling(d: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Core of q_dedup_span_strided over any (doc_id, text) frame."""
+    n_parts = d.sparkSession.sparkContext.defaultParallelism
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.repartition(n_parts, "doc_id").select("doc_id", toks.alias("toks"))
+    ng = F.size("toks") - (w - 1)
+    gram_arr = F.when(
+        ng > 0,
+        F.transform(
+            F.sequence(F.lit(0), ng - 1),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.posexplode(gram_arr).alias("pos", "h"))
+    win = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dups = (
+        grams.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") > 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("dps"))
+    )
+    toks_rows = base.select("doc_id", F.posexplode("toks").alias("i", "tk"))
+    covered = F.exists(
+        F.coalesce(F.col("dps"), F.array().cast("array<int>")),
+        lambda p: (p <= F.col("i")) & (F.col("i") < p + w),
+    )
+    marked = toks_rows.join(dups, "doc_id", "left").withColumn("dropped", covered)
+    kept_struct = F.when(~F.col("dropped"), F.struct("i", "tk"))
+    return marked.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["tk"]), " "
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum((~F.col("dropped")).cast("long")).alias("n_kept"),
+        F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+    )
+
+
 @register(
     "q_dedup_keep_first",
     oracle="""
@@ -213,22 +346,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines compute the identical hash, so results (even a
     theoretical collision, ~|shingles|²/2⁶⁰) stay oracle-exact.  Jaccard
     is a ratio of integers so the threshold compare is exact too."""
-    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """q_dedup_ngram_jaccard's pipeline over an arbitrary (doc_id, text)
+    frame.  ``bucket_cap`` bounds the shared-shingle inverted-index
+    posting-list width (see _lsh_bucket_cap): a shingle shared by more
+    docs than the cap splits into sub-buckets, so one boilerplate shingle
+    can't emit a quadratic pair list.  (Production pipelines often DROP
+    top-frequency shingles outright — they carry no discriminative signal
+    — but splitting keeps the fixture results bit-identical below the cap
+    and degrades gracefully above it.)"""
+    cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
     # consumed three times below (sizes + both sides of the inverted-index
     # join) — materialize once via localCheckpoint: unlike .cache(), whose
     # entry lives in the session CacheManager until explicitly uncached,
     # checkpoint blocks are context-cleaned when the result is dropped, so
     # nothing leaks into the driver's long-lived session
-    sh = (
-        _shingle_rows(d)
-        .select("doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h"))
-        .localCheckpoint(eager=True)
-    )
+    sh = _split_hot_buckets(
+        _shingle_rows(d).select(
+            "doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h")
+        ),
+        ["h"],
+        "doc_id",
+        cap,
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -298,10 +451,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
-def minhash_pairs(d: DataFrame) -> DataFrame:
+def minhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """q_dedup_minhash's pipeline over an arbitrary (doc_id, text) frame —
     shared with the scaling probe so blow-up corpora run the identical
-    plan."""
+    plan.  ``bucket_cap`` bounds band-bucket width (see _lsh_bucket_cap —
+    the SCALING.md mega-bucket guard); buckets wider than the cap split
+    into sub-buckets by a secondary doc hash before pairing."""
+    cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
     sh = _shingle_rows(d)
 
     # single-pass signature: all 16 minhashes as columns of ONE hash-agg
@@ -329,6 +485,9 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("kb")).select(
         "doc_id", F.col("kb.band").alias("band"), F.col("kb.band_key").alias("band_key")
     )
+    # hot-bucket guard BEFORE materialization: the sub assignment rides
+    # the checkpoint, so both join sides see identical splits
+    bands = _split_hot_buckets(bands, ["band", "band_key"], "doc_id", cap)
     # the LSH self-join consumes bands twice; materialize the (tiny:
     # docs×4 rows) band table once, eagerly — localCheckpoint, not
     # .cache(), so no CacheManager entry outlives the query in the
@@ -342,6 +501,7 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))

@@ -177,3 +177,76 @@ def test_span_dedup_semantics(spark, tmp_path):
     assert (out[0]["clean_text"], out[0]["n_kept"], out[0]["n_dropped"]) == (f"{A} {B}", 2, 0)
     assert (out[1]["clean_text"], out[1]["n_kept"], out[1]["n_dropped"]) == (C, 1, 1)
     assert (out[2]["clean_text"], out[2]["n_kept"], out[2]["n_dropped"]) == ("tail", 1, 2)
+
+
+def test_hot_bucket_cap_bounds_pair_counts(spark):
+    """SCALING.md mega-bucket guard: a boilerplate bucket wider than the
+    cap splits into sub-buckets, so per-bucket pair counts stay ~cap²
+    instead of going quadratic in bucket width; below the cap results are
+    untouched."""
+    boiler = "shared boilerplate header repeated verbatim across the whole crawl corpus today"
+    rows = [(i, boiler) for i in range(240)] + [
+        (900, "one genuinely unique document about spark engines"),
+        (901, "another unrelated document about duckdb oracles"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = 240 * 239 // 2
+
+    # cap far above the bucket width → inert: the full quadratic pair set
+    uncapped = D.minhash_pairs(d, bucket_cap=100000)
+    assert uncapped.count() == full
+
+    capped = D.minhash_pairs(d, bucket_cap=40).localCheckpoint(eager=True)
+    n_pairs = capped.count()
+    assert 0 < n_pairs < 0.5 * full  # bounded, not exploded
+    # per-doc pair degree + 1 bounds the sub-bucket width: the md5 split
+    # is uneven but must stay well under the unsplit width of 240
+    deg = (
+        capped.select(F.col("da").alias("x"))
+        .unionAll(capped.select(F.col("db").alias("x")))
+        .groupBy("x")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert deg + 1 <= 2 * 40
+    assert capped.where((F.col("da") >= 900) | (F.col("db") >= 900)).count() == 0
+
+    # same guard on the shared-shingle inverted index: intra-sub pairs
+    # keep their full intersection (identical docs → jaccard 1.0)
+    jac = D.ngram_jaccard_pairs(d, bucket_cap=40).localCheckpoint(eager=True)
+    nj = jac.count()
+    assert 0 < nj < 0.5 * full
+    assert jac.agg(F.min("jaccard"), F.max("jaccard")).first() == (1.0, 1.0)
+
+
+def test_rolling_span_catches_unaligned_duplicate(spark, tmp_path):
+    """A 30-token passage duplicated at offset 7 (not a multiple of the
+    span width) escapes the fixed-boundary variant but is fully removed by
+    the rolling 20-gram variant — the Lee et al. arbitrary-alignment
+    property (VERDICT r5 item 2)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        q_dedup_span_exact,
+        q_dedup_span_strided,
+    )
+
+    P = " ".join(f"p{i}" for i in range(30))
+    fill0 = " ".join(f"f{i}" for i in range(20))
+    junk = " ".join(f"j{i}" for i in range(7))
+    fill1 = " ".join(f"g{i}" for i in range(13))
+    rows = [
+        (0, f"{P} {fill0}", "en", "s", 0),       # first occurrence of P
+        (1, f"{junk} {P} {fill1}", "en", "s", 0),  # P again, offset 7
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rolling = {r["doc_id"]: r for r in q_dedup_span_strided(spark, str(tmp_path)).collect()}
+    assert rolling[0]["n_dropped"] == 0  # first occurrence untouched
+    assert rolling[1]["n_dropped"] == 30  # the whole passage, exactly
+    assert rolling[1]["clean_text"] == f"{junk} {fill1}"
+
+    fixed = {r["doc_id"]: r for r in q_dedup_span_exact(spark, str(tmp_path)).collect()}
+    assert fixed[1]["n_dropped"] == 0  # provably missed by fixed boundaries

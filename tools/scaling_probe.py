@@ -365,6 +365,32 @@ def main() -> int:
             flush=True,
         )
 
+    # --- Hot-bucket cap probe (VERDICT r5 task 1) -----------------------
+    # ONE boilerplate document duplicated B times (1×) and k·B times (k×):
+    # the mega-bucket regime the constant-dup-rate probe above cannot
+    # reach.  Uncapped, band-bucket pairs grow quadratically (B² → k²B²);
+    # with the width cap they grow ~linearly (sub-bucket count scales with
+    # width, pair count per sub stays ~cap²).  The cap is scaled to the
+    # probe corpus (150 members; production default 10k) so the split
+    # actually engages at both sizes.
+    hot_results = {}
+    hb = 300
+    hot_cap = 150
+    boiler_text = " ".join(f"boiler{w}" for w in range(40))
+    for mult in (1, k):
+        docs = spark.range(hb * mult).select(
+            F.col("id").alias("doc_id"), F.lit(boiler_text).alias("text")
+        )
+        for mode, cap in (("uncapped", 1 << 40), ("capped", hot_cap)):
+            t0 = time.perf_counter()
+            n_pairs = minhash_pairs(docs, bucket_cap=cap).count()
+            hot_results[(mode, mult)] = (n_pairs, time.perf_counter() - t0)
+            print(
+                f"hot_bucket {mode} x{mult}: {n_pairs} pairs "
+                f"({hot_results[(mode, mult)][1]:.2f}s)",
+                flush=True,
+            )
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -483,12 +509,36 @@ def main() -> int:
         f"Candidate volume scales ~linearly ({ck / max(c1, 1):.1f}× for {k}× docs — the",
         "band-bucket equi-join never goes O(n²)), and the star contraction",
         f"holds its round count ({r1} → {rk}; the done-bar is ≤+2) because",
-        "per-copy component structure is unchanged.  What WOULD blow up at",
-        "real scale is a mega-hot band bucket (boilerplate shared by",
-        "millions of docs): the bucket's pair list is quadratic in its",
-        "size, so production runs cap bucket width (drop or split buckets",
-        "past ~10k members — dropping only loses candidates that exact/",
-        "span dedup already catches).",
+        "per-copy component structure is unchanged.",
+    ]
+    (pu1, tu1), (puk, tuk) = hot_results[("uncapped", 1)], hot_results[("uncapped", k)]
+    (pc1, tc1_h), (pck, tck_h) = hot_results[("capped", 1)], hot_results[("capped", k)]
+    lines += [
+        "",
+        "## Mega-hot band bucket (boilerplate shared corpus-wide)",
+        "",
+        f"One boilerplate doc duplicated {hb}× / {hb * k}× — every copy lands in",
+        "the SAME band buckets, the regime where an unguarded LSH join goes",
+        f"quadratic.  `_split_hot_buckets` (dedup.py) caps bucket width (cap",
+        f"scaled to {hot_cap} for the probe; production default 10k via",
+        "MMBD_LSH_BUCKET_CAP) by splitting wide buckets on a secondary doc",
+        "hash:",
+        "",
+        "| variant | 1× pairs | {k}x pairs | pair growth | 1× (s) | {k}x (s) |".replace(
+            "{k}x", f"{k}×"
+        ),
+        "|---|---|---|---|---|---|",
+        f"| uncapped | {pu1:,} | {puk:,} | {puk / max(pu1, 1):.1f}× | {tu1:.2f} | {tuk:.2f} |",
+        f"| capped | {pc1:,} | {pck:,} | {pck / max(pc1, 1):.1f}× | {tc1_h:.2f} | {tck_h:.2f} |",
+        "",
+        f"Uncapped pair volume grows ~{k}² (quadratic in bucket width);",
+        f"capped growth is ~{k}× (linear: sub-bucket COUNT scales, per-sub",
+        "pair work stays ~cap²).  Pairs straddling a split are lost —",
+        "acceptable: mega-bucket members share ubiquitous boilerplate that",
+        "exact/span dedup already collapses, and each pair has 3 more",
+        "independent band chances.  Below the cap the split is inert",
+        "(oracle results bit-identical; tests/test_dedup.py::",
+        "test_hot_bucket_cap_bounds_pair_counts).",
     ]
     a, b = tile_results[1], tile_results[k]
     lines += [
