@@ -87,120 +87,57 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH operating point (recall/candidate-volume knob), chosen from an
-# offline sweep at sf0.1 (recall@5 @ candidate fraction of corpus):
-#   8×4b exact-probe        0.68 @ 40%   (r3 operating point)
-#   8×4b + Hamming-1 probe  1.00 @ 94%   (4-bit tables degenerate: probes
-#                                         cover most of a 16-bucket space)
-#   12×8b + Hamming-1       0.82 @ 35%
-#   16×8b + Hamming-1       0.88 @ 44%   ← chosen: +0.20 recall over r3 at
-#                                          the same scan budget
-# More tables grow the INDEX (T entries/vector); more probes only grow the
-# tiny query-side join keys — the standard multi-probe trade (Lv et al.,
-# "Multi-Probe LSH", VLDB 2007).
-_N_TABLES = 16  # LSH tables (independent signatures, union of candidates)
-_BITS_PER_TABLE = 8  # 2^8 = 256 buckets per table
-_LSH_MULTIPROBE = True  # probe each query bucket + its 8 Hamming-1 flips
+# LSH operating point (recall/candidate-volume knob).  The r5 point
+# (16 tables × 8 bits, full Hamming-1 probe) measured 0.88/0.82 recall@5
+# (sf0.1/sf0.01) at a 44% candidate scan fraction — recall-rich but
+# scan-poor (VERDICT r5 item 3), and below the 0.85 bar at sf0.01.  The
+# r6 sweep (tools/ann_recall.py --sweep; margin-ranked probe subsets per
+# Lv et al. measured POORLY here — the fixture's true neighbors sit at
+# cos 0.35-0.5, far enough that sign flips are spread uniformly over the
+# bits, so the |margin| signal carries little information and the full
+# ball is the right probe set):
+#   (T, bits, probes)   recall sf0.1/sf0.01   scan fraction (sf0.1)
+#   16×8b  H1-full          0.88 / 0.82          44%   (r5 point)
+#   16×8b  H1-margin-3      0.62 / 0.64          ~20%
+#   24×10b H1-full          0.72 / 0.74          25%
+#   32×10b H1-full          0.82 / 0.80          32%
+#   40×10b H1-full          0.90 / 0.88          37%   ← chosen
+#   48×10b H1-full          0.96 / 0.96          43%
+#   24×12b H1-full          0.38 / 0.46           9%
+# Wider signatures cut per-bucket occupancy (scan fraction) faster than
+# they cut per-table recall; more tables buy the recall back.  The index
+# grows to 40 entries/vector — the standard LSH trade (index size vs
+# probe volume), still far below the corpus payload.
+_N_TABLES = 40  # LSH tables (independent signatures, union of candidates)
+_BITS_PER_TABLE = 10  # 2^10 = 1024 buckets per table
+_LSH_PROBES = 10  # margin-ranked Hamming-1 flips probed per table
+#   (= _BITS_PER_TABLE → the full Hamming-1 ball; fewer = Lv-style subset)
 
 
 @register("q_ann_lsh", oracle=None)  # approximate by construction → rows-only
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH: 16 independent
     8-bit signatures (sign of dot with md5-derived deterministic
-    hyperplanes); a candidate is any vector sharing a bucket with the
-    query in ANY table — with multi-probe, any vector in a probed bucket:
-    each QUERY also probes the 8 Hamming-1 flips of its bucket per table
-    (a near-boundary projection flips one sign, which is exactly where
-    true neighbors of diffuse vectors get lost).  The probe fan-out is on
-    the 10-row query side only — the index keeps one bucket per vector
-    per table, and the candidate join stays an equi-join on (table,
-    bucket) — O(candidates), never O(n) per query — which is the 100 TB
-    path.  Deterministic (no RNG, SURVEY.md §1.4) but approximate →
-    rows-only; recall vs the exact baseline is asserted in
+    hyperplanes); a candidate is any vector sharing a PROBED bucket with
+    the query in any table.  Each query probes its own bucket plus the
+    _LSH_PROBES Hamming-1 flips per table, margin-ranked (Lv et al.,
+    "Multi-Probe LSH", VLDB 2007) — at probes = bits that is the full
+    Hamming-1 ball, the measured-right set for this fixture's diffuse
+    neighbors (operating-point comment above).  The probe fan-out is on the 10-row
+    query side only — the index keeps one bucket per vector per table,
+    and the candidate join stays an equi-join on (table, bucket) —
+    O(candidates), never O(n) per query — which is the 100 TB path.
+    Deterministic (no RNG, SURVEY.md §1.4) but approximate → rows-only;
+    recall vs the exact baseline is asserted in
     tests/test_similarity.py."""
-    e = load(spark, sf_dir, "embeddings")
-    emb = F.transform("embedding", lambda x: x.cast("double"))
-    n = e.select(
-        "vec_id",
-        emb.alias("emb"),
-        F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
-    )
-
-    # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, deterministic, no
-    # RNG (SURVEY.md §1.4).  Built ONCE driver-side into a (planes × dims)
-    # numpy matrix captured by a vectorized pandas_udf: all 16 projections
-    # for an Arrow batch are one GEMM.  The previous form inlined 16
-    # 64-element array literals with interpreted zip_with/aggregate lambdas
-    # — most of its runtime was Catalyst crawling that expression tree
-    # (measured ~2s at 2000 rows; the UDF form ~0.7s).
-    import hashlib
-
-    import numpy as np
-
-    planes = np.array(
-        [
-            [
-                int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16) / float(2**32)
-                - 0.5
-                for d in range(64)
-            ]
-            for p in range(_N_TABLES * _BITS_PER_TABLE)
-        ]
-    )
-    weights = 1 << np.arange(_BITS_PER_TABLE)
-
-    @F.pandas_udf("array<bigint>")
-    def table_buckets(emb_s: pd.Series) -> pd.Series:
-        M = np.stack(emb_s.to_numpy())  # (batch, 64)
-        bits = (M @ planes.T > 0).astype(np.int64)  # (batch, tables*bits)
-        buckets = [
-            bits[:, t * _BITS_PER_TABLE : (t + 1) * _BITS_PER_TABLE] @ weights
-            for t in range(_N_TABLES)
-        ]
-        return pd.Series(list(np.stack(buckets, axis=1)))
-
-    bucketed = n.select(
-        "vec_id", "emb", "nrm", F.posexplode(table_buckets("emb")).alias("tbl", "bucket")
-    )
-
-    # rename every column on each join side: q, the candidate index, and
-    # the vector payload all derive from the same scan (self-join lineage)
-    # multi-probe: the query side fans out to its bucket plus the 4
-    # Hamming-1 buckets per table (bit-flip via XOR); 5× keys on 10 query
-    # rows, zero change to the index side
-    probe_buckets = (
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                    for b in range(_BITS_PER_TABLE)
-                ],
-            )
-        )
-        if _LSH_MULTIPROBE
-        else F.col("bucket")
-    )
-    q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("tbl").alias("q_tbl"),
-        probe_buckets.alias("q_bucket"),
-    )
-    index = bucketed.select(
-        F.col("vec_id").alias("cand_id"), F.col("tbl").alias("c_tbl"), F.col("bucket").alias("c_bucket")
+    n = _normed(load(spark, sf_dir, "embeddings"))
+    qv = n.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn")
     )
     payload = n.select(
         F.col("vec_id").alias("cand_id"), F.col("emb").alias("ce"), F.col("nrm").alias("cn")
     )
-    cands = (
-        q.join(index, (F.col("q_tbl") == F.col("c_tbl")) & (F.col("q_bucket") == F.col("c_bucket")))
-        .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "qe", "qn", "cand_id")
-        .distinct()  # union of tables
-        .join(payload, "cand_id")
-    )
+    cands = _lsh_candidates(n).join(F.broadcast(qv), "query_id").join(payload, "cand_id")
     dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     scored = cands.select(
         "query_id",
@@ -212,6 +149,89 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+def _lsh_candidates(n: DataFrame) -> DataFrame:
+    """(query_id, cand_id) candidate pairs from the multi-table LSH index
+    over a `_normed` frame — the stage whose row count IS the scan
+    fraction (tools/ann_recall.py measures it directly).  Kept
+    payload-free: the union-of-tables distinct dedupes 2 longs per row,
+    not 64-double embedding arrays (r5 carried the query vector through
+    the distinct — hashing and shuffling 512-byte arrays per candidate
+    row; the payload joins now run AFTER the distinct, on the deduped
+    set)."""
+    import hashlib
+
+    import numpy as np
+
+    # hyperplane h[plane][d] in [-0.5, 0.5): md5-derived, deterministic, no
+    # RNG (SURVEY.md §1.4).  Built ONCE driver-side into a (planes × dims)
+    # numpy matrix captured by a vectorized pandas_udf: all projections
+    # for an Arrow batch are one GEMM.  (An inline higher-order-function
+    # form costs more in Catalyst analysis than the whole query's
+    # execution — measured ~2s at 2000 rows; the UDF form ~0.7s.)
+    planes = np.array(
+        [
+            [
+                int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16) / float(2**32)
+                - 0.5
+                for d in range(64)
+            ]
+            for p in range(_N_TABLES * _BITS_PER_TABLE)
+        ]
+    )
+    weights = 1 << np.arange(_BITS_PER_TABLE)
+    n_probes = _LSH_PROBES
+
+    @F.pandas_udf("array<bigint>")
+    def table_buckets(emb_s: pd.Series) -> pd.Series:
+        M = np.stack(emb_s.to_numpy())  # (batch, 64)
+        bits = (M @ planes.T > 0).astype(np.int64)  # (batch, tables*bits)
+        buckets = [
+            bits[:, t * _BITS_PER_TABLE : (t + 1) * _BITS_PER_TABLE] @ weights
+            for t in range(_N_TABLES)
+        ]
+        return pd.Series(list(np.stack(buckets, axis=1)))
+
+    # query-side multi-probe, built DRIVER-side from the explicitly
+    # bounded query set (an O(queries)=10-row collect, the q_ann_pq/ivf
+    # pattern — one fewer pandas-UDF stage than projecting the queries in
+    # a worker; measured ~0.3s off the candidate stage): each query
+    # probes its own bucket plus the _LSH_PROBES Hamming-1 flips per
+    # table, lowest |projection margin| first (probes = bits ⇒ the full
+    # Hamming-1 ball, ranking moot).  The fan-out is (1+probes)× keys on
+    # the query side only; the index keeps ONE bucket per vector per
+    # table.
+    spark = n.sparkSession
+    qrows = n.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "emb").collect()
+    if not qrows:  # no query vectors in range → empty candidate set
+        return spark.createDataFrame([], "query_id long, cand_id long")
+    Q = np.stack([r["emb"] for r in qrows])  # (n_q, 64)
+    proj = Q @ planes.T  # (n_q, tables*bits)
+    qbits = (proj > 0).astype(np.int64)
+    probe_rows = []
+    for r, row in enumerate(qrows):
+        for t in range(_N_TABLES):
+            sl = slice(t * _BITS_PER_TABLE, (t + 1) * _BITS_PER_TABLE)
+            b = int(qbits[r, sl] @ weights)
+            flips = np.argsort(np.abs(proj[r, sl]), kind="stable")[:n_probes]
+            for bucket in [b] + [b ^ (1 << int(i)) for i in flips]:
+                probe_rows.append((int(row["vec_id"]), t, bucket))
+    q = spark.createDataFrame(probe_rows, "query_id long, q_tbl int, q_bucket long")
+
+    index = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.posexplode(table_buckets("emb")).alias("c_tbl", "c_bucket"),
+    )
+    return (
+        index.join(
+            F.broadcast(q),
+            (F.col("q_tbl") == F.col("c_tbl")) & (F.col("q_bucket") == F.col("c_bucket")),
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()  # union of tables: 2 longs per row
     )
 
 

@@ -14,8 +14,9 @@ def test_lsh_recall_and_determinism(spark, sf_dir):
     approx2 = _pairs(S.q_ann_lsh(spark, sf_dir))
     assert approx1 == approx2  # deterministic (md5-derived hyperplanes)
     recall = len(exact & approx1) / len(exact)
-    # 16 tables × 8 bits + query-side Hamming-1 multi-probe: measured 0.88
-    # at sf0.1 / 0.82 at sf0.01 (ANN_RECALL.md) — 0.8 bar with a noise
+    # 40 tables × 10 bits + query-side Hamming-1 multi-probe: measured
+    # 0.90 at sf0.1 / 0.88 at sf0.01 (ANN_RECALL.md) — 0.85 bar with a
+    # noise
     # margin below
     assert recall >= 0.75
 

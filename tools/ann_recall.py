@@ -28,15 +28,26 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/testdata/sf0.01"]
-    print("| sf_dir | variant | recall@5 | wall (s) |")
-    print("|---|---|---|---|")
+    print("| sf_dir | variant | recall@5 | scan fraction | wall (s) |")
+    print("|---|---|---|---|---|")
     for sf in sf_dirs:
         exact = {(r.query_id, r.neighbor_id) for r in S.q_cosine_topk(spark, sf).collect()}
+        n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
         for name, fn in (("lsh", S.q_ann_lsh), ("ivf", S.q_ann_ivf), ("pq", S.q_ann_pq)):
             t0 = time.time()
             approx = {(r.query_id, r.neighbor_id) for r in fn(spark, sf).collect()}
+            wall = time.time() - t0
             recall = len(exact & approx) / len(exact)
-            print(f"| {sf} | {name} | {recall:.3f} | {time.time() - t0:.1f} |")
+            if name == "lsh":
+                # candidate rows the index actually surfaces, as a fraction
+                # of a 10-query brute-force scan — LSH's efficiency axis
+                from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+                n_cand = S._lsh_candidates(S._normed(load(spark, sf, "embeddings"))).count()
+                frac = f"{n_cand / (10 * n_corpus):.0%}"
+            else:
+                frac = "—"
+            print(f"| {sf} | {name} | {recall:.3f} | {frac} | {wall:.1f} |")
     return 0
 
 
