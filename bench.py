@@ -109,7 +109,12 @@ def main() -> int:
     # sparse_*.csv`: Python 472s, C 0.73s, Java 0.39s single-node)
     A2048 = mat_from_lineitem(spark, sf_dir, 2048).where("(i * 2048 + j) % 20 = 0").cache()
     B2048 = mat_from_lineitem(spark, sf_dir, 2048, shift=7).cache()
-    for m in (A256, B256, A1024, B1024, E, A2048, B2048):
+    # dense n=2048 pair for the planner row, and n=4096 operands for the
+    # 3-D (partial-sum) blocked-decomposition row
+    A2048d = mat_from_lineitem(spark, sf_dir, 2048).cache()
+    A4096 = mat_from_lineitem(spark, sf_dir, 4096).cache()
+    B4096 = mat_from_lineitem(spark, sf_dir, 4096, shift=7).cache()
+    for m in (A256, B256, A1024, B1024, E, A2048, B2048, A2048d, A4096, B4096):
         m.count()
 
     # Python/Arrow workers are reused across queries
@@ -157,6 +162,25 @@ def main() -> int:
         ),
         "matmul_gram_embeddings": lambda: run_mm(
             lambda: M.multiply(M.transpose(E), E, strategy="join")
+        ),
+        # planner end-to-end: stats → strategy (blocked: 559k nnz/side =
+        # 152M est. partials defeats broadcast, measured 10.0s vs 1.8s)
+        # AND planner-chosen block size (bs=1024 from the panel budget) —
+        # the r6 "auto sizes its own tiles" row; must track the
+        # hand-tuned blocked time within ~1.2×
+        "matmul_auto_n2048": lambda: run_mm(
+            lambda: M.multiply(A2048d, B2048, strategy="auto")
+        ),
+        # 3-D (bi,bk,bj) decomposition with the partial-sum pass: under a
+        # constrained 32 MB panel budget (a memory-tight executor), bs=2048
+        # panels at n=4096 (64 MB) exceed it, so this row exercises the
+        # huge-inner-dimension path the 2-D panels otherwise bypass
+        # (EXPLAINS.md shows the partial-sum agg; the planner's own
+        # unconstrained choice at n=4096 is the faster 2-D bs=1024)
+        "matmul_blocked_n4096_3d": lambda: run_mm(
+            lambda: M.multiply(
+                A4096, B4096, strategy="blocked", block_size=2048, panel_bytes=32 << 20
+            )
         ),
     }
     # relational / window / text / LLM-pipeline headline queries

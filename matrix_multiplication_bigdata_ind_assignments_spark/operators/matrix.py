@@ -153,7 +153,13 @@ def _coo_stats(M: DataFrame) -> tuple[int, int]:
     return stats
 
 
-def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int = 32) -> DataFrame:
+def multiply(
+    A: DataFrame,
+    B: DataFrame,
+    strategy: str = "join",
+    block_size: int | None = None,
+    panel_bytes: int | None = None,
+) -> DataFrame:
     """C(i,j) = round(Σ_k A(i,k)·B(k,j), 6) as COO.
 
     Same contraction as the reference's i-k-j loops
@@ -163,6 +169,14 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
     (plans/strategy.py) with operand statistics — the Spark-side analogue
     of the reference's CLI algo dispatch
     (`Stage 2/Python Implementation/mm_opt.py:96-111`).
+
+    ``block_size=None`` (the default) lets the planner size the tile
+    grid from the operand extent and the panel-byte budget
+    (plans.choose_block_size) whenever the blocked kernel runs; an
+    explicit value is honored verbatim.  ``panel_bytes`` overrides the
+    per-task panel budget that decides the blocked kernel's 2-D → 3-D
+    decomposition switch (default: _PANEL_BYTES_LIMIT — model it on the
+    executor memory a tile task may hold).
     """
     _validate_coo(A, "A")
     _validate_coo(B, "B")
@@ -172,8 +186,14 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
         left_nnz, n_a = _coo_stats(A)
         right_nnz, n_b = _coo_stats(B)
         n = max(n_a, n_b)
-        density = right_nnz / max(n * n, 1)
+        density = min(left_nnz, right_nnz) / max(n * n, 1)
         strategy = choose_multiply_strategy(left_nnz, right_nnz, n, density)
+    if strategy == "blocked" and block_size is None:
+        from ..plans import choose_block_size
+
+        _, n_a = _coo_stats(A)
+        _, n_b = _coo_stats(B)
+        block_size = choose_block_size(max(n_a, n_b))
     if strategy in ("join", "broadcast"):
         right = F.broadcast(B) if strategy == "broadcast" else B
         return (
@@ -183,7 +203,7 @@ def multiply(A: DataFrame, B: DataFrame, strategy: str = "join", block_size: int
             .agg(F.round(F.sum(F.col("a.v") * F.col("b.v")), 6).alias("v"))
         )
     if strategy == "blocked":
-        return _multiply_blocked(A, B, block_size)
+        return _multiply_blocked(A, B, block_size, panel_bytes)
     # "blockmatrix" (mllib BlockMatrix) was dropped from the strategy set:
     # CoordinateMatrix construction forces a per-row Python→JVM MatrixEntry
     # bridge — row-at-a-time Python in the hot path, with no DataFrame-side
@@ -230,7 +250,7 @@ def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame
 _PANEL_BYTES_LIMIT = 64 << 20
 
 
-def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int) -> DataFrame:
+def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | None = None) -> DataFrame:
     """Tiled multiply: group cells into blocks, numpy-GEMM each cogrouped
     pair in applyInPandas.
 
@@ -274,9 +294,10 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int) -> DataFrame:
         .agg(F.max("m").alias("m"))
         .first()[0]
     )
-    panel_bytes = bs * (int(k_hi) + 1) * 8 if k_hi is not None else 0
+    need_bytes = bs * (int(k_hi) + 1) * 8 if k_hi is not None else 0
+    budget = _PANEL_BYTES_LIMIT if panel_bytes is None else panel_bytes
 
-    if panel_bytes <= _PANEL_BYTES_LIMIT:
+    if need_bytes <= budget:
         # 2-D: replicate A's cells across B's column blocks and vice versa;
         # group (bi,bj) sees the whole inner dimension → final values.
         a_keys = Ab.select("a_bi").distinct()

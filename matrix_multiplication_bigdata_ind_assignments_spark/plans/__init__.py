@@ -1,1 +1,1 @@
-from .strategy import choose_multiply_strategy  # noqa: F401
+from .strategy import choose_block_size, choose_multiply_strategy  # noqa: F401

@@ -1,6 +1,7 @@
 """The engine's only hand-written planner (SURVEY.md §4 conclusion):
-physical-strategy choice for `multiply`.  Everything else — pushdown,
-pruning, join reordering, partial aggregation, AQE — is Catalyst's job.
+physical-strategy and block-size choice for `multiply`.  Everything else
+— pushdown, pruning, join reordering, partial aggregation, AQE — is
+Catalyst's job.
 
 Mirrors the reference's CLI algo dispatch
 (ref: `Stage 2/Python Implementation/mm_opt.py:96-111`) but chooses from
@@ -12,6 +13,28 @@ from __future__ import annotations
 BROADCAST_NNZ_LIMIT = 2_000_000  # ~48 MB of COO rows — safe to broadcast
 BLOCKED_MIN_DIM = 512  # below this the plain join wins (blocking overhead)
 
+# Estimated COO partial products (left_nnz·right_nnz/n under uniform
+# spread) beyond which the join/broadcast hash-agg loses to tiled GEMM:
+# every partial is one row through the aggregate (~tens of M rows/s),
+# while the blocked kernel turns the same work into numpy GEMM flops
+# (~GFlop/s/core).  Measured at n=2048, nnz 559k (152M est. partials):
+# broadcast 10.0s vs blocked 1.8s — the crossover sits well below that;
+# at n=256 (16.8M partials) broadcast 1.1s still wins on overhead.
+PARTIALS_LIMIT = 50_000_000
+
+# Density (of the sparser operand) above which densifying tiles pays:
+# blocked does n³ GEMM flops where the join processes d²·n³ partial
+# rows; with GEMM throughput ≈50× the hash-agg row rate the crossover is
+# d ≈ sqrt(1/50) ≈ 0.14.  0.1 with the partials guard above matches the
+# n=2048 measurement (d=0.13 → blocked 5-10× faster).
+GEMM_DENSITY_CROSSOVER = 0.1
+
+# Per-task panel memory budget for the blocked kernel: a 2-D (bi,bj)
+# panel holds 2 · bs · k doubles (A row-panel + B column-panel).  Sized
+# so a tile task stays ≪ executor memory at 100 TB; also the 2-D → 3-D
+# decomposition switch point in operators/matrix.py.
+PANEL_BYTES_BUDGET = 64 << 20
+
 
 def choose_multiply_strategy(
     left_nnz: int,
@@ -21,16 +44,49 @@ def choose_multiply_strategy(
 ) -> str:
     """Pick a physical strategy for C = A·B.
 
-    - Small right operand → ``broadcast`` (Stage 3's manual B-broadcast,
-      done the Spark way: no shuffle of the big side).
-    - Large dense×dense → ``blocked`` (block-grid + per-pair numpy GEMM:
-      shuffle O(n²·n/BS) cells instead of materializing O(n³) join rows).
+    - Small right operand AND modest partial-product volume →
+      ``broadcast`` (Stage 3's manual B-broadcast, done the Spark way:
+      no shuffle of the big side).  A small-but-dense right side can
+      still explode the join's partial-product count — the r6 planner
+      gates broadcast on BOTH stats (measured: n=2048 at 559k nnz per
+      side is 152M partials, broadcast 10.0s vs blocked 1.8s).
+    - Dense-enough operands at size → ``blocked`` (block-grid + per-pair
+      numpy GEMM: the n³ work runs at GEMM rate instead of hash-agg row
+      rate; crossover density ≈0.1, see GEMM_DENSITY_CROSSOVER).
     - Everything else (sparse operands, modest sizes) → ``join``: the COO
       equi-join + hash agg that Catalyst/AQE handles natively; with nnz ≪
       n² only nonzeros flow, which is exactly the reference's CSR point.
+
+    ``density`` is the density of the SPARSER operand (product work
+    scales with d_A·d_B, so the thin side bounds the win from
+    densifying).
     """
-    if right_nnz <= BROADCAST_NNZ_LIMIT:
+    est_partials = left_nnz * right_nnz / max(n, 1)
+    if right_nnz <= BROADCAST_NNZ_LIMIT and est_partials <= PARTIALS_LIMIT:
         return "broadcast"
-    if n >= BLOCKED_MIN_DIM and density > 0.5:
+    if n >= BLOCKED_MIN_DIM and density >= GEMM_DENSITY_CROSSOVER:
         return "blocked"
     return "join"
+
+
+def choose_block_size(n: int, panel_bytes: int = PANEL_BYTES_BUDGET) -> int:
+    """Block size for the tiled kernel, from the operand extent and the
+    panel-byte budget (VERDICT r5 item 4 — "auto" previously ran the
+    caller's fixed 32, paying 128× more tiles than the measured optimum
+    at n=1024).
+
+    Two forces: per-tile Arrow/Python overhead dominates below ~4 tiles'
+    worth of work (measured n=1024 sweep: bs 128 → 16.3s, 256 → 10.4s,
+    512 → 4.9s — bigger is better until memory), while a 2-D panel
+    (2·bs·n doubles) must fit the per-task byte budget.  So: bs = n/2
+    (≥4 tiles for parallelism), capped by the panel budget, floored at
+    64, rounded down to a power of two (aligned tile edges).  Check
+    against measurement: n=1024 → 512 (the measured optimum), n=2048 →
+    1024 (measured 1.79s vs 1.96s at 512), n=4096 → 1024 via the memory
+    cap (keeps the 2-D no-partial-sum decomposition: measured 3.3s vs
+    5.4s for 3-D at bs=2048)."""
+    if n <= 1:
+        return 64
+    mem_cap = panel_bytes // (16 * n)  # 2 panels of bs×n doubles
+    bs = max(64, min(n // 2, mem_cap) if n >= 128 else n)
+    return 1 << (bs.bit_length() - 1)

@@ -133,3 +133,30 @@ def test_knn_graph_count_memoized_no_extra_jobs(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "count", boom)
     S.q_knn_graph(spark, sf_dir)
+
+
+def test_planner_partials_gate_and_block_size(A, B):
+    """r6 planner upgrades: broadcast is gated on estimated partial-product
+    volume (a broadcast-sized right side can still explode the hash agg),
+    and the blocked kernel sizes its own tiles from (n, panel budget)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.plans import (
+        choose_block_size,
+        choose_multiply_strategy,
+    )
+
+    # the measured n=2048 bench stats (559k nnz/side → 152M est partials,
+    # density 0.13): broadcast-sized nnz, but broadcast measured 10.0s vs
+    # blocked 1.8s — the planner must pick blocked
+    assert choose_multiply_strategy(559_000, 559_000, 2048, density=0.13) == "blocked"
+    # the n=256 bench stats (fully dense, 16.8M partials): broadcast wins
+    assert choose_multiply_strategy(65_536, 65_536, 256, density=1.0) == "broadcast"
+
+    assert choose_block_size(1024) == 512  # the measured n=1024 optimum
+    assert choose_block_size(2048) == 1024  # measured 1.79s vs 1.96s at 512
+    assert choose_block_size(4096) == 1024  # panel cap keeps 2-D (3.3s vs 5.4s 3-D)
+    assert choose_block_size(8192) == 512  # budget cap scales down
+    assert choose_block_size(50) == 64  # overhead floor
+
+    # blocked with planner-chosen bs (block_size=None) stays correct
+    dense = rows_set(M.multiply(A, B, strategy="join"))
+    assert dense == rows_set(M.multiply(A, B, strategy="blocked"))

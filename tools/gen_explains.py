@@ -25,6 +25,8 @@ AUDIT = {
     "q_knn_graph": "tile-local top-k before the merge window (tile output |block|*k, never |block|^2)",
     "q_ann_pq": "Arrow ADC kernel over codes + broadcast re-rank joins; no per-pair corpus math",
     "q_dedup_span_exact": "one shuffle keyed on span + reassembly hash agg; filters pushed to scan",
+    "q_dedup_span_strided": "rolling 20-gram hashes: one window shuffle on the gram hash + per-doc "
+    "agg; the token-coverage test is an array exists over the per-doc dup list, no corpus-sized join",
     "q_sequence_pack": "range-partition + pid-local window; offsets return via BroadcastHashJoin (no SinglePartition over data)",
     "q_star_join": "dims broadcast (BroadcastHashJoin), fact never shuffled for the dim joins",
     "q_bloom_semi_join": "bloom word-table probes + dim semi all BroadcastHashJoin; the fact side "
@@ -52,8 +54,47 @@ def main() -> int:
         "any operator change; tests/test_plans.py asserts the checkable subset.",
         "",
     ]
-    for name, prop in AUDIT.items():
-        df = qs[name](spark, sf_dir)
+    # ad-hoc (non-registry) audit entries: bench-only plan shapes
+    def _matmul_3d(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from matrix_multiplication_bigdata_ind_assignments_spark.operators import matrix as M
+
+        # the 2-D/3-D switch is data-dependent (panel bytes = bs·k_extent·8):
+        # sf0.01's partkey span (≤2000) keeps a bs=2048 panel under the 64 MB
+        # budget, so the 3-D shape only appears at sf0.1's full 4096 k-extent
+        # — pin the fixture the bench row actually runs on
+        l = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+
+        def mat(n, shift=0):
+            return (
+                l.select(
+                    ((F.col("l_orderkey") + shift) % n).alias("i"),
+                    ((F.col("l_partkey") + 3 * shift) % n).alias("j"),
+                    F.col("l_quantity").alias("v"),
+                )
+                .groupBy("i", "j")
+                .agg(F.sum("v").alias("v"))
+            )
+
+        return M.multiply(
+            mat(4096), mat(4096, shift=7), strategy="blocked", block_size=2048,
+            panel_bytes=32 << 20,  # the bench row's memory-tight budget
+        )
+
+    adhoc = {
+        "matmul_blocked_n4096_3d (bench-only)": (
+            _matmul_3d,
+            "the 3-D (bi,bk,bj) decomposition: bs=2048 panels at n=4096 (64 MB) exceed the "
+            "bench row's constrained 32 MB budget, so the plan must show the cogrouped GEMM "
+            "FOLLOWED by a partial-sum "
+            "HashAggregate on (i,j) — the huge-inner-dimension path where per-task memory stays "
+            "O(bs^2) regardless of k",
+        ),
+    }
+
+    for name, prop in {**AUDIT, **{k: v[1] for k, v in adhoc.items()}}.items():
+        df = adhoc[name][0](spark, sf_dir) if name in adhoc else qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # run → AQE final plan
         buf = io.StringIO()
         with redirect_stdout(buf):
