@@ -313,31 +313,37 @@ _SQL_MEDIA_FEATURES = """
   SELECT doc_id,
          ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
          list_transform(string_split(text, ''), c -> ord(c)) AS b,
-         length(text) AS L
+         length(text) AS L,
+         -- the wav builder substitutes " " for EMPTY text ((t or " "),
+         -- multimodal.py wav_payload) — mirror that here (ADVICE r5:
+         -- unguarded L made % La a modulo-by-zero and byte_len off by 2
+         -- on an empty-text audio doc)
+         CASE WHEN length(text) = 0 THEN [32] ELSE list_transform(string_split(text, ''), c -> ord(c)) END AS ab,
+         greatest(length(text), 1) AS La
   FROM documents
 """
 _SQL_MEDIA_CHECKSUMS = """
   SELECT doc_id, media_type,
     CAST(CASE media_type
       WHEN 'image' THEN 13 + 768
-      WHEN 'audio' THEN 44 + 2 * (160 + L % 160)
+      WHEN 'audio' THEN 44 + 2 * (160 + La % 160)
       ELSE L END AS BIGINT) AS byte_len,
     CAST(CASE media_type
       WHEN 'image' THEN
         list_sum(list_transform(range(768),
           i -> CASE WHEN i < L THEN b[i + 1] ELSE 32 END)) % 1000003
       WHEN 'audio' THEN
-        ((list_sum(list_transform(range(160 + L % 160),
-            j -> CASE WHEN b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] >= 32768
-                 THEN b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] - 65536
-                 ELSE b[(2 * j) % L + 1] + 256 * b[(2 * j + 1) % L + 1] END))
+        ((list_sum(list_transform(range(160 + La % 160),
+            j -> CASE WHEN ab[(2 * j) % La + 1] + 256 * ab[(2 * j + 1) % La + 1] >= 32768
+                 THEN ab[(2 * j) % La + 1] + 256 * ab[(2 * j + 1) % La + 1] - 65536
+                 ELSE ab[(2 * j) % La + 1] + 256 * ab[(2 * j + 1) % La + 1] END))
           % 1000003) + 1000003) % 1000003
       ELSE
         list_reduce(list_prepend(0, list_transform(range(L), i -> b[i + 1] + i)),
                     (s, e) -> (s * 131 + e) % 1000003)
       END AS BIGINT) AS checksum,
     CAST(CASE media_type WHEN 'video' THEN L % 30 + 1
-         WHEN 'audio' THEN 160 + L % 160 ELSE 1 END AS BIGINT) AS n_frames
+         WHEN 'audio' THEN 160 + La % 160 ELSE 1 END AS BIGINT) AS n_frames
 """
 
 

@@ -453,6 +453,150 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# plan-identity → top-key share memo (the _COO_STATS pattern from
+# operators/matrix.py: semanticHash key, sameSemantics-confirmed, bounded,
+# collision-bucketed) — repeated salted_join_auto calls over the same
+# logical fact launch ZERO extra stat jobs.
+_SKEW_STATS: dict[int, list] = {}
+_SKEW_STATS_MAX = 256
+
+
+def top_key_share(fact: DataFrame, key: str, topk: int = 8) -> float:
+    """Fraction of fact rows owned by the hottest value of ``key``,
+    from per-partition top-k histograms (the MapReduce top-k pattern):
+    one `mapInPandas` pass emits each partition's ``topk`` hottest keys
+    plus its row total — partitions × topk tiny rows to the driver,
+    ZERO shuffle of the fact.  A key owning ≥ the salting threshold
+    (20%) globally owns ~that share of every partition in expectation,
+    so it cannot miss the per-partition top lists; the estimate is a
+    lower bound that is exact for exactly the keys the planner cares
+    about.  Deterministic (partition splits and value_counts are; no
+    RNG, SURVEY.md §1.4).  Memoized per logical plan (the _COO_STATS
+    pattern), so repeated planning launches zero extra jobs.  (A
+    row-sampling variant was rejected: deterministic full-row-hash
+    sampling collapses when a hot key spans few DISTINCT rows — all
+    duplicates sample together and the share estimate is garbage.)"""
+    hkey = fact.semanticHash() ^ hash(key)
+    bucket = _SKEW_STATS.get(hkey, [])
+    for frame, k, share in bucket:
+        try:
+            if k == key and fact.sameSemantics(frame):
+                return share
+        except Exception:  # stale frame from a stopped session — recompute
+            continue
+    src = fact.select(F.col(key).cast("string").alias("k"))
+
+    def part_stats(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        cnt: Counter = Counter()
+        tot = 0
+        for pdf in batches:
+            tot += len(pdf)
+            cnt.update(pdf["k"].value_counts().to_dict())
+        if not tot:
+            return
+        top = cnt.most_common(topk)
+        # the partition total rides the first row only (summed driver-side)
+        yield pd.DataFrame(
+            {
+                "k": [str(t[0]) for t in top],
+                "c": [int(t[1]) for t in top],
+                "tot": [int(tot)] + [0] * (len(top) - 1),
+            }
+        )
+
+    rows = src.mapInPandas(part_stats, schema="k string, c long, tot long").collect()
+    total = sum(r["tot"] for r in rows)
+    by_key: dict[str, int] = {}
+    for r in rows:
+        by_key[r["k"]] = by_key.get(r["k"], 0) + r["c"]
+    share = max(by_key.values(), default=0) / max(total, 1)
+    if sum(len(b) for b in _SKEW_STATS.values()) >= _SKEW_STATS_MAX:
+        _SKEW_STATS.clear()
+        bucket = []
+    _SKEW_STATS[hkey] = (bucket + [(fact, key, share)])[-4:]
+    return share
+
+
+def salted_join_auto(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Shuffle join fact↔dim with STAT-DRIVEN salting (VERDICT r5 item
+    7): a sampled key histogram estimates the hottest fact key's row
+    share; past plans.SKEW_TOP_SHARE_THRESHOLD the fact side gets a
+    deterministic salt in [0, n_salts) and the dim side is exploded
+    n_salts×, spreading the mega-key over n_salts reducers (the measured
+    1.7×-over-AQE pattern, SCALING.md "Skewed hot-key join"); below it
+    the plain shuffle join runs and nothing pays the dim explosion.
+    Results are identical either way (the salt is a join-key refinement,
+    not a filter).  ``stats["salted"]`` records the choice."""
+    from ..plans import choose_join_salting
+
+    share = top_key_share(fact, fact_key)
+    salted = choose_join_salting(share)
+    if stats is not None:
+        stats["top_key_share"] = share
+        stats["salted"] = salted
+    if not salted:
+        return fact.join(dim.hint("shuffle_hash"), fact[fact_key] == dim[dim_key])
+    f = fact.withColumn(
+        "mmbd_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "mmbd_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return f.join(
+        d.hint("shuffle_hash"),
+        (f[fact_key] == d[dim_key]) & (f["mmbd_salt"] == d["mmbd_salt"]),
+    ).drop("mmbd_salt")
+
+
+@register(
+    "q_skew_join_auto",
+    oracle=f"""
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_partkey END AS hot_partkey,
+         l_quantity
+  FROM lineitem
+)
+SELECT p.p_brand AS p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_dec_sum("l.l_quantity", 2)} AS total_qty
+FROM l JOIN part p ON l.hot_partkey = p.p_partkey
+GROUP BY p_brand
+""",
+)
+def q_skew_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stat-driven salting planner end-to-end on a synthetic mega-key:
+    90% of lineitem rows are remapped to partkey 1, the sampled histogram
+    sees the ~0.9 top-key share, and salted_join_auto salts the join
+    (asserted in tests/test_partitioning.py).  Oracle-green because the
+    salt refines the join key without changing the join's result."""
+    l = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("hot_partkey"),
+        "l_quantity",
+    )
+    p = load(spark, sf_dir, "part")
+    return (
+        salted_join_auto(l, p, "hot_partkey", "p_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_quantity", 2).alias("total_qty"),
+        )
+    )
+
+
 @register(
     "q_lateral_topk",
     oracle="""

@@ -1,1 +1,5 @@
-from .strategy import choose_block_size, choose_multiply_strategy  # noqa: F401
+from .strategy import (  # noqa: F401
+    choose_block_size,
+    choose_join_salting,
+    choose_multiply_strategy,
+)

@@ -90,3 +90,21 @@ def choose_block_size(n: int, panel_bytes: int = PANEL_BYTES_BUDGET) -> int:
     mem_cap = panel_bytes // (16 * n)  # 2 panels of bs×n doubles
     bs = max(64, min(n // 2, mem_cap) if n >= 128 else n)
     return 1 << (bs.bit_length() - 1)
+
+
+# Fraction of (sampled) fact rows owned by the single hottest join key
+# above which the planner salts the join.  Rationale: with P reducers a
+# key owning share s pins one reducer at s of the total work — at s=0.2
+# and 32+ reducers that is a 6×+ straggler; the measured mega-key case
+# (s=0.9, SCALING.md "Skewed hot-key join") shows 16-way salting 1.7×
+# faster than AQE's skew-split even on local[32], and the gap widens
+# with executor count.  Below the threshold salting only pays the
+# n_salts× dim explosion for nothing.
+SKEW_TOP_SHARE_THRESHOLD = 0.2
+
+
+def choose_join_salting(top_key_share: float, threshold: float = SKEW_TOP_SHARE_THRESHOLD) -> bool:
+    """True ⇒ salt the shuffle join (explode the dim side n_salts×, salt
+    the fact side) — the decision rule behind
+    operators.relational.salted_join_auto."""
+    return top_key_share >= threshold

@@ -206,6 +206,18 @@ def oracles(sf_dir: str = DRIVER_ORACLE_SF) -> dict[str, str]:
     """Resolved oracle SQL per query.  Callable oracles are rendered for
     ``sf_dir`` (the driver's fixed sf0.01 by default; tools/oracle_check.py
     passes the fixture it is actually checking)."""
+    import os
+    import sys
+
+    if not os.path.isdir(sf_dir):
+        # data-dependent callable oracles (q_bpe_*) resolve against this
+        # fixture; a missing path would silently degrade them ALL to
+        # rows-only (ADVICE r5) — say so once, loudly
+        print(
+            f"WARNING: oracle fixture dir {sf_dir!r} does not exist; "
+            "callable oracle builders will degrade to rows-only checks",
+            file=sys.stderr,
+        )
     out: dict[str, str] = {}
     for q in _ordered():
         if q.oracle is None:
@@ -213,10 +225,17 @@ def oracles(sf_dir: str = DRIVER_ORACLE_SF) -> dict[str, str]:
         if callable(q.oracle):
             # a failing oracle BUILDER (e.g. the fixture parquet is absent in
             # this environment) degrades that one query to a rows-only check
-            # instead of killing the whole oracle_sql() contract call
+            # instead of killing the whole oracle_sql() contract call — but
+            # never silently (ADVICE r5: a regression in a builder would
+            # otherwise quietly remove verification coverage)
             try:
                 out[q.name] = q.oracle(sf_dir)
-            except Exception:
+            except Exception as exc:
+                print(
+                    f"WARNING: oracle builder for {q.name} failed "
+                    f"({type(exc).__name__}: {exc}); degrading to rows-only",
+                    file=sys.stderr,
+                )
                 continue
         else:
             out[q.name] = q.oracle

@@ -174,3 +174,35 @@ def test_real_decode_features_and_phash(spark):
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
     assert ham(ph[0], ph[1]) <= 10  # near-dup: tiny pixel noise
     assert ham(ph[0], ph[2]) >= 40  # inverse image flips most DCT signs
+
+
+def test_empty_text_audio_doc_matches_oracle(spark, tmp_path):
+    """ADVICE r5: the wav builder substitutes " " for empty text; the SQL
+    oracle must mirror that guard (unguarded it divides by zero and is 2
+    bytes short).  Synthetic fixture with an empty-text AUDIO doc
+    (doc_id % 3 == 1) checked Spark-vs-DuckDB row for row."""
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.registry import REGISTRY, _load_all
+
+    rows = [
+        (1, "", "en", "s", 0),                      # audio, EMPTY text
+        (4, "some audio words here", "en", "s", 21),  # audio, normal
+        (0, "an image doc body", "en", "s", 17),      # image
+        (2, "a video doc body", "en", "s", 16),       # video
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    _load_all()
+    q = REGISTRY["q_multimodal_features"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want

@@ -73,3 +73,49 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert ho > 0.9 and hp > 0.9
     # z-order: average file covers a small box in BOTH dims
     assert zo < 0.5 and zp < 0.5, (zo, zp)
+
+
+def test_salting_planner_stat_driven(spark, sf_dir):
+    """salted_join_auto: sampled top-key share → salt only past the
+    threshold; identical results on both paths (VERDICT r5 item 7)."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        salted_join_auto,
+        top_key_share,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.plans import choose_join_salting
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    assert choose_join_salting(0.9) and choose_join_salting(0.2)
+    assert not choose_join_salting(0.19) and not choose_join_salting(0.01)
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+
+    # uniform keys: the sampled share is tiny → plain shuffle join
+    uni_stats = {}
+    uniform = salted_join_auto(
+        li.select("l_partkey", "l_quantity"), part, "l_partkey", "p_partkey", stats=uni_stats
+    )
+    assert uni_stats["top_key_share"] < 0.2 and uni_stats["salted"] is False
+
+    # synthetic mega-key (90% of rows on partkey 1) → salted
+    hot = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(F.col("l_partkey")).alias("k"),
+        "l_quantity",
+    )
+    hot_stats = {}
+    salted = salted_join_auto(hot, part, "k", "p_partkey", n_salts=8, stats=hot_stats)
+    assert hot_stats["top_key_share"] >= 0.2 and hot_stats["salted"] is True
+    assert "mmbd_salt" not in salted.columns
+
+    # the salt is a join-key refinement, not a filter: row-level equality
+    plain = hot.join(part, hot["k"] == part["p_partkey"])
+    agg = lambda df: sorted(
+        tuple(r)
+        for r in df.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .collect()
+    )
+    assert agg(salted) == agg(plain)
