@@ -136,9 +136,10 @@ _CANARIES: tuple[str, ...] = (
 )
 
 
-def _driver_checked() -> tuple[dict[str, int], int]:
-    """({name -> round index of its latest successful driver row}, number of
-    past rounds) from the CORRECTNESS_r*.json files the driver leaves in the
+def _driver_checked() -> tuple[dict[str, int], int, set]:
+    """({name -> round index of its latest successful driver row},
+    number of past rounds, {names whose latest row was a rows-only
+    check}) from the CORRECTNESS_r*.json files the driver leaves in the
     repo root.  A row only counts as "checked" when the run actually verified
     the query: err is null (or the declared ``no_oracle`` rows-only mode) and
     no match flag is False.  A query whose most recent row errored or
@@ -169,33 +170,49 @@ def _driver_checked() -> tuple[dict[str, int], int]:
         and row.get("schema_match") is not False
         and row.get("hash_match") is not False
     }
-    return checked, rounds
+    rows_only = {n for n, (_, row) in latest.items() if row.get("err") == "no_oracle"}
+    return checked, rounds, rows_only
 
 
 def _ordered() -> list[Query]:
     """Gate-facing order, DATA-DRIVEN from the driver's own correctness
     records: (1) queries with no driver row yet — every query earns a row
     before any green is re-verified — ordered by _PRIORITY preference then
-    registration; (2) the _CANARIES (plan-sensitive greens that
-    must stay under regression watch every round); (3) all remaining
+    registration; (2) PROMOTION-PENDING queries: latest driver row was a
+    rows-only check but the query HAS an oracle now (it was promoted
+    after that row was recorded) — LRV alone would leave the driver's
+    ledger understating oracle coverage for a full rotation (VERDICT r5
+    item 6); (3) the _CANARIES (plan-sensitive greens that
+    must stay under regression watch every round); (4) all remaining
     greens, least-recently-verified first (by the round of each name's
     latest successful driver row, tie-broken by registration order), so
     with a ~50-query window every green is re-verified within a provable
     bound — no fixed-stride variance."""
     _load_all()
-    checked, rounds = _driver_checked()
+    checked, rounds, rows_only = _driver_checked()
     names = list(REGISTRY)
     pref = {n: i for i, n in enumerate(_PRIORITY)}
     never = sorted(
         (n for n in names if n not in checked), key=lambda n: (pref.get(n, len(pref)), names.index(n))
     )
-    canaries = [n for n in _CANARIES if n in REGISTRY and n in checked]
-    del rounds  # ordering now depends on per-name last-green rounds only
-    rest = sorted(
-        (n for n in names if n in checked and n not in set(canaries)),
+    promotable = sorted(
+        (
+            n
+            for n in names
+            if n in checked and n in rows_only and REGISTRY[n].oracle is not None
+        ),
         key=lambda n: (checked[n], names.index(n)),
     )
-    return [REGISTRY[n] for n in never + canaries + rest]
+    canaries = [
+        n for n in _CANARIES if n in REGISTRY and n in checked and n not in set(promotable)
+    ]
+    del rounds  # ordering now depends on per-name last-green rounds only
+    front = set(promotable) | set(canaries)
+    rest = sorted(
+        (n for n in names if n in checked and n not in front),
+        key=lambda n: (checked[n], names.index(n)),
+    )
+    return [REGISTRY[n] for n in never + promotable + canaries + rest]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -60,7 +60,7 @@ def test_ordering_is_driver_record_driven(monkeypatch):
 
     all_names = set(entry_mod.queries())
     some = {n: 1 for n in sorted(all_names)[:40]}
-    with mock.patch.object(registry, "_driver_checked", return_value=(some, 2)):
+    with mock.patch.object(registry, "_driver_checked", return_value=(some, 2, set())):
         ordered = list(registry.queries())
         n_never = len(all_names) - len(some)
         assert set(ordered[:n_never]) == all_names - set(some)
@@ -68,7 +68,7 @@ def test_ordering_is_driver_record_driven(monkeypatch):
     # (stalest) half must fill the rotating tail before any round-2 name
     names = sorted(all_names)
     last = {n: (1 if i < len(names) // 2 else 2) for i, n in enumerate(names)}
-    with mock.patch.object(registry, "_driver_checked", return_value=(last, 2)):
+    with mock.patch.object(registry, "_driver_checked", return_value=(last, 2, set())):
         ordered = list(registry.queries())
         assert [n for n in ordered[:50] if n in registry._CANARIES] == list(registry._CANARIES)
         tail = [n for n in ordered if n not in registry._CANARIES]
@@ -94,9 +94,39 @@ def test_lru_rotation_bounds_staleness():
     # everyone starts verified in round 0
     last = {n: 0 for n in all_names}
     for rnd in range(1, bound + 3):
-        with mock.patch.object(registry, "_driver_checked", return_value=(dict(last), rnd)):
+        with mock.patch.object(registry, "_driver_checked", return_value=(dict(last), rnd, set())):
             picked = list(registry.queries())[:window]
         for n in picked:
             last[n] = rnd
         staleness = [rnd - r for n, r in last.items()]
         assert max(staleness) <= bound, (rnd, max(staleness))
+
+
+def test_promotion_pending_queries_jump_the_rotation():
+    """A query whose latest driver row was rows-only but which HAS an
+    oracle now (promoted since that row) must precede the LRV tail —
+    otherwise the driver's ledger understates oracle coverage for a full
+    rotation (VERDICT r5 item 6)."""
+    from unittest import mock
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    all_names = list(entry_mod.queries())
+    oracled = [n for n in all_names if registry.REGISTRY[n].oracle is not None]
+    promoted = oracled[-2:]  # recently verified (round 2) yet rows-only
+    last = {n: (2 if n in promoted else 1) for n in all_names}
+    with mock.patch.object(
+        registry, "_driver_checked", return_value=(last, 2, set(promoted))
+    ):
+        ordered = list(registry.queries())
+    # despite being the FRESHEST rows, they outrank canaries and tail
+    assert ordered[: len(promoted)] == sorted(
+        promoted, key=lambda n: (last[n], all_names.index(n))
+    )
+    # a rows-only query with NO oracle does not jump (nothing to promote)
+    rows_only_forever = [n for n in all_names if registry.REGISTRY[n].oracle is None][:1]
+    with mock.patch.object(
+        registry, "_driver_checked", return_value=(last, 2, set(rows_only_forever))
+    ):
+        ordered2 = list(registry.queries())
+    assert ordered2[0] not in rows_only_forever
