@@ -204,10 +204,16 @@ def span_dedup(d: DataFrame) -> DataFrame:
     )
 
 
-_SQL_SPAN_ROLLING = f"""
-WITH t AS (
+def sql_span_rolling_ctes(src: str) -> str:
+    """The rolling-span dedup pipeline as reusable SQL CTEs over any
+    (doc_id, text) relation ``src`` — shared by q_dedup_span_strided's
+    oracle and composites (q_corpus_clean_strict).  Exposes the final
+    per-doc relation as ``span_out (doc_id, clean_text, n_kept,
+    n_dropped)``."""
+    return f"""
+t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents
+  FROM {src}
 ),
 sp AS (
   SELECT doc_id,
@@ -227,16 +233,22 @@ j AS (
   SELECT tok.doc_id AS doc_id, i, tk,
          COALESCE(len(list_filter(d.dps, p -> p <= i AND i < p + {_SPAN_W})) > 0, FALSE) AS dropped
   FROM tok LEFT JOIN dups d ON tok.doc_id = d.doc_id
+),
+span_out AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tk, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS clean_text,
+         CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+         CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped
+  FROM j GROUP BY doc_id
+)"""
+
+
+@register(
+    "q_dedup_span_strided",
+    oracle="WITH "
+    + sql_span_rolling_ctes("documents")
+    + "\nSELECT doc_id, clean_text, n_kept, n_dropped FROM span_out",
 )
-SELECT doc_id,
-       COALESCE(string_agg(tk, ' ' ORDER BY i) FILTER (WHERE NOT dropped), '') AS clean_text,
-       CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
-       CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped
-FROM j GROUP BY doc_id
-"""
-
-
-@register("q_dedup_span_strided", oracle=_SQL_SPAN_ROLLING)
 def q_dedup_span_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alignment-free duplicated-span removal — closes q_dedup_span_exact's
     fidelity gap (VERDICT r5 item 2): fixed non-overlapping spans miss a

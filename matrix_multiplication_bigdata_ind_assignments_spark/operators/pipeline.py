@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources import load
-from .dedup import _shingle_rows, _SQL_SHINGLES
+from .dedup import _shingle_rows, _SQL_SHINGLES, span_dedup_rolling, sql_span_rolling_ctes
 
 
 @register(
@@ -302,4 +302,80 @@ def q_corpus_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_SQL_CLEAN_KEPT = f"""
+scored AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         0.4 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+       + 0.3 * (1 - len(regexp_extract_all(text, '[^a-z0-9 ]')) / greatest(n_chars, 1))
+       + 0.3 * (len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1))
+         AS quality
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= {_CLEAN_QUALITY_MIN}
+),
+clean_docs AS (SELECT doc_id, lang, text FROM kept WHERE rn = 1)
+"""
+
+
+@register(
+    "q_corpus_clean_strict",
+    oracle="WITH "
+    + _SQL_CLEAN_KEPT
+    + ", "
+    + sql_span_rolling_ctes("clean_docs")
+    + """
+SELECT c.lang AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_kept) AS BIGINT) AS tokens_kept,
+       CAST(sum(s.n_dropped) AS BIGINT) AS tokens_dropped
+FROM span_out s JOIN clean_docs c ON s.doc_id = c.doc_id
+GROUP BY c.lang
+""",
+)
+def q_corpus_clean_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict ingest pipeline in ONE DAG (round-6 composite): quality
+    filter → exact dedup keep-first → ALIGNMENT-FREE rolling-span dedup
+    (q_dedup_span_strided's kernel) over the survivors → per-language
+    token-yield report.  This is the Lee-et-al-grade clean a pretraining
+    corpus actually gets: document dedup first (cheap, removes whole
+    copies), then substring dedup over what remains (catches boilerplate
+    and quoted passages at any offset).  Physical shape: the quality
+    scoring fuses into the scan, one window shuffle on md5(text), one on
+    the 20-gram hash, per-doc aggs in between — all corpus-linear.
+    Fully oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast("double")
+    sw_list = ("the", "a", "of", "and", "to")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*sw_list))).cast("double")
+    punct_ratio = n_punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    stop_ratio = sw / F.greatest(n_toks, F.lit(1.0))
+    quality = (
+        0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    clean_docs = (
+        d.where(quality >= _CLEAN_QUALITY_MIN)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    spans = span_dedup_rolling(clean_docs.select("doc_id", "text"))
+    return (
+        spans.join(clean_docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").cast("long").alias("tokens_kept"),
+            F.sum("n_dropped").cast("long").alias("tokens_dropped"),
+        )
     )

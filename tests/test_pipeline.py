@@ -115,3 +115,34 @@ def test_domain_cap_limits_each_lang(spark, sf_dir):
     a = {tuple(r) for r in df.collect()}
     b = {tuple(r) for r in q_domain_cap(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_corpus_clean_strict_composes_all_three_stages(spark, tmp_path):
+    """q_corpus_clean_strict: low-quality docs filtered, exact dups
+    collapsed, and an offset-duplicated passage span-deduped — in one
+    composed result."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        q_corpus_clean_strict,
+    )
+
+    P = " ".join(f"p{i}" for i in range(30))
+    good_tail = "the a of and to " * 6  # stopword-rich → passes quality
+    rows = [
+        (0, f"{P} {good_tail.strip()}", "en", "s", 0),
+        (1, f"{P} {good_tail.strip()}", "en", "s", 0),  # exact dup of 0 → dropped
+        (2, f"x0 x1 x2 x3 x4 x5 x6 {P} {good_tail.strip()}", "en", "s", 0),  # P at offset 7
+        (3, "zzz@@@!!!", "de", "s", 9),  # low quality → filtered
+    ]
+    rows = [(i, t, lang, s_, len(t)) for (i, t, lang, s_, _) in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r for r in q_corpus_clean_strict(spark, str(tmp_path)).collect()}
+    assert "de" not in out  # quality-filtered
+    en = out["en"]
+    assert en["n_docs"] == 2  # doc 1 exact-dup-collapsed
+    # doc 2's 30-token passage P (offset 7) is span-deduped against doc 0
+    assert en["tokens_dropped"] >= 30
