@@ -87,8 +87,10 @@ def main() -> int:
             _matmul_3d,
             "the 3-D (bi,bk,bj) decomposition: bs=2048 panels at n=4096 (64 MB) exceed the "
             "bench row's constrained 32 MB budget, so the plan must show the cogrouped GEMM "
-            "FOLLOWED by a partial-sum "
-            "HashAggregate on (i,j) — the huge-inner-dimension path where per-task memory stays "
+            "emitting DENSE partial tiles FOLLOWED by a second grouped-Arrow stage "
+            "(FlatMapGroupsInPandas) that numpy-sums the per-(bi,bj) tile arrays — NOT a "
+            "scalar-row partial-sum "
+            "HashAggregate over n's worth of COO rows — the huge-inner-dimension path where per-task memory stays "
             "O(bs^2) regardless of k",
         ),
     }
