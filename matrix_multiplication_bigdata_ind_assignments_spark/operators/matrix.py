@@ -17,7 +17,12 @@ knobs (SURVEY.md §7 design stance):
 - ``blocked``    : block-id repartitioning + per-block-pair numpy GEMM in a
                    cogrouped ``applyInPandas`` — the scale path for dense×
                    dense (shuffle volume O(n²·n/BS) instead of O(n³) rows,
-                   Arrow-batched, BLAS inner loop).  Mirrors the reference's
+                   Arrow-batched, BLAS inner loop).  2-D panels when a
+                   bs×k strip fits the panel budget (final values, no
+                   second shuffle); otherwise the 3-D decomposition whose
+                   partial sums travel as DENSE per-tile arrays (one Arrow
+                   row per tile, numpy-summed per output block — the
+                   BlockMatrix representation).  Mirrors the reference's
                    cache tiling (ref: `Stage 2/Python Implementation/mm_opt.py:57-73`).
 
 Matrices are never materialized on the driver; identity/fixtures derive

@@ -160,3 +160,34 @@ def test_planner_partials_gate_and_block_size(A, B):
     # blocked with planner-chosen bs (block_size=None) stays correct
     dense = rows_set(M.multiply(A, B, strategy="join"))
     assert dense == rows_set(M.multiply(A, B, strategy="blocked"))
+
+
+def test_blocked_3d_dense_tiles_rectangular(spark):
+    """The 3-D path's reason to exist is a huge INNER dimension (k ≫ n):
+    force it on a rectangular product (32×200 · 200×16) and check the
+    dense-tile partial sums against the join path."""
+    import pyspark.sql.functions as F
+
+    A = (
+        spark.range(32 * 200)
+        .select(
+            (F.col("id") / 200).cast("long").alias("i"),
+            F.pmod("id", F.lit(200)).alias("j"),
+            (F.pmod(F.col("id") * 37, F.lit(19)) - 9.0).alias("v"),
+        )
+        .where(F.col("v") != 0)
+    )
+    B = (
+        spark.range(200 * 16)
+        .select(
+            (F.col("id") / 16).cast("long").alias("i"),
+            F.pmod("id", F.lit(16)).alias("j"),
+            (F.pmod(F.col("id") * 53, F.lit(23)) - 11.0).alias("v"),
+        )
+        .where(F.col("v") != 0)
+    )
+    dense = rows_set(M.multiply(A, B, strategy="join"))
+    # panel_bytes=1 forces the 3-D decomposition at any k extent
+    assert dense == rows_set(
+        M.multiply(A, B, strategy="blocked", block_size=16, panel_bytes=1)
+    )
