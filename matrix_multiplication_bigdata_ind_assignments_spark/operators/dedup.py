@@ -586,10 +586,8 @@ def minhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_simhash",
-    oracle="""
-WITH toks AS (
+_SQL_SIMHASH = """
+toks AS (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
   FROM documents
 ),
@@ -602,17 +600,26 @@ bits AS (
 perbit AS (
   SELECT doc_id, b, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
   FROM bits GROUP BY doc_id, b
-)
-SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash
-FROM perbit GROUP BY doc_id
-""",
+),
+fp AS (
+  SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash
+  FROM perbit GROUP BY doc_id
+)"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle="WITH " + _SQL_SIMHASH + "\nSELECT doc_id, simhash FROM fp",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from md5 token hashes: per-bit majority
-    vote over the token set, assembled back into one integer.  Near-dup
-    candidates at scale = docs whose simhash differs in ≤ k bits (bucket by
-    rotated prefixes); here we emit the fingerprint itself, oracle-checked."""
-    d = load(spark, sf_dir, "documents")
+    vote over the token set, assembled back into one integer.  Candidate
+    pairing over the fingerprints is q_dedup_simhash_pairs."""
+    return simhash_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any (doc_id, text) frame."""
     toks = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id",
         F.explode(
@@ -634,6 +641,81 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("s0") > 0, F.lit(1)).otherwise(0),
     )
     return perdoc.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+_SIMHASH_HAM_MAX = 3  # Hamming radius (Manku et al.'s k=3 convention)
+_SIMHASH_BLOCKS = 4  # 4 byte-blocks of the 32-bit fingerprint
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle="WITH "
+    + _SQL_SIMHASH
+    + f""",
+k AS (
+  SELECT doc_id, simhash, b.b AS blk, (simhash >> (8 * b.b)) & 255 AS key
+  FROM fp, (SELECT unnest(range({_SIMHASH_BLOCKS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.simhash AS ha, b.simhash AS hb
+  FROM k a JOIN k b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAM_MAX}
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (closes the fingerprint→candidates gap):
+    all doc pairs within Hamming distance 3 of each other's 32-bit
+    SimHash, found without an all-pairs join via Manku et al.'s
+    pigeonhole blocking ("Detecting Near-Duplicates for Web Crawling",
+    WWW 2007): split the fingerprint into 4 byte-blocks — any pair
+    differing in ≤3 bits leaves at least one block UNTOUCHED, so the
+    equi-join on (block idx, block value) has exact recall at radius 3;
+    candidates then pay one cheap bit_count(xor) verify.
+
+    Scale shape: the index is 4 rows/doc keyed by a byte value; the
+    self-join is an equi-join (never O(n²)); boilerplate-heavy corpora
+    that collapse into one byte bucket are width-capped by the same
+    adaptive _split_hot_buckets guard as the MinHash band join.  Fully
+    oracle-checked (bit_count/xor exist in both engines)."""
+    d = load(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(d).localCheckpoint(eager=True)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for b in range(_SIMHASH_BLOCKS)
+        ]
+    )
+    k = fps.select("doc_id", "simhash", F.explode(blocks).alias("kb")).select(
+        "doc_id", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.key").alias("key")
+    )
+    k = _split_hot_buckets(k, ["blk", "key"], "doc_id", _lsh_bucket_cap(), memo_src=d)
+    a, b = k.alias("a"), k.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= _SIMHASH_HAM_MAX).select(
+        "da", "db", ham.cast("long").alias("hamming")
+    )
 
 
 def connected_components(spark: SparkSession, pairs: DataFrame, a: str, b: str) -> DataFrame:

@@ -250,3 +250,38 @@ def test_rolling_span_catches_unaligned_duplicate(spark, tmp_path):
 
     fixed = {r["doc_id"]: r for r in q_dedup_span_exact(spark, str(tmp_path)).collect()}
     assert fixed[1]["n_dropped"] == 0  # provably missed by fixed boundaries
+
+
+def test_simhash_pairs_exact_recall_at_radius(spark, tmp_path):
+    """Pigeonhole blocking (4 byte-blocks) has EXACT recall at Hamming
+    radius 3: the operator's pair set must equal the brute-force all-pairs
+    set computed from the fingerprints."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        q_dedup_simhash_pairs,
+        simhash_fingerprints,
+    )
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):  # overlapping sliding-window vocab → clustered fps
+        toks = vocab[d % 20 : d % 20 + 10] + [f"u{d}"] * (d % 3)
+        rows.append((d, " ".join(toks), "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+    ).collect()}
+    want = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["da"], r["db"]) for r in q_dedup_simhash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert want  # the fixture must actually exercise near-dup pairs
