@@ -274,6 +274,7 @@ def _load_all() -> None:
         windows,
         setops,
         dedup,
+        graph,
         similarity,
         text,
         tokenizer,
