@@ -493,8 +493,10 @@ def _mh_constants() -> list[tuple[int, int]]:
     return out
 
 
-_SQL_MINHASH_PAIRS = f"""
-WITH sh AS ({_SQL_SHINGLES}),
+#: the shingle → minhash → band pipeline as reusable CTEs (exposes
+#: ``bands (doc_id, band, band_key)``) — shared by the pair query and the
+#: streaming near-dup oracle
+_SQL_MINHASH_BANDS_CTES = f"""sh AS ({_SQL_SHINGLES}),
 base AS (
   SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh
 ),
@@ -507,7 +509,10 @@ bands AS (
   SELECT doc_id, seed // {_BAND_SIZE} AS band,
          string_agg(mh, '-' ORDER BY seed) AS band_key
   FROM hashed GROUP BY doc_id, band
-)
+)"""
+
+_SQL_MINHASH_PAIRS = f"""
+WITH {_SQL_MINHASH_BANDS_CTES}
 SELECT a.doc_id AS da, b.doc_id AS db,
        CAST(count(*) AS BIGINT) AS n_shared_bands
 FROM bands a JOIN bands b
@@ -533,33 +538,7 @@ def minhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     the SCALING.md mega-bucket guard); buckets wider than the cap split
     into sub-buckets by a secondary doc hash before pairing."""
     cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
-    sh = _shingle_rows(d)
-
-    # single-pass signature: all 16 minhashes as columns of ONE hash-agg
-    # (one shuffle keyed on doc_id; no seed crossJoin, no second shuffle) —
-    # this is the shape that scales: |shingles| rows in, |docs| rows out.
-    base = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h"),
-    )
-    sig = base.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{s}")
-            for s, (a, b) in enumerate(_mh_constants())
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{b * _BAND_SIZE + i}").cast("string") for i in range(_BAND_SIZE)]
-            ).alias("band_key"),
-        )
-        for b in range(_MINHASH_SEEDS // _BAND_SIZE)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("kb")).select(
-        "doc_id", F.col("kb.band").alias("band"), F.col("kb.band_key").alias("band_key")
-    )
+    bands = minhash_bands(d)
     # the LSH self-join consumes bands twice; materialize the (tiny:
     # docs×4 rows) band table once, eagerly — localCheckpoint, not
     # .cache(), so no CacheManager entry outlives the query in the
@@ -583,6 +562,69 @@ def minhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band table over a (doc_id, text)
+    frame — the index half of the MinHash pipeline, shared by
+    minhash_pairs and the streaming near-dup filter's static history.
+
+    Single-pass signature: all 16 minhashes as columns of ONE hash-agg
+    (one shuffle keyed on doc_id; no seed crossJoin, no second shuffle)
+    — the shape that scales: |shingles| rows in, |docs| rows out."""
+    sh = _shingle_rows(d)
+    base = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{s}")
+            for s, (a, b) in enumerate(_mh_constants())
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{b * _BAND_SIZE + i}").cast("string") for i in range(_BAND_SIZE)]
+            ).alias("band_key"),
+        )
+        for b in range(_MINHASH_SEEDS // _BAND_SIZE)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("kb")).select(
+        "doc_id", F.col("kb.band").alias("band"), F.col("kb.band_key").alias("band_key")
+    )
+
+
+def minhash_band_structs(toks):
+    """The SAME band signature as minhash_bands, but as ONE stateless
+    per-row expression over a pre-materialized token-array column — the
+    form a STREAMING pipeline needs (no explode+groupBy per doc, so no
+    state): shingles, 32-bit md5 base hashes, 16 array_min minhashes and
+    the 4 band structs all evaluate inside a single projection.
+    Equivalence with the batch table is asserted in tests/test_dedup.py.
+    (Interpreted higher-order functions — fine at per-row fan-out; a
+    throughput-critical stream would move the signature into an Arrow
+    kernel, as the ANN projections do.)"""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    shs = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")))
+    hs = F.transform(shs, lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"))
+    mhs = [
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)))
+        for (a, b) in _mh_constants()
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[mhs[b * _BAND_SIZE + i].cast("string") for i in range(_BAND_SIZE)]
+                ).alias("band_key"),
+            )
+            for b in range(_MINHASH_SEEDS // _BAND_SIZE)
+        ]
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, sql_dec_sum
+from ..operators.dedup import _SQL_MINHASH_BANDS_CTES
 from ..registry import register
 from ..sources.io import normalize_event_ts
 
@@ -652,6 +653,68 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat("props", F.col("user_id").cast("string")))
     fresh = s.withColumn("k", key).join(F.broadcast(hist), "k", "left_anti")
     return _run_to_memory(fresh.select("event_id", "event_type"), "append")
+
+
+@register(
+    "q_stream_dedup_near",
+    oracle="""
+WITH """
+    + _SQL_MINHASH_BANDS_CTES
+    + """,
+bounds AS (SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid FROM documents)
+SELECT DISTINCT b2.doc_id AS doc_id
+FROM bands b2 JOIN bands b1
+  ON b2.band = b1.band AND b2.band_key = b1.band_key, bounds
+WHERE b1.doc_id < bounds.mid AND b2.doc_id >= bounds.mid
+""",
+)
+def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate filter — the LSH machinery composed with
+    Structured Streaming: documents from the second half of the id space
+    ARRIVE as a stream, compute their MinHash band signatures as one
+    STATELESS per-row projection (minhash_band_structs — no explode+agg,
+    so no streaming state for the signature), and equi-join (band,
+    band_key) against the STATIC band index of the already-ingested
+    first half.  A match means the arriving doc is a near-dup of
+    history; the per-doc dropDuplicates collapses multi-band matches.
+    This is the shape an incremental crawl ingest runs: the history
+    index is built once per epoch, arrivals probe it map-side
+    (broadcast here; bucketed shuffle join on band_key at 100 TB).
+    Oracle: the batch band self-join across the same halves."""
+    from ..operators.dedup import minhash_band_structs, minhash_bands
+    from ..sources import load
+
+    batch = load(spark, sf_dir, "documents")
+    lo, hi = batch.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi + 1) // 2
+    hist = (
+        minhash_bands(batch.where(F.col("doc_id") < mid))
+        .select("band", "band_key")
+        .distinct()
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the fixture ships documents.parquet as a single FILE (stream the
+    # parent dir with a leaf-name glob); a Spark-written fixture is a
+    # DIRECTORY of part files (stream it directly — pathGlobFilter only
+    # matches leaf file names, never directories)
+    doc_path = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(doc_path):
+        raw = reader.parquet(doc_path)
+    else:
+        raw = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    stream = raw.where(F.col("doc_id") >= mid).withColumn(
+        "toks", F.filter(F.split("text", " "), lambda t: t != "")
+    )
+    bands = stream.select(
+        "doc_id", F.explode(minhash_band_structs(F.col("toks"))).alias("kb")
+    ).select("doc_id", F.col("kb.band").alias("band"), F.col("kb.band_key").alias("band_key"))
+    flagged = (
+        bands.join(F.broadcast(hist), ["band", "band_key"])
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )
+    return _run_to_memory(flagged, "append")
 
 
 @register(

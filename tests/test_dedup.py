@@ -285,3 +285,25 @@ def test_simhash_pairs_exact_recall_at_radius(spark, tmp_path):
     }
     assert got == want
     assert want  # the fixture must actually exercise near-dup pairs
+
+
+def test_per_row_band_expr_matches_batch_bands(spark, sf_dir):
+    """minhash_band_structs (the stateless per-row streaming form) must
+    produce the identical (doc_id, band, band_key) table as the batch
+    explode+agg pipeline."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        minhash_band_structs,
+        minhash_bands,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    batch = {tuple(r) for r in minhash_bands(d).collect()}
+    per_row = {
+        tuple(r)
+        for r in d.withColumn("toks", F.filter(F.split("text", " "), lambda t: t != ""))
+        .select("doc_id", F.explode(minhash_band_structs(F.col("toks"))).alias("kb"))
+        .select("doc_id", "kb.band", "kb.band_key")
+        .collect()
+    }
+    assert batch == per_row

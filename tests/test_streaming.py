@@ -234,3 +234,30 @@ def test_await_batches_raises_on_dead_stream(spark):
             _await_batches(q, 3, timeout_s=60)
     finally:
         q.stop()
+
+
+def test_stream_dedup_near_flags_planted_duplicate(spark, tmp_path):
+    """A second-half doc identical to a first-half doc must be flagged by
+    the streaming near-dup filter; an unrelated one must not.  Also
+    re-runs in the same session (unique sink names)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        q_stream_dedup_near,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark query engines at scale now"
+    third = "yet another unrelated body of text concerning duckdb oracles here"
+    rows = [
+        (0, base, "en", "s", 0),
+        (1, other, "en", "s", 0),
+        (2, base, "en", "s", 0),   # second half: near-dup of doc 0
+        (3, third, "en", "s", 0),  # second half: fresh
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"] for r in q_stream_dedup_near(spark, str(tmp_path)).collect()}
+    assert got == {2}
+    got2 = {r["doc_id"] for r in q_stream_dedup_near(spark, str(tmp_path)).collect()}
+    assert got2 == {2}
