@@ -272,3 +272,51 @@ def test_components_closure_oracle_matches_spark_fixpoints(spark, edges):
     finally:
         con.close()
     assert a == b == c
+
+
+# --- rolling-span dedup vs a pure-Python reference -----------------------
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_rolling_span(docs: list[list[str]], w: int):
+    """Reference implementation of span_dedup_rolling's spec: a token is
+    dropped iff covered by some w-gram whose text occurred at a strictly
+    earlier (doc_id, pos)."""
+    seen: set[tuple] = set()
+    out = {}
+    for doc_id, toks in enumerate(docs):
+        dups = []
+        for pos in range(max(len(toks) - w + 1, 0)):
+            gram = tuple(toks[pos : pos + w])
+            if gram in seen:
+                dups.append(pos)
+            else:
+                seen.add(gram)
+        dropped = [any(p <= i < p + w for p in dups) for i in range(len(toks))]
+        if toks:  # empty docs are absent from the Spark output too
+            kept = [t for t, d in zip(toks, dropped) if not d]
+            out[doc_id] = (" ".join(kept), len(kept), sum(dropped))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=_span_docs)
+def test_rolling_span_dedup_matches_reference(spark, docs):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        span_dedup_rolling,
+    )
+
+    w = 4  # small width so tiny corpora exercise real overlaps
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in span_dedup_rolling(df, w=w).collect()
+    }
+    assert got == _ref_rolling_span(docs, w)
