@@ -171,9 +171,10 @@ def main() -> int:
         "matmul_auto_n2048": lambda: run_mm(
             lambda: M.multiply(A2048d, B2048, strategy="auto")
         ),
-        # 3-D (bi,bk,bj) decomposition with the partial-sum pass: under a
-        # constrained 32 MB panel budget (a memory-tight executor), bs=2048
-        # panels at n=4096 (64 MB) exceed it, so this row exercises the
+        # 3-D (bi,bk,bj) decomposition with the partial-sum pass: bs=2048
+        # at n=4096 needs 2·bs·k·8 = 128 MB of panels per task — over even
+        # the default 64 MB budget, and the row pins a memory-tight 32 MB
+        # to make the posture explicit — so this row exercises the
         # huge-inner-dimension path the 2-D panels otherwise bypass
         # (EXPLAINS.md shows the partial-sum agg; the planner's own
         # unconstrained choice at n=4096 is the faster 2-D bs=1024)

@@ -157,7 +157,10 @@ def main() -> int:
     pr.add_argument("sizes", nargs="+", type=int)
     pr.add_argument("--algo", choices=ALGOS, default="basic")
     pr.add_argument("-r", "--repeats", type=int, default=3)
-    pr.add_argument("--block", type=int, default=512)
+    # None → the planner sizes tiles from (n, panel budget); an explicit
+    # value is honored verbatim (r6: a 512 default silently bypassed the
+    # planner for every CLI run)
+    pr.add_argument("--block", type=int, default=None)
     pr.add_argument("--density", type=float, default=0.05)
     pr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     pr.add_argument("--out", default="results_pyspark.csv")

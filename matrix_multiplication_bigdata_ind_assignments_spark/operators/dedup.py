@@ -43,8 +43,8 @@ def _lsh_bucket_cap() -> int:
 
 # (source plan, cap) → does the corpus have any over-cap bucket?  The
 # probe verdict is a pure function of the immutable fixture, so repeated
-# calls (bench repeats, serving) skip the stat job — the _COO_STATS
-# memo pattern (semanticHash key + sameSemantics confirmation, bounded).
+# calls (bench repeats, serving) skip the stat job
+# (functions.memo.plan_memo).
 _HOT_PROBE_MEMO: dict[int, list] = {}
 
 
@@ -84,28 +84,18 @@ def _split_hot_buckets(
         .agg(F.count(F.lit(1)).alias("mmbd_w"))
         .where(F.col("mmbd_w") > cap)
     )
-    has_hot = None
-    memo_bucket: list = []
-    mkey = None
     if memo_src is not None:
-        mkey = memo_src.semanticHash() ^ hash((cap, tuple(bucket_cols)))
-        memo_bucket = _HOT_PROBE_MEMO.get(mkey, [])
-        for frame, mcap, mcols, verdict in memo_bucket:
-            try:
-                if mcap == cap and mcols == tuple(bucket_cols) and memo_src.sameSemantics(frame):
-                    has_hot = verdict
-                    break
-            except Exception:  # stale frame from a stopped session — reprobe
-                continue
-    if has_hot is None:
+        from ..functions.memo import plan_memo
+
+        has_hot = plan_memo(
+            _HOT_PROBE_MEMO,
+            memo_src,
+            (cap, tuple(bucket_cols)),
+            lambda: not width_hot.isEmpty(),
+            max_entries=64,
+        )
+    else:
         has_hot = not width_hot.isEmpty()
-        if memo_src is not None:
-            if sum(len(b) for b in _HOT_PROBE_MEMO.values()) >= 64:
-                _HOT_PROBE_MEMO.clear()
-                memo_bucket = []
-            _HOT_PROBE_MEMO[mkey] = (
-                memo_bucket + [(memo_src, cap, tuple(bucket_cols), has_hot)]
-            )[-4:]
     if not has_hot:
         return df.withColumn("sub", F.lit(0).cast("long"))
     # md5-derived secondary hash (not F.hash: engine-portable convention,

@@ -116,46 +116,25 @@ def _validate_coo(M: DataFrame, name: str) -> None:
 
 # plan-identity → (nnz, extent) memo so repeated strategy="auto" calls over
 # the same logical operand (the common case: a query re-invoked per round)
-# launch ZERO extra stat jobs — the planner analogue of relational.py's
-# _RANGE_STATS.  Keyed on Catalyst's semanticHash (same key ⇔ same optimized
-# plan modulo cosmetic ids).  CAVEAT: the memo assumes a plan's underlying
-# data is immutable for the session (true for the parquet fixtures); a
-# caller whose source directory gains files under an identical plan should
-# call _COO_STATS.clear() before re-planning.  Bounded so distinct plans
-# can't grow the dict without limit.
-_COO_STATS: dict[int, list[tuple[DataFrame, tuple[int, int]]]] = {}
-_COO_STATS_MAX = 256
+# launch ZERO extra stat jobs — see functions.memo.plan_memo for the
+# shared discipline (collision buckets, stale-session guard, bound) and
+# its immutable-data caveat.
+_COO_STATS: dict[int, list] = {}
 
 
 def _coo_stats(M: DataFrame) -> tuple[int, int]:
     """(nnz, square extent) of a COO frame — one combined agg job on first
-    sight of a plan, memoized thereafter (see _COO_STATS caveat).
+    sight of a plan, memoized thereafter (see functions.memo)."""
+    from ..functions.memo import plan_memo
 
-    semanticHash is 32-bit, so a hit is confirmed with sameSemantics
-    against the stored frames before reuse — a silent collision would hand
-    the planner the wrong (nnz, extent) and pick a suboptimal strategy.
-    Each hash key holds a small LIST of (frame, stats) so two colliding
-    plans coexist instead of alternately evicting each other; sameSemantics
-    is guarded because a frame from a stopped/replaced SparkSession can
-    raise instead of simply missing."""
-    key = M.semanticHash()
-    bucket = _COO_STATS.get(key, [])
-    for frame, stats in bucket:
-        try:
-            if M.sameSemantics(frame):
-                return stats
-        except Exception:  # stale frame from a stopped session — recompute
-            continue
-    if sum(len(b) for b in _COO_STATS.values()) >= _COO_STATS_MAX:
-        _COO_STATS.clear()
-        bucket = []
-    s = M.agg(
-        F.count(F.lit(1)).alias("nnz"),
-        F.max(F.greatest("i", "j")).alias("hi"),
-    ).first()
-    stats = (s["nnz"], (s["hi"] or 0) + 1)
-    _COO_STATS[key] = (bucket + [(M, stats)])[-4:]
-    return stats
+    def compute() -> tuple[int, int]:
+        s = M.agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.max(F.greatest("i", "j")).alias("hi"),
+        ).first()
+        return (s["nnz"], (s["hi"] or 0) + 1)
+
+    return plan_memo(_COO_STATS, M, None, compute)
 
 
 def multiply(
@@ -220,7 +199,15 @@ def multiply(
 
 def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
     """Densify the cogrouped A/B cells and numpy-GEMM them.  Shared by the
-    2-D panel and 3-D block decompositions below."""
+    2-D panel and 3-D block decompositions below.
+
+    Cells are emitted by STRUCTURAL touch (a presence-matrix GEMM), not
+    by nonzero VALUE: the join strategy — and therefore the oracle —
+    emits a row for every (i,j) whose key ranges met, including values
+    that cancel to exact 0.0 and products of stored-zero cells.  A
+    nonzero filter silently diverged from that on integer-valued data
+    (r6 review finding); the presence GEMM costs one extra BLAS call on
+    0/1 matrices."""
     import numpy as np
 
     if a_pdf.empty or b_pdf.empty:
@@ -231,16 +218,18 @@ def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame
     k_hi = int(max(a_pdf["a_j"].max(), b_pdf["b_i"].max()))
     a_blk = np.zeros((len(a_rows), k_hi - k_lo + 1))
     b_blk = np.zeros((k_hi - k_lo + 1, len(b_cols)))
+    a_pres = np.zeros_like(a_blk)
+    b_pres = np.zeros_like(b_blk)
     ai = {r: x for x, r in enumerate(a_rows)}
     bj_ix = {c: x for x, c in enumerate(b_cols)}
-    a_blk[
-        a_pdf["a_i"].map(ai).to_numpy(), a_pdf["a_j"].to_numpy() - k_lo
-    ] = a_pdf["a_v"].to_numpy()
-    b_blk[
-        b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].map(bj_ix).to_numpy()
-    ] = b_pdf["b_v"].to_numpy()
+    a_ix = (a_pdf["a_i"].map(ai).to_numpy(), a_pdf["a_j"].to_numpy() - k_lo)
+    b_ix = (b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].map(bj_ix).to_numpy())
+    a_blk[a_ix] = a_pdf["a_v"].to_numpy()
+    b_blk[b_ix] = b_pdf["b_v"].to_numpy()
+    a_pres[a_ix] = 1.0
+    b_pres[b_ix] = 1.0
     c_blk = a_blk @ b_blk
-    ii, jj = np.nonzero(c_blk)
+    ii, jj = np.nonzero(a_pres @ b_pres)  # structurally touched cells
     return pd.DataFrame(
         {
             "i": a_rows[ii],
@@ -250,9 +239,13 @@ def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame
     )
 
 
-# A 2-D (bi,bj) panel holds bs × k_extent doubles; above this budget fall
-# back to the 3-D (bi,bk,bj) decomposition whose tiles are bs × bs.
-_PANEL_BYTES_LIMIT = 64 << 20
+# Per-task panel budget for the 2-D decomposition: a (bi,bj) panel task
+# holds BOTH the A row-panel and the B column-panel — 2 · bs · k_extent
+# doubles (the same 2-panel model plans.choose_block_size budgets with;
+# r6 unified the two, the kernel previously charged only one panel).
+# Above the budget fall back to the 3-D (bi,bk,bj) decomposition whose
+# tiles are bs × bs regardless of k.
+from ..plans.strategy import PANEL_BYTES_BUDGET as _PANEL_BYTES_LIMIT  # noqa: E402
 
 
 def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | None = None) -> DataFrame:
@@ -299,7 +292,7 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
         .agg(F.max("m").alias("m"))
         .first()[0]
     )
-    need_bytes = bs * (int(k_hi) + 1) * 8 if k_hi is not None else 0
+    need_bytes = 2 * bs * (int(k_hi) + 1) * 8 if k_hi is not None else 0
     budget = _PANEL_BYTES_LIMIT if panel_bytes is None else panel_bytes
 
     if need_bytes <= budget:
@@ -351,8 +344,8 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
     import numpy as np
 
     def gemm_tile_dense(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"bi": [], "bj": [], "data": []}).astype(
-            {"bi": "int64", "bj": "int64", "data": "object"}
+        empty = pd.DataFrame({"bi": [], "bj": [], "data": [], "touched": []}).astype(
+            {"bi": "int64", "bj": "int64", "data": "object", "touched": "object"}
         )
         if a_pdf.empty or b_pdf.empty:
             return empty
@@ -362,32 +355,41 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
         k_hi_l = int(max(a_pdf["a_j"].max(), b_pdf["b_i"].max()))
         a_blk = np.zeros((bs, k_hi_l - k_lo + 1))
         b_blk = np.zeros((k_hi_l - k_lo + 1, bs))
-        a_blk[
-            a_pdf["a_i"].to_numpy() - bi * bs, a_pdf["a_j"].to_numpy() - k_lo
-        ] = a_pdf["a_v"].to_numpy()
-        b_blk[
-            b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].to_numpy() - bj * bs
-        ] = b_pdf["b_v"].to_numpy()
+        a_pres = np.zeros_like(a_blk)
+        b_pres = np.zeros_like(b_blk)
+        a_ix = (a_pdf["a_i"].to_numpy() - bi * bs, a_pdf["a_j"].to_numpy() - k_lo)
+        b_ix = (b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].to_numpy() - bj * bs)
+        a_blk[a_ix] = a_pdf["a_v"].to_numpy()
+        b_blk[b_ix] = b_pdf["b_v"].to_numpy()
+        a_pres[a_ix] = 1.0
+        b_pres[b_ix] = 1.0
         c = a_blk @ b_blk  # (bs, bs) dense partial tile
-        return pd.DataFrame({"bi": [bi], "bj": [bj], "data": [c.ravel()]})
+        # structural-touch mask rides along (+1 bool per cell, ~12% of the
+        # tile bytes) so the reduce side can emit exact-0.0 cells the join
+        # strategy / oracle also emit — see _gemm_cogroup
+        t = (a_pres @ b_pres) > 0
+        return pd.DataFrame(
+            {"bi": [bi], "bj": [bj], "data": [c.ravel()], "touched": [t.ravel()]}
+        )
 
     def sum_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
         acc = np.zeros(bs * bs)
-        for arr in pdf["data"]:
+        acc_t = np.zeros(bs * bs, dtype=bool)
+        for arr, tarr in zip(pdf["data"], pdf["touched"]):
             acc += np.asarray(arr)
+            acc_t |= np.asarray(tarr)
         c = acc.reshape(bs, bs)
-        # nonzero filter matches the 2-D panel path's semantics: a cell
-        # whose contributions sum to exact float 0.0 is dropped, same as
-        # a within-panel cancellation there (never observed on real data)
-        ii, jj = np.nonzero(c)
+        ii, jj = np.nonzero(acc_t.reshape(bs, bs))  # structurally touched
         return pd.DataFrame(
             {"i": bi * bs + ii, "j": bj * bs + jj, "v": np.round(c[ii, jj], 6)}
         )
 
     partial_blocks = a_cells.groupBy("bi", "bk", "bj").cogroup(
         b_cells.groupBy("bi", "bk", "bj")
-    ).applyInPandas(gemm_tile_dense, schema="bi long, bj long, data array<double>")
+    ).applyInPandas(
+        gemm_tile_dense, schema="bi long, bj long, data array<double>, touched array<boolean>"
+    )
 
     return partial_blocks.groupBy("bi", "bj").applyInPandas(
         sum_blocks, schema="i long, j long, v double"

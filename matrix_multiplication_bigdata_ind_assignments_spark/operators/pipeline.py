@@ -363,11 +363,15 @@ def q_corpus_clean_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # consumed three times below (both branches inside span_dedup_rolling
+    # + the lang join-back): materialize the filter+dedup subtree once —
+    # GC-scoped localCheckpoint, the module convention (r6 review finding)
     clean_docs = (
         d.where(quality >= _CLEAN_QUALITY_MIN)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
     )
     spans = span_dedup_rolling(clean_docs.select("doc_id", "text"))
     return (

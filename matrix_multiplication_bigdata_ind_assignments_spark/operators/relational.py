@@ -453,12 +453,10 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# plan-identity → top-key share memo (the _COO_STATS pattern from
-# operators/matrix.py: semanticHash key, sameSemantics-confirmed, bounded,
-# collision-bucketed) — repeated salted_join_auto calls over the same
-# logical fact launch ZERO extra stat jobs.
+# plan-identity → top-key share memo (functions.memo.plan_memo) —
+# repeated salted_join_auto calls over the same logical fact launch ZERO
+# extra stat jobs.
 _SKEW_STATS: dict[int, list] = {}
-_SKEW_STATS_MAX = 256
 
 
 def top_key_share(fact: DataFrame, key: str, topk: int = 8) -> float:
@@ -476,49 +474,45 @@ def top_key_share(fact: DataFrame, key: str, topk: int = 8) -> float:
     row-sampling variant was rejected: deterministic full-row-hash
     sampling collapses when a hot key spans few DISTINCT rows — all
     duplicates sample together and the share estimate is garbage.)"""
-    hkey = fact.semanticHash() ^ hash(key)
-    bucket = _SKEW_STATS.get(hkey, [])
-    for frame, k, share in bucket:
-        try:
-            if k == key and fact.sameSemantics(frame):
-                return share
-        except Exception:  # stale frame from a stopped session — recompute
-            continue
-    src = fact.select(F.col(key).cast("string").alias("k"))
+    from ..functions.memo import plan_memo
 
-    def part_stats(batches):
-        from collections import Counter
+    def compute() -> float:
+        src = fact.select(F.col(key).cast("string").alias("k"))
 
-        import pandas as pd
+        def part_stats(batches):
+            from collections import Counter
 
-        cnt: Counter = Counter()
-        tot = 0
-        for pdf in batches:
-            tot += len(pdf)
-            cnt.update(pdf["k"].value_counts().to_dict())
-        if not tot:
-            return
-        top = cnt.most_common(topk)
-        # the partition total rides the first row only (summed driver-side)
-        yield pd.DataFrame(
-            {
-                "k": [str(t[0]) for t in top],
-                "c": [int(t[1]) for t in top],
-                "tot": [int(tot)] + [0] * (len(top) - 1),
-            }
-        )
+            import pandas as pd
 
-    rows = src.mapInPandas(part_stats, schema="k string, c long, tot long").collect()
-    total = sum(r["tot"] for r in rows)
-    by_key: dict[str, int] = {}
-    for r in rows:
-        by_key[r["k"]] = by_key.get(r["k"], 0) + r["c"]
-    share = max(by_key.values(), default=0) / max(total, 1)
-    if sum(len(b) for b in _SKEW_STATS.values()) >= _SKEW_STATS_MAX:
-        _SKEW_STATS.clear()
-        bucket = []
-    _SKEW_STATS[hkey] = (bucket + [(fact, key, share)])[-4:]
-    return share
+            cnt: Counter = Counter()
+            tot = 0
+            for pdf in batches:
+                tot += len(pdf)
+                # NULL keys are the classic skew source (they all hash to one
+                # reducer partition) — count them under a sentinel instead of
+                # letting value_counts drop them (and NaN keys would not even
+                # merge across partitions in the driver dict)
+                cnt.update(pdf["k"].fillna("\x00<NULL>").value_counts().to_dict())
+            if not tot:
+                return
+            top = cnt.most_common(topk)
+            # the partition total rides the first row only (summed driver-side)
+            yield pd.DataFrame(
+                {
+                    "k": [str(t[0]) for t in top],
+                    "c": [int(t[1]) for t in top],
+                    "tot": [int(tot)] + [0] * (len(top) - 1),
+                }
+            )
+
+        rows = src.mapInPandas(part_stats, schema="k string, c long, tot long").collect()
+        total = sum(r["tot"] for r in rows)
+        by_key: dict[str, int] = {}
+        for r in rows:
+            by_key[r["k"]] = by_key.get(r["k"], 0) + r["c"]
+        return max(by_key.values(), default=0) / max(total, 1)
+
+    return plan_memo(_SKEW_STATS, fact, (key, topk), compute)
 
 
 def salted_join_auto(
@@ -547,8 +541,14 @@ def salted_join_auto(
         stats["salted"] = salted
     if not salted:
         return fact.join(dim.hint("shuffle_hash"), fact[fact_key] == dim[dim_key])
+    # the salt must be ROW-unique, not content-derived: a hot key whose
+    # rows are byte-identical (constant payload, or a projected fact)
+    # would hash every row to ONE salt — still a single reducer, now
+    # paying the dim explosion on top (r6 review finding).  Salt routing
+    # never affects the RESULT (it only refines the join key), so
+    # monotonically_increasing_id's partition-layout dependence is fine.
     f = fact.withColumn(
-        "mmbd_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int")
+        "mmbd_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )
     d = dim.withColumn(
         "mmbd_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))

@@ -154,7 +154,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (plan semanticHash ^ config) → cached driver-side probe rows for
-# _lsh_candidates — see the memo comment there
+# _lsh_candidates (functions.memo.plan_memo)
 _LSH_QPROBES: dict[int, list] = {}
 
 
@@ -211,22 +211,14 @@ def _lsh_candidates(n: DataFrame) -> DataFrame:
     # table.
     spark = n.sparkSession
     # probe rows are a pure function of (fixture, index config): memoize
-    # per logical plan (the _COO_STATS pattern — semanticHash key,
-    # sameSemantics-confirmed) so repeated calls skip the query-collect
-    # job entirely (query-many over a fixed index, the serving shape)
-    mkey = n.semanticHash() ^ hash((_N_TABLES, _BITS_PER_TABLE, n_probes))
-    probe_rows = None
-    bucket_memo = _LSH_QPROBES.get(mkey, [])
-    for frame, cfg, rows_cached in bucket_memo:
-        try:
-            if cfg == (_N_TABLES, _BITS_PER_TABLE, n_probes) and n.sameSemantics(frame):
-                probe_rows = rows_cached
-                break
-        except Exception:  # stale frame from a stopped session — recompute
-            continue
-    if probe_rows is None:
+    # per logical plan (functions.memo.plan_memo) so repeated calls skip
+    # the query-collect job entirely (query-many over a fixed index, the
+    # serving shape)
+    from ..functions.memo import plan_memo
+
+    def compute_probe_rows() -> list:
         qrows = n.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "emb").collect()
-        probe_rows = []
+        rows: list = []
         if qrows:
             Q = np.stack([r["emb"] for r in qrows])  # (n_q, 64)
             proj = Q @ planes.T  # (n_q, tables*bits)
@@ -237,13 +229,12 @@ def _lsh_candidates(n: DataFrame) -> DataFrame:
                     b = int(qbits[r, sl] @ weights)
                     flips = np.argsort(np.abs(proj[r, sl]), kind="stable")[:n_probes]
                     for bucket in [b] + [b ^ (1 << int(i)) for i in flips]:
-                        probe_rows.append((int(row["vec_id"]), t, bucket))
-        if sum(len(b) for b in _LSH_QPROBES.values()) >= 64:
-            _LSH_QPROBES.clear()
-            bucket_memo = []
-        _LSH_QPROBES[mkey] = (
-            bucket_memo + [(n, (_N_TABLES, _BITS_PER_TABLE, n_probes), probe_rows)]
-        )[-4:]
+                        rows.append((int(row["vec_id"]), t, bucket))
+        return rows
+
+    probe_rows = plan_memo(
+        _LSH_QPROBES, n, (_N_TABLES, _BITS_PER_TABLE, n_probes), compute_probe_rows, max_entries=64
+    )
     if not probe_rows:  # no query vectors in range → empty candidate set
         return spark.createDataFrame([], "query_id long, cand_id long")
     q = spark.createDataFrame(probe_rows, "query_id long, q_tbl int, q_bucket long")

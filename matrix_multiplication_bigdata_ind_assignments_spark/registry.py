@@ -195,11 +195,21 @@ def _ordered() -> list[Query]:
     never = sorted(
         (n for n in names if n not in checked), key=lambda n: (pref.get(n, len(pref)), names.index(n))
     )
+    # a callable oracle whose builder cannot resolve (fixture dir absent
+    # in this environment) would look "promotable" every round and
+    # permanently occupy the window head — only count it when its
+    # prerequisite exists (r6 review finding)
+    import os
+
+    fixture_ok = os.path.isdir(DRIVER_ORACLE_SF)
     promotable = sorted(
         (
             n
             for n in names
-            if n in checked and n in rows_only and REGISTRY[n].oracle is not None
+            if n in checked
+            and n in rows_only
+            and REGISTRY[n].oracle is not None
+            and (not callable(REGISTRY[n].oracle) or fixture_ok)
         ),
         key=lambda n: (checked[n], names.index(n)),
     )

@@ -191,3 +191,19 @@ def test_blocked_3d_dense_tiles_rectangular(spark):
     assert dense == rows_set(
         M.multiply(A, B, strategy="blocked", block_size=16, panel_bytes=1)
     )
+
+
+def test_blocked_emits_exact_cancellation_cells(spark):
+    """A cell whose partial products cancel to exact 0.0 must appear (as
+    v=0.0) in every strategy, because the join form — and the oracle —
+    emits every structurally-touched cell (r6 review finding)."""
+    A = spark.createDataFrame([(0, 0, 1.0), (0, 1, -1.0)], "i long, j long, v double")
+    B = spark.createDataFrame([(0, 0, 1.0), (1, 0, 1.0)], "i long, j long, v double")
+    want = rows_set(M.multiply(A, B, strategy="join"))
+    assert want == [(0, 0, 0.0)]  # the cancelling cell IS emitted by join
+    assert want == rows_set(M.multiply(A, B, strategy="blocked", block_size=32))
+    # bs=1 + tiny panel budget → 3-D path with the cancelling partials in
+    # DIFFERENT bk tiles, exercising the cross-tile touched-mask OR
+    assert want == rows_set(
+        M.multiply(A, B, strategy="blocked", block_size=1, panel_bytes=1)
+    )

@@ -1,7 +1,12 @@
 """Measure recall@k of the ANN variants against the exact cosine top-k
 baseline and emit the ANN_RECALL.md table.
 
-Usage: python tools/ann_recall.py [sf_dir ...]   (default sf0.1 + sf0.01)
+Usage: python tools/ann_recall.py [--sweep] [sf_dir ...]
+       (default sf0.1 + sf0.01)
+
+--sweep reproduces the LSH operating-point table from similarity.py:
+it re-runs q_ann_lsh over a grid of (tables, bits, probes) configs and
+prints recall / scan fraction / wall per point.
 """
 
 from __future__ import annotations
@@ -27,7 +32,34 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/testdata/sf0.01"]
+    args = [a for a in sys.argv[1:] if a != "--sweep"]
+    sf_dirs = args or ["/root/testdata/sf0.1", "/root/testdata/sf0.01"]
+
+    if "--sweep" in sys.argv[1:]:
+        from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+        configs = [(16, 8, 8), (16, 8, 3), (24, 10, 10), (32, 10, 10), (40, 10, 10), (48, 10, 10), (24, 12, 12)]
+        print("| sf_dir | tables | bits | probes | recall@5 | scan fraction | wall (s) |")
+        print("|---|---|---|---|---|---|---|")
+        saved = (S._N_TABLES, S._BITS_PER_TABLE, S._LSH_PROBES)
+        try:
+            for sf in sf_dirs:
+                exact = {(r.query_id, r.neighbor_id) for r in S.q_cosine_topk(spark, sf).collect()}
+                n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+                for t_, b_, p_ in configs:
+                    S._N_TABLES, S._BITS_PER_TABLE, S._LSH_PROBES = t_, b_, p_
+                    S._LSH_QPROBES.clear()  # config changed under the memo's feet
+                    t0 = time.time()
+                    approx = {(r.query_id, r.neighbor_id) for r in S.q_ann_lsh(spark, sf).collect()}
+                    wall = time.time() - t0
+                    recall = len(exact & approx) / len(exact)
+                    n_cand = S._lsh_candidates(S._normed(load(spark, sf, "embeddings"))).count()
+                    frac = n_cand / (10 * n_corpus)
+                    print(f"| {sf} | {t_} | {b_} | {p_} | {recall:.3f} | {frac:.0%} | {wall:.1f} |")
+        finally:
+            S._N_TABLES, S._BITS_PER_TABLE, S._LSH_PROBES = saved
+            S._LSH_QPROBES.clear()
+        return 0
     print("| sf_dir | variant | recall@5 | scan fraction | wall (s) |")
     print("|---|---|---|---|---|")
     for sf in sf_dirs:

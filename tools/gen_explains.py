@@ -85,8 +85,8 @@ def main() -> int:
     adhoc = {
         "matmul_blocked_n4096_3d (bench-only)": (
             _matmul_3d,
-            "the 3-D (bi,bk,bj) decomposition: bs=2048 panels at n=4096 (64 MB) exceed the "
-            "bench row's constrained 32 MB budget, so the plan must show the cogrouped GEMM "
+            "the 3-D (bi,bk,bj) decomposition: bs=2048 panels at n=4096 (2 panels x 64 MB = 128 MB "
+            "per task) exceed the bench row's 32 MB budget, so the plan must show the cogrouped GEMM "
             "emitting DENSE partial tiles FOLLOWED by a second grouped-Arrow stage "
             "(FlatMapGroupsInPandas) that numpy-sums the per-(bi,bj) tile arrays — NOT a "
             "scalar-row partial-sum "
