@@ -197,21 +197,33 @@ def multiply(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
-def _touched_mask(c, a_pres, b_pres):
-    """Boolean mask of STRUCTURALLY-touched cells of a GEMM result: cells
-    the COO join strategy (and the oracle) would emit a row for.  A
-    nonzero sum is trivially touched, so the presence GEMM — which would
-    double the kernel's flops if run unconditionally (measured ~2× on
-    the n=4096 bench row) — is restricted to the rows that contain ZERO
-    sums, the only ambiguous cells (exact cancellation or stored-zero
-    products vs never-touched).  Dense products have no zero cells and
-    skip it entirely."""
+def _touched_from_coo(shape, a_ix, b_ix):
+    """Boolean mask of STRUCTURALLY-touched cells of a block product:
+    cells the COO join strategy (and the oracle) would emit a row for —
+    including exact-0.0 cancellations and stored-zero products a value-
+    nonzero filter would drop (r6 review finding).  Built from the COO
+    index lists themselves: sort by the inner dimension, slice the per-k
+    row/col groups, and OR the per-k outer products — O(partial
+    products) boolean writes at memory speed.  Rejected alternatives: an
+    unconditional presence GEMM doubles the kernel's flops (measured ~2×
+    on the n=4096 bench row); restricting it to zero-sum rows
+    degenerates on sparse-ish tiles where nearly every row holds some
+    zero cell; scipy.sparse would express the structural product
+    directly but is not in the container."""
     import numpy as np
 
-    touched = c != 0.0
-    zrows = np.nonzero(~touched.all(axis=1))[0]
-    if len(zrows):
-        touched[zrows] |= (a_pres[zrows] @ b_pres) > 0
+    touched = np.zeros(shape, dtype=bool)
+    oa = np.argsort(a_ix[1], kind="stable")
+    ka, ra = np.asarray(a_ix[1])[oa], np.asarray(a_ix[0])[oa]
+    ob = np.argsort(b_ix[0], kind="stable")
+    kb, cb = np.asarray(b_ix[0])[ob], np.asarray(b_ix[1])[ob]
+    ks = np.intersect1d(ka, kb)
+    a_lo = np.searchsorted(ka, ks, side="left")
+    a_hi = np.searchsorted(ka, ks, side="right")
+    b_lo = np.searchsorted(kb, ks, side="left")
+    b_hi = np.searchsorted(kb, ks, side="right")
+    for x in range(len(ks)):
+        touched[np.ix_(ra[a_lo[x] : a_hi[x]], cb[b_lo[x] : b_hi[x]])] = True
     return touched
 
 
@@ -219,13 +231,10 @@ def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame
     """Densify the cogrouped A/B cells and numpy-GEMM them.  Shared by the
     2-D panel and 3-D block decompositions below.
 
-    Cells are emitted by STRUCTURAL touch (a presence-matrix GEMM), not
-    by nonzero VALUE: the join strategy — and therefore the oracle —
-    emits a row for every (i,j) whose key ranges met, including values
-    that cancel to exact 0.0 and products of stored-zero cells.  A
-    nonzero filter silently diverged from that on integer-valued data
-    (r6 review finding); the presence GEMM costs one extra BLAS call on
-    0/1 matrices."""
+    Cells are emitted by STRUCTURAL touch, not by nonzero VALUE: the
+    join strategy — and therefore the oracle — emits a row for every
+    (i,j) whose key ranges met, including values that cancel to exact
+    0.0 and products of stored-zero cells (see _touched_from_coo)."""
     import numpy as np
 
     if a_pdf.empty or b_pdf.empty:
@@ -236,18 +245,14 @@ def _gemm_cogroup(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame
     k_hi = int(max(a_pdf["a_j"].max(), b_pdf["b_i"].max()))
     a_blk = np.zeros((len(a_rows), k_hi - k_lo + 1))
     b_blk = np.zeros((k_hi - k_lo + 1, len(b_cols)))
-    a_pres = np.zeros_like(a_blk)
-    b_pres = np.zeros_like(b_blk)
     ai = {r: x for x, r in enumerate(a_rows)}
     bj_ix = {c: x for x, c in enumerate(b_cols)}
     a_ix = (a_pdf["a_i"].map(ai).to_numpy(), a_pdf["a_j"].to_numpy() - k_lo)
     b_ix = (b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].map(bj_ix).to_numpy())
     a_blk[a_ix] = a_pdf["a_v"].to_numpy()
     b_blk[b_ix] = b_pdf["b_v"].to_numpy()
-    a_pres[a_ix] = 1.0
-    b_pres[b_ix] = 1.0
     c_blk = a_blk @ b_blk
-    ii, jj = np.nonzero(_touched_mask(c_blk, a_pres, b_pres))
+    ii, jj = np.nonzero(_touched_from_coo(c_blk.shape, a_ix, b_ix))
     return pd.DataFrame(
         {
             "i": a_rows[ii],
@@ -373,20 +378,15 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
         k_hi_l = int(max(a_pdf["a_j"].max(), b_pdf["b_i"].max()))
         a_blk = np.zeros((bs, k_hi_l - k_lo + 1))
         b_blk = np.zeros((k_hi_l - k_lo + 1, bs))
-        a_pres = np.zeros_like(a_blk)
-        b_pres = np.zeros_like(b_blk)
         a_ix = (a_pdf["a_i"].to_numpy() - bi * bs, a_pdf["a_j"].to_numpy() - k_lo)
         b_ix = (b_pdf["b_i"].to_numpy() - k_lo, b_pdf["b_j"].to_numpy() - bj * bs)
         a_blk[a_ix] = a_pdf["a_v"].to_numpy()
         b_blk[b_ix] = b_pdf["b_v"].to_numpy()
-        a_pres[a_ix] = 1.0
-        b_pres[b_ix] = 1.0
         c = a_blk @ b_blk  # (bs, bs) dense partial tile
         # structural-touch mask rides along (+1 bool per cell, ~12% of the
         # tile bytes) so the reduce side can emit exact-0.0 cells the join
-        # strategy / oracle also emit — see _touched_mask (zero-row-
-        # restricted presence GEMM, free for dense tiles)
-        t = _touched_mask(c, a_pres, b_pres)
+        # strategy / oracle also emit — see _touched_from_coo
+        t = _touched_from_coo(c.shape, a_ix, b_ix)
         return pd.DataFrame(
             {"bi": [bi], "bj": [bj], "data": [c.ravel()], "touched": [t.ravel()]}
         )
