@@ -201,27 +201,47 @@ def _touched_from_coo(shape, a_ix, b_ix):
     """Boolean mask of STRUCTURALLY-touched cells of a block product:
     cells the COO join strategy (and the oracle) would emit a row for —
     including exact-0.0 cancellations and stored-zero products a value-
-    nonzero filter would drop (r6 review finding).  Built from the COO
-    index lists themselves: sort by the inner dimension, slice the per-k
-    row/col groups, and OR the per-k outer products — O(partial
-    products) boolean writes at memory speed.  Rejected alternatives: an
-    unconditional presence GEMM doubles the kernel's flops (measured ~2×
-    on the n=4096 bench row); restricting it to zero-sum rows
-    degenerates on sparse-ish tiles where nearly every row holds some
-    zero cell; scipy.sparse would express the structural product
-    directly but is not in the container."""
+    nonzero filter would drop (r6 review finding).
+
+    Two regimes, dispatched on the exact partial-product count (computed
+    from the per-k group sizes, O(nnz log nnz)):
+
+    - SPARSE (partials ≪ cells): sort by the inner dimension, slice the
+      per-k row/col groups, OR the per-k outer products — O(partials)
+      boolean writes.
+    - DENSE (partials ≫ cells — the mask would saturate and the
+      scattered writes degenerate to O(m·k·n) stores at worse-than-BLAS
+      rates, measured ~20× slower than a GEMM on a dense 1024³ tile):
+      one presence-matrix GEMM on 0/1 operands at BLAS speed.
+
+    The crossover (partials > 4 × cells) keeps each bench shape on its
+    measured-faster side; scipy.sparse would express the structural
+    product directly but is not in the container."""
     import numpy as np
 
-    touched = np.zeros(shape, dtype=bool)
-    oa = np.argsort(a_ix[1], kind="stable")
-    ka, ra = np.asarray(a_ix[1])[oa], np.asarray(a_ix[0])[oa]
-    ob = np.argsort(b_ix[0], kind="stable")
-    kb, cb = np.asarray(b_ix[0])[ob], np.asarray(b_ix[1])[ob]
+    m, n = shape
+    ra, ka = np.asarray(a_ix[0]), np.asarray(a_ix[1])
+    kb, cb = np.asarray(b_ix[0]), np.asarray(b_ix[1])
+    oa = np.argsort(ka)
+    ka, ra = ka[oa], ra[oa]
+    ob = np.argsort(kb)
+    kb, cb = kb[ob], cb[ob]
     ks = np.intersect1d(ka, kb)
     a_lo = np.searchsorted(ka, ks, side="left")
     a_hi = np.searchsorted(ka, ks, side="right")
     b_lo = np.searchsorted(kb, ks, side="left")
     b_hi = np.searchsorted(kb, ks, side="right")
+    partials = int(((a_hi - a_lo) * (b_hi - b_lo)).sum())
+
+    if partials > 4 * m * n:  # dense regime: BLAS presence GEMM
+        k_hi = int(max(ka[-1], kb[-1])) + 1 if len(ka) and len(kb) else 0
+        a_pres = np.zeros((m, k_hi))
+        b_pres = np.zeros((k_hi, n))
+        a_pres[ra, ka] = 1.0
+        b_pres[kb, cb] = 1.0
+        return (a_pres @ b_pres) > 0
+
+    touched = np.zeros(shape, dtype=bool)
     for x in range(len(ks)):
         touched[np.ix_(ra[a_lo[x] : a_hi[x]], cb[b_lo[x] : b_hi[x]])] = True
     return touched

@@ -207,3 +207,22 @@ def test_blocked_emits_exact_cancellation_cells(spark):
     assert want == rows_set(
         M.multiply(A, B, strategy="blocked", block_size=1, panel_bytes=1)
     )
+
+
+def test_touched_mask_regimes_agree():
+    """_touched_from_coo's sparse (per-k OR) and dense (presence GEMM)
+    regimes must agree with brute force — randomized over densities that
+    exercise BOTH sides of the dispatch."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for density in (0.02, 0.3, 0.9):
+        for _ in range(5):
+            m, k, n = rng.randint(3, 14, size=3)
+            a = rng.rand(m, k) < density
+            b = rng.rand(k, n) < density
+            a_ix = np.nonzero(a)
+            b_ix = np.nonzero(b)
+            want = (a.astype(float) @ b.astype(float)) > 0
+            got = M._touched_from_coo((m, n), a_ix, b_ix)
+            assert (got == want).all(), (density, m, k, n)
