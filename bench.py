@@ -64,6 +64,11 @@ def main() -> int:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.executor.processTreeMetrics.enabled": "true",
+            # shuffle-byte deltas (functions.metrics) are computed from
+            # cumulative stage totals — keep every bench stage resident so
+            # no eviction happens inside a measurement window
+            "spark.ui.retainedStages": "40000",
+            "spark.ui.retainedJobs": "40000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -214,6 +219,17 @@ def main() -> int:
         "q_ann_pq",
         "q_scd2_intervals",
         "q_decontaminate",
+        # r6 operators, perf-tracked from r7 on (VERDICT r6 item 3): the
+        # PageRank loop is 10 chained shuffles, fuzzy-match is the
+        # canonicalize-first linkage, simhash_pairs the pigeonhole join,
+        # skew_join_auto the stat-driven salting path, span_strided the
+        # rolling-20-gram dedup, corpus_clean_strict the 3-stage DAG
+        "q_pagerank",
+        "q_fuzzy_match",
+        "q_dedup_simhash_pairs",
+        "q_skew_join_auto",
+        "q_dedup_span_strided",
+        "q_corpus_clean_strict",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
@@ -224,17 +240,46 @@ def main() -> int:
     # not the plan.  SPARK_GRAFT_BENCH_WARMUP=0 restores cold-run timing.
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        shuffle_delta,
+        shuffle_snapshot,
+    )
+
     timings: dict[str, float] = {}
     timings_mean: dict[str, float] = {}
     exec_peak_after: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}  # write MB — the compact headline number
+    shuffle_full: dict[str, dict] = {}  # read/write/spill breakdown → BENCH_local
     for name, thunk in benches.items():
         for _ in range(warmup):
             thunk()
         times = []
-        for _ in range(repeats):
+        for rep in range(repeats):
+            # shuffle bytes around the FIRST timed repeat only (they are a
+            # property of the plan, identical per repeat); both snapshots
+            # sit OUTSIDE the wall-clock window
+            if rep == 0:
+                snap0 = shuffle_snapshot(spark)
             t0 = time.perf_counter()
             thunk()
             times.append(time.perf_counter() - t0)
+            if rep == 0:
+                # poll until the async status bus settles (two equal reads)
+                after = shuffle_snapshot(spark)
+                for _ in range(20):
+                    time.sleep(0.1)
+                    nxt = shuffle_snapshot(spark)
+                    if nxt == after:
+                        break
+                    after = nxt
+                d = shuffle_delta(snap0, after)
+                shuffle_mb[name] = round(d["shuffle_write_bytes"] / 1048576, 2)
+                shuffle_full[name] = {
+                    "read_mb": round(d["shuffle_read_bytes"] / 1048576, 2),
+                    "write_mb": round(d["shuffle_write_bytes"] / 1048576, 2),
+                    "spill_mem_mb": round(d["spill_memory_bytes"] / 1048576, 2),
+                    "spill_disk_mb": round(d["spill_disk_bytes"] / 1048576, 2),
+                }
         # Headline "queries" uses min over repeats (steady state, robust to
         # background load spikes observed at ±40% on shared hardware);
         # "queries_mean" records the avg-of-repeats number BASELINE.md's
@@ -264,8 +309,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_mean": timings_mean,
+        "queries_shuffle": shuffle_full,
         "timing_method": f"min_over_{repeats}_repeats_after_{warmup}_warmup;"
-        " queries_mean=avg_of_repeats (BASELINE.md comparator method)",
+        " queries_mean=avg_of_repeats (BASELINE.md comparator method);"
+        " queries_shuffle=stage-total deltas around the first timed repeat"
+        " (functions.metrics via AppStatusStore — deterministic plan signal,"
+        " VERDICT r6 item 1)",
         "sf": sf,
         "cpus": int(cpus),
         "driver_peak_rss_mb": rss_mb,
@@ -289,6 +338,11 @@ def main() -> int:
             f.write("\n")
     except OSError:
         pass
+    # Driver tail capture is a hard 2000 chars (measured r4-r6); with 40
+    # headline queries only ONE per-query dict fits.  Stdout carries the
+    # primary min-timings dict + the shuffle total; the mean timings and
+    # the per-query shuffle read/write/spill breakdown (VERDICT r6 item 1)
+    # live in BENCH_local.json, committed every round.
     compact = {
         "metric": full["metric"],
         "value": total,
@@ -296,8 +350,8 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "method": f"min{repeats}+mean{repeats}_warm{warmup}",
-        "full": "BENCH_local.json",
-        "queries_mean": timings_mean,
+        "full": "BENCH_local.json (queries_mean + per-query shuffle bytes)",
+        "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 1),
         "queries": timings,
     }
     print(json.dumps(compact, separators=(",", ":")))

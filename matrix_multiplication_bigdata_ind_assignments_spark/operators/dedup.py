@@ -28,14 +28,22 @@ def _lsh_bucket_cap() -> int:
     'mega-hot band bucket' guard).  A bucket (band signature / shared
     shingle) holding W members emits W·(W-1)/2 candidate pairs — at crawl
     scale one boilerplate bucket shared by millions of docs turns the
-    whole equi-join quadratic.  Buckets wider than the cap are SPLIT into
-    ceil(W/cap) sub-buckets by a secondary member hash, bounding per-
-    bucket pair work at ~cap² while keeping intra-sub candidates (pairs
-    straddling a split are lost — acceptable: members of a mega-bucket
-    share ubiquitous boilerplate that exact/span dedup already catches,
-    and each doc pair has _MINHASH_SEEDS//_BAND_SIZE independent band
-    chances to collide elsewhere).  The cap is far above any fixture
-    bucket width, so oracle results are bit-identical below it."""
+    whole equi-join quadratic.  Per-pipeline policy (r7):
+
+    - MinHash bands (_split_hot_buckets): over-cap buckets SPLIT into
+      ceil(W/cap) sub-buckets by a secondary member hash — pairs
+      straddling a split are lost, acceptable because each pair has
+      _MINHASH_SEEDS//_BAND_SIZE independent band chances elsewhere and
+      mega-bucket members share boilerplate exact/span dedup catches.
+    - Shingle postings (ngram_jaccard_pairs): over-cap shingles are
+      DROPPED from candidate generation and added back to emitted
+      pairs' intersection counts — values stay exact (see there).
+    - SimHash pigeonhole index: NOT capped — capping would break the
+      exact-recall guarantee; the scale lever is the wider 6-block key
+      space (simhash_pairs(blocks=6)).
+
+    The cap is far above any fixture bucket width, so oracle results
+    are bit-identical below it."""
     import os
 
     return int(os.environ.get("MMBD_LSH_BUCKET_CAP", "10000"))
@@ -416,40 +424,89 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """q_dedup_ngram_jaccard's pipeline over an arbitrary (doc_id, text)
     frame.  ``bucket_cap`` bounds the shared-shingle inverted-index
-    posting-list width (see _lsh_bucket_cap): a shingle shared by more
-    docs than the cap splits into sub-buckets, so one boilerplate shingle
-    can't emit a quadratic pair list.  (Production pipelines often DROP
-    top-frequency shingles outright — they carry no discriminative signal
-    — but splitting keeps the fixture results bit-identical below the cap
-    and degrades gracefully above it.)"""
+    posting-list width (see _lsh_bucket_cap) so one boilerplate shingle
+    can't emit a quadratic pair list.
+
+    Over-cap handling (r7 — replaces the r6 sub-bucket split, whose
+    intra-sub intersection counts UNDERESTIMATED jaccard on surviving
+    pairs): shingles whose posting list exceeds the cap are EXCLUDED
+    from candidate generation (the production "drop top-frequency
+    shingles" move — they carry no discriminative signal), and their
+    contribution is ADDED BACK to every emitted pair's intersection
+    count afterwards via two linear joins of the pair list against the
+    per-doc hot-shingle sets (each pair side carries only its own few
+    boilerplate shingles).  Emitted pairs therefore get EXACT jaccard
+    values even above the cap; the only loss class is pairs whose shared
+    shingles are ALL over-cap — pure-boilerplate pairs that exact/span
+    dedup already catches.  Below the cap (every fixture) the plan is
+    the uncapped exact join, bit-identical to the oracle."""
     cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
     # consumed three times below (sizes + both sides of the inverted-index
     # join) — materialize once via localCheckpoint: unlike .cache(), whose
     # entry lives in the session CacheManager until explicitly uncached,
     # checkpoint blocks are context-cleaned when the result is dropped, so
     # nothing leaks into the driver's long-lived session
-    sh = _split_hot_buckets(
+    sh = (
         _shingle_rows(d)
         .select("doc_id", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("h"))
-        .localCheckpoint(eager=True),
-        ["h"],
-        "doc_id",
-        cap,
-        memo_src=d,
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+
+    # adaptive hot probe (same discipline as _split_hot_buckets: one
+    # memoized isEmpty on a map-side-combinable width agg; the common
+    # no-mega-bucket case keeps the plan untouched)
+    n_probe = max(8, d.sparkSession.sparkContext.defaultParallelism // 4)
+    hot = (
+        sh.coalesce(n_probe)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("mmbd_w"))
+        .where(F.col("mmbd_w") > cap)
+        .select("h")
+    )
+    from ..functions.memo import plan_memo
+
+    has_hot = plan_memo(
+        _HOT_PROBE_MEMO, d, (cap, ("h",)), lambda: not hot.isEmpty(), max_entries=64
+    )
+
+    if not has_hot:
+        pair_sh = sh
+        hot_mem = None
+    else:
+        # the hot set is ≤ rows/cap buckets → broadcast; cold shingles
+        # drive candidate generation, hot memberships only correct values
+        pair_sh = sh.join(F.broadcast(hot), "h", "left_anti")
+        hot_mem = sh.join(F.broadcast(hot), "h", "left_semi")
+
+    a = pair_sh.alias("a")
+    b = pair_sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if hot_mem is not None:
+        # per-pair count of hot shingles BOTH docs hold: pair list joined
+        # to each side's hot set — O(|pairs| · hot-shingles-per-doc), never
+        # a hot self-join
+        ha = hot_mem.select(F.col("doc_id").alias("da"), "h")
+        hb = hot_mem.select(F.col("doc_id").alias("db"), "h")
+        hot_inter = (
+            inter.select("da", "db")
+            .join(ha, "da")
+            .join(hb, ["db", "h"])
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("hot_inter"))
+        )
+        inter = inter.join(hot_inter, ["da", "db"], "left").select(
+            "da",
+            "db",
+            (F.col("inter") + F.coalesce(F.col("hot_inter"), F.lit(0))).alias("inter"),
+        )
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
@@ -679,9 +736,8 @@ _SIMHASH_HAM_MAX = 3  # Hamming radius (Manku et al.'s k=3 convention)
 _SIMHASH_BLOCKS = 4  # 4 byte-blocks of the 32-bit fingerprint
 
 
-@register(
-    "q_dedup_simhash_pairs",
-    oracle="WITH "
+_SQL_SIMHASH_PAIRS = (
+    "WITH "
     + _SQL_SIMHASH
     + f""",
 k AS (
@@ -695,8 +751,11 @@ cand AS (
 )
 SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAM_MAX}
-""",
+"""
 )
+
+
+@register("q_dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS)
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS (closes the fingerprint→candidates gap):
     all doc pairs within Hamming distance 3 of each other's 32-bit
@@ -708,32 +767,76 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates then pay one cheap bit_count(xor) verify.
 
     Scale shape: the index is 4 rows/doc keyed by a byte value; the
-    self-join is an equi-join (never O(n²)); boilerplate-heavy corpora
-    that collapse into one byte bucket are width-capped by the same
-    adaptive _split_hot_buckets guard as the MinHash band join.  Fully
-    oracle-checked (bit_count/xor exist in both engines)."""
-    d = load(spark, sf_dir, "documents")
+    self-join is an equi-join (never O(n²)).  The pigeonhole index is
+    deliberately NOT width-capped: _split_hot_buckets would silently
+    drop true ≤3-bit pairs the moment a (blk, key) bucket exceeds the
+    cap — and with only 4×256 buckets that happens at ~cap·256 docs —
+    breaking both the exactness guarantee and oracle equality (r6
+    ADVICE).  The scale answer is a WIDER key space, not a lossy cap:
+    q_dedup_simhash_c6 indexes the same fingerprints under 20
+    three-block combinations with 15-17-bit keys (buckets ~256× narrower
+    at equal corpus size), provably emits the identical pair set, and is
+    checked against the same oracle.  Fully oracle-checked
+    (bit_count/xor exist in both engines)."""
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(d: DataFrame, blocks: int = _SIMHASH_BLOCKS) -> DataFrame:
+    """All doc pairs within Hamming ≤ _SIMHASH_HAM_MAX of each other's
+    32-bit SimHash, via pigeonhole equi-join blocking (Manku et al.).
+
+    ``blocks`` selects the index layout — both layouts emit the SAME
+    pair set (exact recall at the radius), they differ only in bucket
+    granularity:
+
+    - ``4``  (default): 4 single-byte blocks; any pair differing in ≤3
+      bits leaves ≥1 byte untouched → join on (blk, key), 4 index
+      rows/doc, 4×256 buckets.  Right for corpora ≪ 256·cap docs.
+    - ``6``: 6 blocks (bit widths 6,6,5,5,5,5); ≤3 flipped bits touch
+      ≤3 blocks, so ≥3 blocks are untouched and at least one of the
+      C(6,3)=20 three-block combinations is FULLY untouched → join on
+      (combo id, concatenated 3-block key).  20 index rows/doc, 20×2^15..17
+      buckets — per-bucket width shrinks ~256× vs the byte layout, which
+      is the 100 TB posture (bucket width grows as corpus/2^16 instead
+      of corpus/256) without giving up exact recall."""
     fps = simhash_fingerprints(d).localCheckpoint(eager=True)
-    blocks = F.array(
-        *[
+    if blocks == _SIMHASH_BLOCKS:
+        key_structs = [
             F.struct(
                 F.lit(b).alias("blk"),
                 F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
             )
             for b in range(_SIMHASH_BLOCKS)
         ]
-    )
-    k = fps.select("doc_id", "simhash", F.explode(blocks).alias("kb")).select(
+    elif blocks == 6:
+        from itertools import combinations
+
+        widths = [6, 6, 5, 5, 5, 5]  # Σ = 32
+        offs = [sum(widths[:x]) for x in range(6)]
+
+        def block_val(x: int):
+            return F.shiftright("simhash", offs[x]).bitwiseAND(F.lit((1 << widths[x]) - 1))
+
+        key_structs = []
+        for cid, combo in enumerate(combinations(range(6), 3)):
+            # concatenate the 3 block values into one ≤17-bit key
+            key = F.lit(0)
+            shift = 0
+            for x in combo:
+                key = key + F.shiftleft(block_val(x), shift)
+                shift += widths[x]
+            key_structs.append(F.struct(F.lit(cid).alias("blk"), key.alias("key")))
+    else:
+        raise ValueError(f"unsupported simhash block layout {blocks!r} (4 or 6)")
+    k = fps.select("doc_id", "simhash", F.explode(F.array(*key_structs)).alias("kb")).select(
         "doc_id", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.key").alias("key")
     )
-    k = _split_hot_buckets(k, ["blk", "key"], "doc_id", _lsh_bucket_cap(), memo_src=d)
     a, b = k.alias("a"), k.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -748,6 +851,22 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(ham <= _SIMHASH_HAM_MAX).select(
         "da", "db", ham.cast("long").alias("hamming")
     )
+
+
+# Same oracle as q_dedup_simhash_pairs: exact recall at the radius means
+# the 6-block combination index provably emits the IDENTICAL pair set —
+# the layouts differ only in bucket granularity.
+@register("q_dedup_simhash_c6", oracle=_SQL_SIMHASH_PAIRS)
+def q_dedup_simhash_c6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_simhash_pairs on the 6-block/20-combination pigeonhole
+    index (15-17-bit keys) — the wide-key-space layout that keeps exact
+    recall at Hamming ≤3 while holding bucket width to corpus/2^16
+    (vs corpus/256 for the byte layout): the 100 TB posture for SimHash
+    candidate generation, per Manku et al.'s multi-block scheme
+    ("Detecting Near-Duplicates for Web Crawling", WWW 2007, §3).
+    Checked against the SAME oracle as the 4-block form — identical
+    output is the exactness guarantee made testable."""
+    return simhash_pairs(load(spark, sf_dir, "documents"), blocks=6)
 
 
 @register(

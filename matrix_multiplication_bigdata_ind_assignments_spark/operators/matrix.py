@@ -420,9 +420,11 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
             acc_t |= np.asarray(tarr)
         c = acc.reshape(bs, bs)
         ii, jj = np.nonzero(acc_t.reshape(bs, bs))  # structurally touched
-        return pd.DataFrame(
-            {"i": bi * bs + ii, "j": bj * bs + jj, "v": np.round(c[ii, jj], 6)}
-        )
+        # emit UNROUNDED sums; the final select rounds via F.round (HALF_UP)
+        # so all three strategies share one rounding convention — np.round
+        # is banker's half-to-even and a sum landing exactly on a 6-dp
+        # midpoint would differ from the join path and the oracle
+        return pd.DataFrame({"i": bi * bs + ii, "j": bj * bs + jj, "v": c[ii, jj]})
 
     partial_blocks = a_cells.groupBy("bi", "bk", "bj").cogroup(
         b_cells.groupBy("bi", "bk", "bj")
@@ -430,8 +432,10 @@ def _multiply_blocked(A: DataFrame, B: DataFrame, bs: int, panel_bytes: int | No
         gemm_tile_dense, schema="bi long, bj long, data array<double>, touched array<boolean>"
     )
 
-    return partial_blocks.groupBy("bi", "bj").applyInPandas(
-        sum_blocks, schema="i long, j long, v double"
+    return (
+        partial_blocks.groupBy("bi", "bj")
+        .applyInPandas(sum_blocks, schema="i long, j long, v double")
+        .select("i", "j", F.round("v", 6).alias("v"))
     )
 
 

@@ -66,6 +66,13 @@ def choose_multiply_strategy(
         return "broadcast"
     if n >= BLOCKED_MIN_DIM and density >= GEMM_DENSITY_CROSSOVER:
         return "blocked"
+    # Partials-heavy but too sparse/small for the blocked kernel: broadcast
+    # (if the right side fits) still strictly dominates the plain shuffle
+    # join — both pay the identical partial-product hash-agg volume, but
+    # the join additionally shuffles the whole fact side.  The partials
+    # gate only demotes broadcast when the blocked branch actually fires.
+    if right_nnz <= BROADCAST_NNZ_LIMIT:
+        return "broadcast"
     return "join"
 
 
@@ -84,10 +91,23 @@ def choose_block_size(n: int, panel_bytes: int = PANEL_BYTES_BUDGET) -> int:
     against measurement: n=1024 → 512 (the measured optimum), n=2048 →
     1024 (measured 1.79s vs 1.96s at 512), n=4096 → 1024 via the memory
     cap (keeps the 2-D no-partial-sum decomposition: measured 3.3s vs
-    5.4s for 3-D at bs=2048)."""
+    5.4s for 3-D at bs=2048).
+
+    When the 2-D panel cap drives bs below 64 (n > panel_bytes/(16·64) ≈
+    65k at the default budget), NO 2-D panel fits the budget at a usable
+    block size — the kernel will take the 3-D decomposition, whose
+    per-task memory is 3·bs² doubles independent of n.  Size bs for THAT
+    regime instead: the largest power of two with 24·bs² ≤ panel_bytes
+    (1024 at the 64 MB default), so the huge-n path gets a sane
+    (n/1024)³ tile grid rather than the (n/64)³ one the old floor
+    produced."""
     if n <= 1:
         return 64
     mem_cap = panel_bytes // (16 * n)  # 2 panels of bs×n doubles
+    if mem_cap < 64:
+        # 3-D regime: budget 3 bs×bs tiles (A, B, C) per task
+        bs3 = max(64, int((panel_bytes // 24) ** 0.5))
+        return 1 << (bs3.bit_length() - 1)
     bs = max(64, min(n // 2, mem_cap) if n >= 128 else n)
     return 1 << (bs.bit_length() - 1)
 

@@ -212,12 +212,38 @@ def test_hot_bucket_cap_bounds_pair_counts(spark):
     assert deg + 1 <= 2 * 40
     assert capped.where((F.col("da") >= 900) | (F.col("db") >= 900)).count() == 0
 
-    # same guard on the shared-shingle inverted index: intra-sub pairs
-    # keep their full intersection (identical docs → jaccard 1.0)
-    jac = D.ngram_jaccard_pairs(d, bucket_cap=40).localCheckpoint(eager=True)
-    nj = jac.count()
-    assert 0 < nj < 0.5 * full
-    assert jac.agg(F.min("jaccard"), F.max("jaccard")).first() == (1.0, 1.0)
+    # shared-shingle inverted index (drop-hot + correct policy): pairs
+    # whose shared shingles are ALL over-cap (pure boilerplate) are
+    # dropped entirely — the documented loss class — so the quadratic
+    # blow-up never happens
+    jac = D.ngram_jaccard_pairs(d, bucket_cap=40)
+    assert jac.count() == 0
+
+    # ...but pairs that ALSO share any under-cap shingle are emitted with
+    # EXACT jaccard: the hot shingles' contribution is added back to the
+    # intersection count (r7 value-correction, replacing the r6 sub-split
+    # whose surviving pairs had underestimated values)
+    rows2 = rows + [
+        (300, boiler + " rare unique tail phrase alpha"),
+        (301, boiler + " rare unique tail phrase alpha"),
+        (302, boiler + " rare unique tail phrase omega"),
+    ]
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    capped = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(d2, bucket_cap=40).collect()
+    }
+    uncapped = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(d2, bucket_cap=10**9).collect()
+    }
+    assert capped  # the rare-tail cluster must survive
+    assert set(capped) <= set(uncapped)
+    for pair, j in capped.items():  # exact values, not underestimates
+        assert j == uncapped[pair], pair
+    assert capped[(300, 301)] == 1.0  # identical docs stay jaccard 1.0
+    # emitted pairs are exactly those sharing a cold shingle
+    assert set(capped) == {(300, 301), (300, 302), (301, 302)}
 
 
 def test_rolling_span_catches_unaligned_duplicate(spark, tmp_path):
@@ -285,6 +311,15 @@ def test_simhash_pairs_exact_recall_at_radius(spark, tmp_path):
     }
     assert got == want
     assert want  # the fixture must actually exercise near-dup pairs
+
+    # the 6-block/20-combination wide-key layout is exact at the same
+    # radius, so it must emit the IDENTICAL pair set (incl. hamming)
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    p4 = sorted(tuple(r) for r in simhash_pairs(docs, blocks=4).collect())
+    p6 = sorted(tuple(r) for r in simhash_pairs(docs, blocks=6).collect())
+    assert p4 == p6
 
 
 def test_per_row_band_expr_matches_batch_bands(spark, sf_dir):
