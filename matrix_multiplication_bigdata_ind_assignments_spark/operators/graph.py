@@ -24,11 +24,21 @@ def pagerank(
     edges: DataFrame,
     damping: float = _PR_DAMPING,
     iters: int = _PR_ITERS,
+    directed: bool = False,
+    tol: float | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
-    """Power-method PageRank over an UNDIRECTED edge list ``(src, dst)``
-    (each edge walks both ways — random-walk-on-a-graph semantics, which
-    also sidesteps dangling-mass bookkeeping: every node with an edge
-    has out-degree ≥ 1).
+    """Power-method PageRank over an edge list ``(src, dst)``.
+
+    ``directed=False`` (default): each edge walks both ways —
+    random-walk-on-a-graph semantics, which sidesteps dangling-mass
+    bookkeeping (every node with an edge has out-degree ≥ 1).
+    ``directed=True``: edges walk src→dst only; nodes with no out-edges
+    (dangling) leak their rank, which is re-distributed uniformly each
+    iteration (the standard dangling-mass correction: rank' = (1-d)/N +
+    d·(contribs + m_dangling/N)), so Σrank stays 1.  The dangling mass
+    is one O(|V|) scalar agg per iteration, rounded to 12 dp so both
+    engines agree despite different summation orders.
 
     Scale shape (the Pregel pattern in DataFrames): each iteration is
     one join of the edge list with the current rank vector keyed on src
@@ -39,44 +49,96 @@ def pagerank(
     rounded to 12 dp EACH iteration — the determinism contract that
     makes the unrolled-CTE oracle bit-comparable (summation order
     differs between engines; rounding every round stops drift from
-    compounding).  Returns (node, rank) with Σrank ≤ 1 (no dangling
-    nodes by construction)."""
+    compounding).
+
+    Robustness knobs (VERDICT r6 items 6; both OFF for the
+    oracle-checked fixed-iteration default):
+
+    - ``tol``: early-stop when max |Δrank| < tol (one extra small join
+      per iteration, only when set).  Because every iterate is 12-dp
+      rounded, a converged vector is a FIXPOINT — further iterations
+      reproduce it bit-identically, so early-stop agrees exactly with
+      fixed-iteration once converged (asserted in tests/test_graph.py).
+    - ``checkpoint_every``: every k-th truncation uses RELIABLE
+      ``.checkpoint()`` (requires ``spark.sparkContext.setCheckpointDir``)
+      instead of ``localCheckpoint`` — localCheckpoint pins blocks to
+      executors, so on a real cluster an executor loss mid-iteration
+      kills the job (r6 verdict note); a reliable checkpoint cadence
+      bounds recomputation to k iterations.  Local runs keep the
+      (faster) localCheckpoint default.
+
+    Returns (node, rank)."""
     import os
 
-    und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    if directed:
+        walk = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        nodes = (
+            walk.select(F.col("src").alias("node"))
+            .unionByName(walk.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        walk = (
+            edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = walk.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # one O(|V|) stat job; the teleport term needs the scalar
+
+    def truncate(df: DataFrame, it: int) -> DataFrame:
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-        for _ in range(iters):
+        for it in range(iters):
             contribs = (
-                und.join(ranks, und.src == ranks.node)
+                walk.join(ranks, walk.src == ranks.node)
                 .join(deg, "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
-            ranks = (
-                nodes.join(contribs, nodes.node == contribs.dst, "left")
-                .select(
+            base = F.lit((1.0 - damping) / n_nodes)
+            if directed:
+                # dangling mass: rank not held by any out-edge owner —
+                # a broadcast-scalar at any scale (|V|-row anti-join agg)
+                m_dang = (
+                    ranks.join(deg, ranks.node == deg.src, "left_anti")
+                    .agg(F.round(F.sum("rank"), 12).alias("m"))
+                    .first()["m"]
+                    or 0.0
+                )
+                base = base + F.lit(damping * m_dang / n_nodes)
+            new_ranks = truncate(
+                nodes.join(contribs, nodes.node == contribs.dst, "left").select(
                     "node",
                     F.round(
-                        F.lit((1.0 - damping) / n_nodes)
-                        + damping * F.coalesce(F.col("m"), F.lit(0.0)),
-                        12,
+                        base + damping * F.coalesce(F.col("m"), F.lit(0.0)), 12
                     ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                it,
             )
+            if tol is not None:
+                delta = (
+                    new_ranks.join(
+                        ranks.select("node", F.col("rank").alias("prev")), "node"
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                    .first()["d"]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
     return ranks
@@ -142,6 +204,89 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(spark, edges)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
+        (F.col("node") / 2).cast("long").alias("key"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def _sql_pagerank_directed(damping: float = _PR_DAMPING, iters: int = _PR_ITERS) -> str:
+    """The directed power method with uniform dangling-mass
+    re-distribution as unrolled DuckDB CTEs — every customer node is
+    dangling by construction (supplier→customer edges only), so the
+    dangling scalar is exercised hard, not incidentally.  Arithmetic is
+    ordered EXACTLY as the Spark side (((1-d)/n + (d·m_dang)/n) +
+    d·contrib, then round 12) so both engines stay bit-identical.
+
+    Every per-iteration CTE is ``AS MATERIALIZED``: r{i} is referenced
+    TWICE (by md{i+1} and r{i+1}), so DuckDB's default CTE inlining
+    doubles the expression tree per iteration — 2¹⁰ copies of the edge
+    scan at 10 iterations, which both exhausts file handles and blows
+    planning time.  Materialization keeps the unrolled plan linear,
+    matching Spark's per-round localCheckpoint."""
+    d = damping
+    ctes = [
+        """ed AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""md{i} AS MATERIALIZED (
+  SELECT round(coalesce(sum(rank), 0.0), 12) AS m FROM r{i - 1}
+  WHERE node NOT IN (SELECT src FROM ed)
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         round(({1.0 - d} / (SELECT n FROM nn)
+                + ({d} * (SELECT m FROM md{i})) / (SELECT n FROM nn))
+               + {d} * coalesce(s.m, 0.0), 12) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT ed.dst AS node, sum(r{i - 1}.rank / deg.outdeg) AS m
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node JOIN deg ON deg.src = ed.src
+    GROUP BY ed.dst
+  ) s ON nodes.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(node // 2 AS BIGINT) AS key,
+       round(rank, 6) AS rank
+FROM r{iters}
+"""
+    )
+
+
+@register("q_pagerank_directed", oracle=_sql_pagerank_directed())
+def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed PageRank with dangling-mass handling (VERDICT r6 item 7):
+    the supplier→customer trade graph walked one way, so EVERY customer
+    is a dangling node — its rank is re-distributed uniformly each
+    iteration (rank' = (1-d)/N + d·m_dangling/N + d·contribs), keeping
+    Σrank = 1 (asserted in tests/test_graph.py).  The dangling scalar is
+    one |V|-row anti-join agg per iteration, rounded to 12 dp in both
+    engines so the unrolled-CTE oracle stays bit-comparable despite
+    summation-order differences.  Same Pregel shape as q_pagerank."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(spark, edges, directed=True)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
         (F.col("node") / 2).cast("long").alias("key"),

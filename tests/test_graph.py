@@ -25,3 +25,59 @@ def test_pagerank_deterministic_repeat(spark, sf_dir):
     a = sorted(tuple(r) for r in G.q_pagerank(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in G.q_pagerank(spark, sf_dir).collect())
     assert a == b
+
+
+def test_pagerank_directed_mass_conservation(spark, sf_dir):
+    """Directed supplier→customer graph: EVERY customer is dangling;
+    uniform re-distribution must keep Σrank = 1."""
+    out = G.q_pagerank_directed(spark, sf_dir)
+    rows = out.collect()
+    total = sum(r["rank"] for r in rows)
+    # output ranks are rounded to 6 dp → up to 5e-7 per node of benign
+    # drift; a real mass leak (e.g. dropped dangling term) is ~0.5
+    assert abs(total - 1.0) < 5e-7 * len(rows) + 1e-9
+    # with all edges pointing supplier→customer, customers receive both
+    # the teleport AND the edge mass — a customer with many suppliers
+    # must outrank any supplier (suppliers only get teleport + dangling)
+    sup = max(r["rank"] for r in rows if r["kind"] == "supplier")
+    cus = max(r["rank"] for r in rows if r["kind"] == "customer")
+    assert cus > sup
+
+
+def test_pagerank_directed_dangling_fixture(spark):
+    """3-node chain a→b→c: c is dangling; hand-checkable mass balance.
+    Σrank = 1 exactly (up to 12-dp rounding), and rank(c) > rank(b) >
+    rank(a) (each node receives everything upstream plus teleport)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(spark, edges, directed=True).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] > ranks[2] > ranks[1]
+
+
+def test_pagerank_early_stop_agrees_with_fixed(spark):
+    """tol-based early stop must agree with the fixed-iteration run:
+    12-dp per-round rounding makes a converged vector a FIXPOINT, so
+    extra iterations reproduce it bit-identically."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    fixed = sorted(
+        tuple(r) for r in G.pagerank(spark, edges, iters=40).collect()
+    )
+    early = sorted(
+        tuple(r) for r in G.pagerank(spark, edges, iters=40, tol=1e-13).collect()
+    )
+    assert fixed == early
+
+
+def test_pagerank_reliable_checkpoint_cadence(spark, tmp_path):
+    """checkpoint_every=k (reliable checkpoints) must not change the
+    result — it only swaps the lineage-truncation mechanism."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    plain = sorted(tuple(r) for r in G.pagerank(spark, edges, iters=6).collect())
+    ck = sorted(
+        tuple(r)
+        for r in G.pagerank(spark, edges, iters=6, checkpoint_every=3).collect()
+    )
+    assert plain == ck
