@@ -910,23 +910,33 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-value level does the same work on |V| rows (one hash
     agg to get there) and joins keepers back.  The same shape holds for
     any low-cardinality attribute linkage at 100 TB; high-cardinality
-    names keep the word index, which is then hot-bucket-cappable like
-    the shingle index.  Levenshtein is integer-exact in both engines →
-    fully oracle-checked."""
+    names keep the word index, which is hot-bucket-capped like the
+    shingle index (see fuzzy_match_names; SCALING.md "high-cardinality
+    fuzzy linkage" probes it at 10k distinct names).  Levenshtein is
+    integer-exact in both engines → fully oracle-checked."""
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
     names = part.groupBy("p_name").agg(F.min("p_partkey").cast("long").alias("keeper_key"))
-    w = names.select(
-        "p_name", F.explode(F.array_distinct(F.split("p_name", " "))).alias("word")
-    )
-    a, b = w.alias("a"), w.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.word") == F.col("b.word")) & (F.col("a.p_name") != F.col("b.p_name")),
-        )
-        .select(F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"))
-        .distinct()
-    )
+    return fuzzy_match_names(names)
+
+
+def fuzzy_match_names(names: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """q_fuzzy_match's linkage over an arbitrary ``(p_name, keeper_key)``
+    frame of DISTINCT names: shared-word inverted-index blocking →
+    levenshtein ≤2 verify → per-name best match (deterministic
+    (dist, name) tie-break).
+
+    ``bucket_cap`` bounds the word-posting width (the _lsh_bucket_cap
+    guard): with high-cardinality names a stop-word shared by millions
+    of names would turn the word self-join quadratic — over-cap word
+    buckets split into sub-buckets by a secondary name hash, losing
+    only straddling pairs (names whose EVERY shared word is over-cap:
+    stop-word-only collisions that the levenshtein ≤2 verify would
+    almost surely reject anyway — at any realistic name length, two
+    names sharing nothing but ubiquitous words differ in ≫2 edits).
+    Below the cap (every fixture) the plan is untouched and
+    oracle-exact."""
+    cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
+    cand = fuzzy_candidates(names, cap)
     scored = cand.select("na", "nb", F.levenshtein("na", "nb").alias("d")).where(F.col("d") <= 2)
     rk = F.row_number().over(Window.partitionBy("na").orderBy("d", "nb"))
     best = scored.withColumn("rk", rk).where(F.col("rk") == 1)
@@ -936,6 +946,33 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("match_name"),
         F.col("d").cast("long").alias("dist"),
         F.col("keeper_key").alias("match_keeper"),
+    )
+
+
+def fuzzy_candidates(names: DataFrame, cap: int) -> DataFrame:
+    """(na, nb) candidate name pairs from the width-capped shared-word
+    inverted index — the stage whose row count the SCALING.md
+    high-cardinality probe measures (kept separate so probe and query
+    run the IDENTICAL plan)."""
+    w = _split_hot_buckets(
+        names.select(
+            "p_name", F.explode(F.array_distinct(F.split("p_name", " "))).alias("word")
+        ).localCheckpoint(eager=True),
+        ["word"],
+        "p_name",
+        cap,
+        memo_src=names,
+    )
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.p_name") != F.col("b.p_name")),
+        )
+        .select(F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"))
+        .distinct()
     )
 
 

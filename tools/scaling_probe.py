@@ -435,6 +435,46 @@ def main() -> int:
         flush=True,
     )
 
+    # --- High-cardinality fuzzy linkage (VERDICT r6 item 5) -------------
+    # ~10k DISTINCT synthetic names, every one carrying the same brand
+    # stop-word — the word bucket the canonicalize-first shape can't save
+    # you from (canonicalization is a no-op when names are all distinct).
+    # Uncapped, the stop-word posting emits C(n,2) candidate pairs
+    # (quadratic); the hot-bucket cap splits it so growth stays ~linear.
+    # Names: "brand gX uY" — 'brand' is corpus-wide (the mega bucket),
+    # 'gX' buckets are CONSTANT width 25 at every corpus size (group
+    # count scales with n, so the under-cap workload stays linear and
+    # the growth ratio isolates the cap's effect), 'uY' is unique and
+    # keeps edit-close pairs (uN vs uN+1) findable through their shared
+    # g-word.
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        fuzzy_candidates,
+        fuzzy_match_names,
+    )
+
+    fz_cap = 200
+    fuzzy_hc_results = {}
+    for n_names in (2000, 10000):
+        nm = spark.range(n_names).select(
+            F.concat(
+                F.lit("brand g"),
+                (F.col("id") % (n_names // 25)).cast("string"),
+                F.lit(" u"),
+                F.col("id").cast("string"),
+            ).alias("p_name"),
+            F.col("id").alias("keeper_key"),
+        ).localCheckpoint(eager=True)
+        for mode, cap in (("uncapped", 1 << 40), ("capped", fz_cap)):
+            t0 = time.perf_counter()
+            n_cand = fuzzy_candidates(nm, cap).count()
+            wall = time.perf_counter() - t0
+            fuzzy_hc_results[(mode, n_names)] = (n_cand, wall)
+            print(f"fuzzy_hc {mode} n={n_names}: {n_cand} cands ({wall:.2f}s)", flush=True)
+        t0 = time.perf_counter()
+        n_match = fuzzy_match_names(nm, bucket_cap=fz_cap).count()
+        fuzzy_hc_results[("matches", n_names)] = (n_match, time.perf_counter() - t0)
+        print(f"fuzzy_hc capped end-to-end n={n_names}: {n_match} matches", flush=True)
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -603,6 +643,34 @@ def main() -> int:
         "timeout at this SF before the redesign.  One hash agg buys a",
         f"{row_cands // max(name_cands, 1):,}× candidate reduction — the shape that",
         "holds for any low-cardinality attribute linkage at 100 TB.",
+    ]
+    (cu1, _), (cu5, _) = fuzzy_hc_results[("uncapped", 2000)], fuzzy_hc_results[("uncapped", 10000)]
+    (cc1, tc1_f), (cc5, tc5_f) = fuzzy_hc_results[("capped", 2000)], fuzzy_hc_results[("capped", 10000)]
+    (m1, _), (m5, _) = fuzzy_hc_results[("matches", 2000)], fuzzy_hc_results[("matches", 10000)]
+    lines += [
+        "",
+        "## High-cardinality fuzzy linkage (word-index hot-bucket cap)",
+        "",
+        "2,000 → 10,000 DISTINCT synthetic names (\"brand gX uY\"), all",
+        "sharing one brand stop-word (canonicalize-first is a no-op when",
+        "every name is distinct — the regime the r6 fixture could not",
+        "reach).  Group words are constant-width-25 buckets at every size,",
+        "so under-cap workload is linear and the growth ratio isolates the",
+        f"cap's effect.  Cap {fz_cap} for the probe (production default 10k",
+        "via MMBD_LSH_BUCKET_CAP):",
+        "",
+        "| variant | 2k-name cands | 10k-name cands | growth (5× names) | 10k wall (s) |",
+        "|---|---|---|---|---|",
+        f"| uncapped | {cu1:,} | {cu5:,} | {cu5 / max(cu1, 1):.1f}× | — |",
+        f"| capped | {cc1:,} | {cc5:,} | {cc5 / max(cc1, 1):.1f}× | {tc5_f:.2f} |",
+        "",
+        f"Uncapped candidates grow ~25× (quadratic in the stop-word bucket);",
+        f"capped growth is {cc5 / max(cc1, 1):.1f}× (~linear: sub-bucket count scales with",
+        "width, per-sub pair work stays ~cap²).  The capped end-to-end",
+        f"linkage still finds {m5:,} best-matches at 10k names ({m1:,} at 2k) —",
+        "edit-close pairs share their informative words in under-cap",
+        "buckets, so only stop-word-only collisions (levenshtein-rejected",
+        "anyway) are lost.",
     ]
     a, b = tile_results[1], tile_results[k]
     lines += [
