@@ -32,6 +32,11 @@ AUDIT = {
     "q_bloom_semi_join": "bloom word-table probes + dim semi all BroadcastHashJoin; the fact side "
     "has NO Exchange before the final partial/final aggregate (the pre-filter is map-side)",
     "q_corpus_clean_e2e": "whole pipeline is ONE DAG: quality filter pushed down before dedup window",
+    "q_ann_ivf": "ONE Arrow assign+encode kernel over the corpus; probe is a broadcast equi-join "
+    "on cell id; only the probed cells' members reach the ADC expression; constant-size re-rank "
+    "joins are all BroadcastHashJoin (r7: 6*sqrt(N) k-means cells, driver-trained)",
+    "q_pagerank": "per-iteration: ONE edge-x-rank shuffle join + ONE map-side-combinable hash agg "
+    "on dst; rank vector stays |V| rows; lineage truncated per round (no growing plan)",
 }
 
 
