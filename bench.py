@@ -230,6 +230,10 @@ def main() -> int:
         "q_skew_join_auto",
         "q_dedup_span_strided",
         "q_corpus_clean_strict",
+        # r7 operators: directed PageRank (dangling-mass scalar per
+        # iteration) and the wide-key simhash layout (20 index rows/doc)
+        "q_pagerank_directed",
+        "q_dedup_simhash_c6",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

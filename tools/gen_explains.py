@@ -35,8 +35,12 @@ AUDIT = {
     "q_ann_ivf": "ONE Arrow assign+encode kernel over the corpus; probe is a broadcast equi-join "
     "on cell id; only the probed cells' members reach the ADC expression; constant-size re-rank "
     "joins are all BroadcastHashJoin (r7: 6*sqrt(N) k-means cells, driver-trained)",
-    "q_pagerank": "per-iteration: ONE edge-x-rank shuffle join + ONE map-side-combinable hash agg "
-    "on dst; rank vector stays |V| rows; lineage truncated per round (no growing plan)",
+    "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
+    "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
+    "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
+    "ranks/deg/contribs broadcast; one map-side-combinable agg on dst) is verified by the measured "
+    "shuffle volume instead: 42 MB/10 iterations at sf0.1 vs 150 MB for the r6 re-exchange form "
+    "(BENCH_local.json queries_shuffle)",
 }
 
 
