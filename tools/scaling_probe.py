@@ -41,8 +41,22 @@ def main() -> int:
     from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
     from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
 
-    spark = get_spark("scaling-probe")
+    spark = get_spark(
+        "scaling-probe",
+        extra_conf={
+            # shuffle-byte capture (functions.metrics): UI on for the
+            # single-REST-call snapshot path; keep all probe stages
+            # resident so no eviction lands inside a measurement window
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "40000",
+            "spark.ui.retainedJobs": "40000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        measure_shuffle,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     od = load(spark, sf_dir, "orders")
@@ -186,10 +200,20 @@ def main() -> int:
             "span_dedup": lambda: span_dedup_probe(d),
             "repetition_filter": lambda: rep_filter(d),
         }.items():
-            t0 = time.perf_counter()
-            thunk().write.format("noop").mode("overwrite").save()
-            results[(name, mult)] = time.perf_counter() - t0
-            print(f"{name} x{mult}: {results[(name, mult)]:.2f}s", flush=True)
+            wall = {}
+
+            def timed_run(th=thunk):
+                t0 = time.perf_counter()
+                th().write.format("noop").mode("overwrite").save()
+                wall["t"] = time.perf_counter() - t0
+
+            sh = measure_shuffle(spark, timed_run)
+            results[(name, mult)] = (wall["t"], sh["shuffle_write_bytes"])
+            print(
+                f"{name} x{mult}: {wall['t']:.2f}s "
+                f"{sh['shuffle_write_bytes'] / 1048576:.1f}MB shuffle",
+                flush=True,
+            )
 
     # --- rate blow-up: same time span, k× the events per minute ---------
     # (the keyed blow-up above shifts ts to hold the RATE constant; this
@@ -485,8 +509,8 @@ def main() -> int:
         "shuffle/agg-bound, not driver- or skew-bound — the property that has to",
         "hold for the 100 TB posture.",
         "",
-        f"| query | 1× (s) | {k}× (s) | time ratio |",
-        "|---|---|---|---|",
+        f"| query | 1× (s) | {k}× (s) | time ratio | 1× shuffle (MB) | {k}× shuffle (MB) | byte ratio |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name in (
         "q1_agg",
@@ -498,19 +522,29 @@ def main() -> int:
         "span_dedup",
         "repetition_filter",
     ):
-        a, b = results[(name, 1)], results[(name, k)]
-        lines.append(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+        (a, sa), (b, sb) = results[(name, 1)], results[(name, k)]
+        ma, mb = sa / 1048576, sb / 1048576
+        br = f"{sb / sa:.1f}×" if sa > 1048576 // 2 else "—"
+        lines.append(
+            f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}× | {ma:.1f} | {mb:.1f} | {br} |"
+        )
     lines += [
         "",
+        "Shuffle bytes (round 7) are the exact linearity evidence the wall",
+        "ratios can only approximate: bytes are a pure function of plan +",
+        "data (bit-identical across repeats, tests/test_metrics.py), so a",
+        f"byte ratio ≈{k}× IS linear scaling, free of local-box timing noise.",
+        "",
         "Notes: `repetition_filter` is the shuffle-free control (scan-bound,",
-        "pure projection); `exact_dedup` and `span_dedup` collapse k true",
+        "pure projection — byte ratio — marks <0.5 MB at 1×); `exact_dedup`",
+        "and `span_dedup` collapse k true",
         "duplicates per group/span, so their ratios include real collapse",
         "work.  `spmm_n2048`",
         "grows super-linearly by construction: more lineitem rows land in",
         "the same fixed n=2048 grid, so the matrix DENSIFIES and the",
         "intrinsic multiply pair count rises — a workload artifact of the",
         "blow-up, not a plan defect (at fixed density the join scales with",
-        "nnz, see the 1.8× order_join_rollup for the same join machinery).",
+        "nnz, see the order_join_rollup row for the same join machinery).",
         "",
         "## Rate-adaptive range join",
         "",
