@@ -133,6 +133,14 @@ _CANARIES: tuple[str, ...] = (
     "q_dedup_exact",
     "q_matmul_sparse",
     "q_tfidf",
+    # r7 additions: the LSH-family candidate generators whose over-cap
+    # policies changed (drop-hot-correct / cap exemption), the fuzzy
+    # word-index cap, and the rewritten PageRank loop — all
+    # plan-sensitive shapes worth every-round regression cover
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_pairs",
+    "q_fuzzy_match",
+    "q_pagerank",
 )
 
 

@@ -156,6 +156,18 @@ def test_planner_partials_gate_and_block_size(A, B):
     assert choose_block_size(4096) == 1024  # panel cap keeps 2-D (3.3s vs 5.4s 3-D)
     assert choose_block_size(8192) == 512  # budget cap scales down
     assert choose_block_size(50) == 64  # overhead floor
+    # n so large NO 2-D panel fits the budget (mem_cap < 64): size for the
+    # 3-D decomposition (3·bs² tiles per task) instead of the old floor's
+    # degenerate bs=64 → (n/64)³ grid (r6 ADVICE)
+    assert choose_block_size(100_000) == 1024
+    assert choose_block_size(100_000, panel_bytes=1 << 20) == 128
+
+    # partials-heavy but too sparse/small for blocked: broadcast (if the
+    # right side fits) strictly dominates the plain shuffle join — the
+    # partials gate only demotes broadcast when blocked actually fires
+    # (r6 ADVICE)
+    assert choose_multiply_strategy(10**9, 10**6, 2048, density=0.01) == "broadcast"
+    assert choose_multiply_strategy(10**9, 10**8, 2048, density=0.01) == "join"
 
     # blocked with planner-chosen bs (block_size=None) stays correct
     dense = rows_set(M.multiply(A, B, strategy="join"))
