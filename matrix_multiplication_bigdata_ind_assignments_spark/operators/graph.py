@@ -135,18 +135,24 @@ def pagerank(
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
             base = F.lit((1.0 - damping) / n_nodes)
+            joined = nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left")
             if directed:
-                # dangling mass: rank not held by any out-edge owner —
-                # a broadcast-scalar at any scale (|V|-row anti-join agg)
-                m_dang = (
-                    ranks.join(deg, ranks.node == deg.src, "left_anti")
-                    .agg(F.round(F.sum("rank"), 12).alias("m"))
-                    .first()["m"]
-                    or 0.0
+                # dangling mass: rank not held by any out-edge owner — a
+                # 1-row anti-join agg, attached IN-PLAN as a broadcast
+                # cross join (a driver .first() here would add a blocking
+                # job per iteration; 12-dp rounding keeps both engines'
+                # scalars bit-equal).  The arithmetic mirrors the oracle's
+                # parenthesization exactly: ((1-d)/n + (d·m_dang)/n) +
+                # d·contrib.
+                dang = ranks.join(
+                    F.broadcast(deg), ranks.node == deg.src, "left_anti"
+                ).agg(
+                    F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 12).alias("mmbd_dang")
                 )
-                base = base + F.lit(damping * m_dang / n_nodes)
+                joined = joined.crossJoin(F.broadcast(dang))
+                base = base + (F.lit(damping) * F.col("mmbd_dang")) / F.lit(float(n_nodes))
             new_ranks = truncate(
-                nodes.join(F.broadcast(contribs), nodes.node == contribs.dst, "left").select(
+                joined.select(
                     "node",
                     F.round(
                         base + damping * F.coalesce(F.col("m"), F.lit(0.0)), 12
