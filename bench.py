@@ -242,6 +242,24 @@ def main() -> int:
     # numbers per BASELINE.md; matrices generated outside the clock), and a
     # cold first run here measures Janino codegen + Python worker spin-up,
     # not the plan.  SPARK_GRAFT_BENCH_WARMUP=0 restores cold-run timing.
+    def noise_sentinel() -> float:
+        """Fixed CPU-bound reference task (3× 1024³ GEMM): its wall time
+        calibrates background box load, so cross-round comparisons of the
+        query timings can be normalized — this host measures ±15-40%
+        swings on UNCHANGED code between runs an hour apart (r6/r7
+        records), and the sentinel tells the reader which record ran on
+        the quieter box."""
+        import numpy as np
+
+        a = np.ones((1024, 1024))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            a = a @ a / 1024.0
+        return round(time.perf_counter() - t0, 3)
+
+    sentinel_start = noise_sentinel()
+    load_start = os.getloadavg()[0]
+
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
@@ -307,6 +325,12 @@ def main() -> int:
 
     rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     total = round(sum(timings.values()), 3)
+    sentinel = {
+        "sentinel_start_sec": sentinel_start,
+        "sentinel_end_sec": noise_sentinel(),
+        "loadavg_start": round(load_start, 1),
+        "loadavg_end": round(os.getloadavg()[0], 1),
+    }
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -322,6 +346,7 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "driver_peak_rss_mb": rss_mb,
+        "noise_sentinel": sentinel,
     }
     if exec_peak_after:
         full["executor_peak_mb"] = max(exec_peak_after.values())
@@ -356,6 +381,9 @@ def main() -> int:
         "method": f"min{repeats}+mean{repeats}_warm{warmup}",
         "full": "BENCH_local.json (queries_mean + per-query shuffle bytes)",
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 1),
+        # box-load calibration: fixed 3×1024³-GEMM wall at start/end —
+        # normalize before comparing timings across rounds
+        "sentinel": [sentinel["sentinel_start_sec"], sentinel["sentinel_end_sec"]],
         "queries": timings,
     }
     print(json.dumps(compact, separators=(",", ":")))
