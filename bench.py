@@ -263,8 +263,8 @@ def main() -> int:
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        settled_snapshot,
         shuffle_delta,
-        shuffle_snapshot,
     )
 
     timings: dict[str, float] = {}
@@ -279,22 +279,16 @@ def main() -> int:
         for rep in range(repeats):
             # shuffle bytes around the FIRST timed repeat only (they are a
             # property of the plan, identical per repeat); both snapshots
-            # sit OUTSIDE the wall-clock window
+            # sit OUTSIDE the wall-clock window and both edges are settled
+            # (metrics.settled_snapshot) so lagging bus events from the
+            # warm-up can't leak into the window
             if rep == 0:
-                snap0 = shuffle_snapshot(spark)
+                snap0 = settled_snapshot(spark)
             t0 = time.perf_counter()
             thunk()
             times.append(time.perf_counter() - t0)
             if rep == 0:
-                # poll until the async status bus settles (two equal reads)
-                after = shuffle_snapshot(spark)
-                for _ in range(20):
-                    time.sleep(0.1)
-                    nxt = shuffle_snapshot(spark)
-                    if nxt == after:
-                        break
-                    after = nxt
-                d = shuffle_delta(snap0, after)
+                d = shuffle_delta(snap0, settled_snapshot(spark))
                 shuffle_mb[name] = round(d["shuffle_write_bytes"] / 1048576, 2)
                 shuffle_full[name] = {
                     "read_mb": round(d["shuffle_read_bytes"] / 1048576, 2),

@@ -76,21 +76,27 @@ def shuffle_delta(before: dict[str, int], after: dict[str, int]) -> dict[str, in
     return {k: max(0, after[k] - before[k]) for k in _FIELDS}
 
 
-def measure_shuffle(spark: SparkSession, thunk) -> dict[str, int]:
-    """Run ``thunk()`` and return the shuffle/spill bytes its jobs moved.
-
-    The AppStatusListener consumes events on an async bus that can lag an
-    action's return by a beat — poll the after-snapshot until two reads
-    agree so a slow bus can't undercount the window."""
+def settled_snapshot(spark: SparkSession) -> dict[str, int]:
+    """``shuffle_snapshot`` polled until two consecutive reads agree: the
+    AppStatusListener consumes events on an async bus that can lag an
+    action's return by a beat, so an un-settled read both undercounts
+    work that just finished AND leaks it into the NEXT window's delta.
+    Use this on BOTH edges of a measurement window (bench.py does)."""
     import time
 
-    before = shuffle_snapshot(spark)
-    thunk()
-    after = shuffle_snapshot(spark)
+    snap = shuffle_snapshot(spark)
     for _ in range(20):
         time.sleep(0.1)
         nxt = shuffle_snapshot(spark)
-        if nxt == after:
+        if nxt == snap:
             break
-        after = nxt
-    return shuffle_delta(before, after)
+        snap = nxt
+    return snap
+
+
+def measure_shuffle(spark: SparkSession, thunk) -> dict[str, int]:
+    """Run ``thunk()`` and return the shuffle/spill bytes its jobs moved
+    (both window edges settled — see settled_snapshot)."""
+    before = settled_snapshot(spark)
+    thunk()
+    return shuffle_delta(before, settled_snapshot(spark))

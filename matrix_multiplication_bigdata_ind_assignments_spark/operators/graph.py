@@ -64,8 +64,11 @@ def pagerank(
       instead of ``localCheckpoint`` — localCheckpoint pins blocks to
       executors, so on a real cluster an executor loss mid-iteration
       kills the job (r6 verdict note); a reliable checkpoint cadence
-      bounds recomputation to k iterations.  Local runs keep the
-      (faster) localCheckpoint default.
+      bounds recomputation to k iterations.  The knob covers EVERY
+      non-recomputable frame the loop re-reads: the rank iterates AND
+      the static ``nodes``/``deg`` tables (the persisted edge list
+      keeps its lineage, so it recomputes on block loss without help).
+      Local runs keep the (faster) localCheckpoint default.
 
     Returns (node, rank)."""
     import os
@@ -84,6 +87,15 @@ def pagerank(
     # rank vector at 100 TB: static edges stay put, only ranks move.
     # (Explicitly unpersisted after the loop; the returned frame is an
     # eager checkpoint with no lineage into walk.)
+    def materialize(df: DataFrame) -> DataFrame:
+        """Static loop inputs (nodes, deg): reliable checkpoint when the
+        fault-tolerance knob is on — a localCheckpoint'ed frame re-read
+        by every iteration is exactly the block an executor loss makes
+        unrecoverable — else the (faster) local form."""
+        if checkpoint_every:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     if directed:
         walk = (
             edges.select("src", "dst")
@@ -91,11 +103,10 @@ def pagerank(
             .repartition(int(n_part), "src")
             .persist()
         )
-        nodes = (
+        nodes = materialize(
             walk.select(F.col("src").alias("node"))
             .unionByName(walk.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
     else:
         walk = (
@@ -105,10 +116,10 @@ def pagerank(
             .repartition(int(n_part), "src")
             .persist()
         )
-        nodes = walk.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+        nodes = materialize(walk.select(F.col("src").alias("node")).distinct())
     # deg is consumed by EVERY iteration — materialize it once (its agg
     # also rides walk's src-clustering: no exchange to compute)
-    deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    deg = materialize(walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     n_nodes = nodes.count()  # one O(|V|) stat job; the teleport term needs the scalar
 
     def truncate(df: DataFrame, it: int) -> DataFrame:

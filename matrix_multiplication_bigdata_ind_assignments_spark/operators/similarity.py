@@ -380,14 +380,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbors sit at cos 0.27-0.40 in 64-d while random pairs sit at
 # 0±0.12 — ANY partition index tops out at ~0.82/0.76 containment at a
 # 20% candidate fraction (swept cells ∈ {1,4,6,8}·√N × replication
-# {1,2,4}).  cells=6√N with probes=cells/3 reaches containment ~0.90 on
-# BOTH SFs at a ~33% fraction — measured end recall 0.86-0.90, i.e. the
-# LSH operating point (37% scan) matched at a smaller scan with a far
-# smaller index (1 cell id/vector vs 40 bucket entries).  On real
-# corpora with clustered neighbors the same architecture runs at 1-5%
-# fractions; the fraction here is geometry-bound, not design-bound.
+# {1,2,4}).  With the train-consistent L2 assignment (r7 review fix —
+# serve-time argmax-dot had disagreed with Lloyd's argmin-L2 at the
+# variable-norm centroids) the probe sweep measured:
+#   probe_div 3 → recall 0.94/0.94 @ 37%/44% scan (sf0.1/sf0.01)
+#   probe_div 4 → recall 0.88/0.94 @ 29%/33%   ← chosen (Pareto knee)
+#   probe_div 5 → recall 0.86/0.88 @ 23%/26%
+# The chosen point beats the LSH operating point (0.90/0.88 @ 37%) on
+# scan at comparable recall, with a 40× smaller index (1 cell id/vector
+# vs 40 bucket entries).  On real corpora with clustered neighbors the
+# same architecture runs at 1-5% fractions; the fraction here is
+# geometry-bound, not design-bound.
 _IVF_CELL_MULT = 6
-_IVF_PROBE_DIV = 3  # probe cells/3 → ~1/3 candidate fraction (see above)
+_IVF_PROBE_DIV = 4  # probe cells/4 (see measured sweep above)
 # ADC shortlist per query that pays exact re-ranking (same knob as
 # _PQ_SHORTLIST; constant per query, independent of corpus size).
 # Measured: 200 → 0.86/0.86 (ADC-loss-bound at sf0.1), 300 → 0.90/0.86
@@ -398,8 +403,10 @@ _IVF_SHORTLIST = 300
 
 def _ivf_cells(n_rows: int) -> int:
     """_IVF_CELL_MULT·√N coarse cells (capped at N/2 so every cell can
-    hold ≥2 members), floored so tiny fixtures keep a real grid."""
-    return max(8, min(n_rows // 2, int(round(_IVF_CELL_MULT * n_rows**0.5))))
+    hold ≥2 members, and at 64k — past which the training collect below
+    would outgrow a driver and a hierarchical/distributed quantizer is
+    the right tool), floored so tiny fixtures keep a real grid."""
+    return max(8, min(n_rows // 2, 65_536, int(round(_IVF_CELL_MULT * n_rows**0.5))))
 
 
 # (sf_dir, cells) → (cells × 64) coarse-centroid matrix rows — trained
@@ -408,19 +415,30 @@ _IVF_CENTS: dict[tuple[str, int], list] = {}
 
 
 def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
-    """Coarse k-means over unit vectors: Lloyd on the same bounded
-    md5-ordered deterministic sample the PQ codebook trains on (the
-    coarse quantizer is ALWAYS sample-trained in practice — FAISS trains
-    IVF lists on ~cells·39..256 points), first-`cells` distinct init,
-    empty cells re-seeded to the worst-covered point, no RNG anywhere."""
+    """Coarse k-means over unit vectors: Lloyd on a bounded md5-ordered
+    deterministic sample (the coarse quantizer is ALWAYS sample-trained
+    in practice — FAISS trains IVF lists on ~cells·39..256 points).  The
+    sample is sized WITH the cell count (≥8·cells, floor _PQ_TRAIN) so a
+    big corpus can't request more centroids than training points (the r7
+    review caught np.resize silently padding duplicates past
+    N ≈ (2048/6)² ≈ 116k).  Init: deterministic distinct sample rows in
+    np.unique order; empty cells re-seed to the worst-covered point; no
+    RNG anywhere.  Distances via the BLAS identity ‖x−c‖² = ‖x‖²+‖c‖²
+    −2x·c — O(n·cells) memory instead of the n×cells×64 broadcast
+    tensor."""
     import numpy as np
 
-    X = np.array([r["u"] for r in _pq_train_sample(unit)])  # (n, 64)
+    X = np.array([r["u"] for r in _pq_train_sample(unit, max(_PQ_TRAIN, 8 * cells))])
     C = X[np.unique(X.round(9), axis=0, return_index=True)[1][:cells]].copy()
-    if len(C) < cells:  # degenerate corpus: pad by repeating
+    if len(C) < cells:  # degenerate corpus (< cells distinct vectors)
         C = np.resize(C, (cells, X.shape[1]))
+
+    def d2_to(cents):
+        # ‖x‖² omitted: constant per row, argmin-invariant
+        return (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+
     for _ in range(_PQ_ROUNDS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = d2_to(C)
         assign = d2.argmin(axis=1)
         for k in range(cells):
             members = X[assign == k]
@@ -432,10 +450,11 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
 
 
 def _ivf_candidates(spark: SparkSession, sf_dir: str):
-    """(candidates DataFrame with (query_id, neighbor_id, adist), qrows)
-    — the IVF-PQ probe + ADC-scan stage, shared by q_ann_ivf and the
-    recall tool (whose candidate count over 10·|corpus| IS the measured
-    scan fraction)."""
+    """(candidates DataFrame with (query_id, neighbor_id, adist), unit
+    frame) — the IVF-PQ probe + ADC-scan stage, shared by q_ann_ivf
+    (which re-ranks over the SAME unit frame the index was built from)
+    and the recall tool (whose candidate count over 10·|corpus| IS the
+    measured scan fraction)."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
@@ -461,12 +480,18 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
     for s, k, cw in _PQ_BOOKS[bkey]:
         C[s, k] = cw
 
+    # k-means centroids are MEANS of unit vectors, so their norms differ
+    # — argmax(x·c) is NOT argmin‖x−c‖² for them (r7 review).  Serve-time
+    # assignment must use the same metric Lloyd trained with:
+    # argmin(‖c‖² − 2x·c), one precomputed norm vector + a batch GEMM.
+    CC_n2 = (CC**2).sum(axis=1)  # (cells,)
+
     @F.pandas_udf("struct<cell: int, codes: array<int>>")
     def assign_and_encode(u: pd.Series) -> pd.DataFrame:
-        """One Arrow pass: nearest coarse cell (batch GEMM against the
-        centroid matrix — unit vectors, so max dot = min L2) + PQ codes."""
+        """One Arrow pass: nearest coarse cell (train-consistent L2 via
+        the GEMM identity) + PQ codes."""
         M = np.stack(u.values)  # (batch, 64)
-        cell = (M @ CC.T).argmax(axis=1).astype("int32")
+        cell = (CC_n2[None, :] - 2.0 * (M @ CC.T)).argmin(axis=1).astype("int32")
         X = M.reshape(len(u), _PQ_M, -1)
         codes = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=2)
         return pd.DataFrame({"cell": cell, "codes": list(codes.astype("int32"))})
@@ -482,10 +507,13 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
         key=lambda r: r["vec_id"],
     )
     if not qrows:
-        return None, []
+        return None, unit
     n_probes = max(1, cells // _IVF_PROBE_DIV)
     Qm = np.array([r["u"] for r in qrows])  # (n_q, 64)
-    top_cells = np.argsort(-(Qm @ CC.T), axis=1, kind="stable")[:, :n_probes]
+    # probe order by the same train-consistent L2 metric as assignment
+    top_cells = np.argsort(CC_n2[None, :] - 2.0 * (Qm @ CC.T), axis=1, kind="stable")[
+        :, :n_probes
+    ]
     probes = spark.createDataFrame(
         [
             (int(r["vec_id"]), int(c))
@@ -515,19 +543,22 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
         .join(F.broadcast(qtab_df), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist"))
     )
-    return candidates, qrows
+    return candidates, unit
 
 
 @register("q_ann_ivf", oracle=None)  # approximate by construction → rows-only
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (the FAISS IVFPQ architecture): ⌈√N⌉ k-means coarse
-    cells (trained driver-side on the bounded deterministic sample — the
-    FAISS coarse-quantizer pattern, no RNG) partition the corpus; every
-    vector carries its cell id plus an 8-byte PQ code (reusing
-    q_ann_pq's memoized codebook), both computed in ONE Arrow pass.  A
-    query probes its nearest cells/_IVF_PROBE_DIV cells (~1/6 of the
-    corpus by volume), scores ONLY those cells' members by asymmetric
-    distance — 8 JVM-side table lookups per candidate
+    """IVF-PQ ANN (the FAISS IVFPQ architecture): _IVF_CELL_MULT·√N (=6√N)
+    k-means coarse cells (trained driver-side on a deterministic sample
+    of ≥8 points/cell — the FAISS coarse-quantizer pattern, no RNG)
+    partition the corpus; every vector carries its cell id plus an
+    8-byte PQ code (reusing q_ann_pq's memoized codebook), both computed
+    in ONE Arrow pass with the SAME L2 metric Lloyd trained with.  A
+    query probes its nearest cells/_IVF_PROBE_DIV (=cells/4) cells —
+    ~30% of the corpus by volume on this fixture, the measured Pareto
+    knee of its geometry (see the operating-point comment above) —
+    scores ONLY those cells' members by asymmetric distance — 8
+    JVM-side table lookups per candidate
     (zip_with/element_at/aggregate), no vector math — then exact-
     re-ranks the _IVF_SHORTLIST best.
 
@@ -537,13 +568,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves billion-vector corpora.  Deterministic but approximate →
     rows-only; recall AND candidate fraction measured in ANN_RECALL.md,
     floors asserted in tests/test_similarity.py."""
-    candidates, _ = _ivf_candidates(spark, sf_dir)
+    candidates, unit = _ivf_candidates(spark, sf_dir)
     if candidates is None:  # no query vectors in range
         return _empty_topk(spark)
-    e = load(spark, sf_dir, "embeddings")
-    emb = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
-    unit = e.select("vec_id", F.transform(emb, lambda x: x / nrm).alias("u"))
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     shortlist = (
         candidates.withColumn("srk", F.row_number().over(w_short))
@@ -586,23 +613,24 @@ _PQ_SHORTLIST = 200
 _PQ_BOOKS: dict[tuple[str, int], list] = {}
 
 
-def _pq_train_sample(unit: DataFrame) -> list:
-    """Bounded deterministic training sample (≤ _PQ_TRAIN unit-vector
+def _pq_train_sample(unit: DataFrame, n_sample: int = _PQ_TRAIN) -> list:
+    """Bounded deterministic training sample (≤ ``n_sample`` unit-vector
     rows, md5-hash order — unbiased, RNG-free, O(1) driver collect in
     corpus size): the candidate set is first cut by a hash-THRESHOLD
     filter (pushdown-friendly, no shuffle) sized from the corpus count
-    so only ~4×_PQ_TRAIN rows reach the global sort — a bare
+    so only ~4×n_sample rows reach the global sort — a bare
     orderBy().limit() would full-sort the corpus at 100 TB.  Shared by
-    the PQ codebook and the IVF coarse-quantizer training."""
+    the PQ codebook (default _PQ_TRAIN) and the IVF coarse-quantizer
+    training (≥8 points per requested centroid)."""
     hashed = unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
     n_rows = hashed.count()
-    if n_rows > 4 * _PQ_TRAIN:
-        # keep hashes below the fraction that yields ~4×_PQ_TRAIN rows in
+    if n_rows > 4 * n_sample:
+        # keep hashes below the fraction that yields ~4×n_sample rows in
         # expectation (md5 hex is uniform); 2-hex-digit granularity keeps
         # the cutoff a cheap prefix compare
-        frac = min(255, max(1, (4 * _PQ_TRAIN * 256) // n_rows))
+        frac = min(255, max(1, (4 * n_sample * 256) // n_rows))
         hashed = hashed.where(F.col("h") < F.lit(f"{frac:02x}"))
-    return hashed.orderBy("h", "vec_id").limit(_PQ_TRAIN).collect()
+    return hashed.orderBy("h", "vec_id").limit(n_sample).collect()
 
 
 def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:

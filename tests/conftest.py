@@ -11,7 +11,18 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
 
-    s = get_spark("tests", cpus=8)
+    # retainedStages raised for the shuffle-envelope tests: with the
+    # default 1000, a full suite run fills the status store and an
+    # eviction landing inside a measurement window silently undercounts
+    # the cumulative deltas (tests/test_metrics.py; same conf as bench.py)
+    s = get_spark(
+        "tests",
+        cpus=8,
+        extra_conf={
+            "spark.ui.retainedStages": "40000",
+            "spark.ui.retainedJobs": "40000",
+        },
+    )
     yield s
 
 
