@@ -231,9 +231,12 @@ def main() -> int:
         "q_dedup_span_strided",
         "q_corpus_clean_strict",
         # r7 operators: directed PageRank (dangling-mass scalar per
-        # iteration) and the wide-key simhash layout (20 index rows/doc)
+        # iteration), the wide-key simhash layout (20 index rows/doc),
+        # and the reworked IVF-PQ (6√N k-means cells; steady-state —
+        # centroids/codebook memoized per fixture, the serving shape)
         "q_pagerank_directed",
         "q_dedup_simhash_c6",
+        "q_ann_ivf",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

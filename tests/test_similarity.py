@@ -27,10 +27,17 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     approx2 = _pairs(S.q_ann_ivf(spark, sf_dir))
     assert approx1 == approx2
     recall = len(exact & approx1) / len(exact)
-    # IVF-PQ (7 probes at ADC rate + exact re-rank): measured 0.88 at
-    # sf0.001/sf0.01, 0.86 at sf0.1 (ANN_RECALL.md) — the 0.8 bar with
-    # a noise margin below
+    # IVF-PQ (6√N k-means cells, cells/4 probes, ADC + exact re-rank):
+    # measured 0.88-0.94 (ANN_RECALL.md) — floor with a noise margin
     assert recall >= 0.75
+    # the efficiency axis is a CONTRACT, not a side effect: the probed
+    # candidate volume must stay a bounded fraction of a brute-force
+    # scan (measured 29-33%; a regression to cell-probe-everything —
+    # the r6 state this rework replaced — trips this)
+    cand, _ = S._ivf_candidates(spark, sf_dir)
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    frac = cand.count() / (S._N_QUERIES * n_corpus)
+    assert frac <= 0.45, frac
 
 def test_topk_exact_has_k_rows_per_query(spark, sf_dir):
     df = S.q_cosine_topk(spark, sf_dir)
