@@ -35,6 +35,9 @@ AUDIT = {
     "q_ann_ivf": "ONE Arrow assign+encode kernel over the corpus; probe is a broadcast equi-join "
     "on cell id; only the probed cells' members reach the ADC expression; constant-size re-rank "
     "joins are all BroadcastHashJoin (r7: 6*sqrt(N) k-means cells, driver-trained)",
+    "q_dedup_simhash_c6": "the 20-combination wide-key pigeonhole index must still pair via a "
+    "plain equi-join on (combo id, concatenated key) — same join shape as the 4-block layout, "
+    "never a theta/cross join; the layouts differ only in bucket granularity",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
