@@ -13,13 +13,23 @@ even with ``spark.ui.enabled=false``, so the same helper serves bench
 (UI on) and tests (UI off).  Access is via py4j — ``statusStore()`` is
 ``private[spark]`` in Scala, which is public in bytecode; the Scala
 default arguments of ``stageList`` are materialized through their
-compiler-generated ``stageList$default$N`` accessors.
+compiler-generated ``stageList$default$N`` accessors.  Those accessors
+are version-sensitive, so the whole store path is guarded: on any
+py4j/reflection failure it raises ``ShuffleMetricsUnavailable`` (a
+clearly-named signal the envelope tests turn into a skip) instead of
+crashing every UI-off session on an unanticipated Spark build
+(ADVICE r7, medium).
 
 Caveat: the store evicts old stages beyond ``spark.ui.retainedStages``
 (default 1000).  Deltas are computed from cumulative totals, so a
 measurement window must not span an eviction of stages *inside* the
 window — bench raises retainedStages; test windows are a handful of
-stages.
+stages.  ``measure_shuffle`` additionally bounds the *cost* of the
+store path to O(window): it records the max stage id at the window's
+start and only iterates stages newer than that on the closing edge
+(ADVICE r7: with UI off each full snapshot was ~4 py4j round trips per
+retained stage, so late-suite envelope tests degraded linearly in suite
+length).
 """
 
 from __future__ import annotations
@@ -34,16 +44,28 @@ _FIELDS = {
 }
 
 
-def shuffle_snapshot(spark: SparkSession) -> dict[str, int]:
-    """Cumulative shuffle/spill byte totals over all stages the
-    AppStatusStore currently retains.  Subtract two snapshots
-    (``shuffle_delta``) to charge the stages run in between.
+class ShuffleMetricsUnavailable(RuntimeError):
+    """The AppStatusStore could not be read on this Spark build (the
+    ``private[spark]`` accessors the UI-off path relies on changed
+    shape).  Callers that merely *observe* metrics should degrade
+    (envelope tests skip via conftest); nothing correctness-bearing
+    depends on this module."""
+
+
+def shuffle_snapshot(spark: SparkSession, since_stage_id: int = -1) -> dict[str, int]:
+    """Cumulative shuffle/spill byte totals over the retained stages with
+    ``stageId > since_stage_id`` (default: all), plus ``max_stage_id``
+    (the largest stage id seen, or ``since_stage_id`` if none).
+    Subtract two snapshots (``shuffle_delta``) to charge the stages run
+    in between, or pass the first snapshot's ``max_stage_id`` as
+    ``since_stage_id`` of the second to charge only window-new stages.
 
     Two access paths over the same store: when the UI is up (bench), ONE
     REST call returns every stage as JSON — constant py4j traffic no
     matter how many stages have accumulated; with the UI off (tests),
     fall back to iterating the store through py4j, which costs ~4 round
-    trips per stage and is only acceptable for small stage counts."""
+    trips per stage and is only acceptable for small stage counts (use
+    ``since_stage_id`` to keep the iteration O(window))."""
     base = spark.sparkContext.uiWebUrl
     if base:
         try:
@@ -53,21 +75,39 @@ def shuffle_snapshot(spark: SparkSession) -> dict[str, int]:
             app = spark.sparkContext.applicationId
             with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages", timeout=10) as r:
                 stages = json.load(r)
-            return {
+            stages = [s for s in stages if int(s.get("stageId", -1)) > since_stage_id]
+            out = {
                 k: sum(int(s.get(meth, 0)) for s in stages) for k, meth in _FIELDS.items()
             }
+            out["max_stage_id"] = max(
+                (int(s.get("stageId", -1)) for s in stages), default=since_stage_id
+            )
+            return out
         except Exception:
             pass  # UI race/shutdown → the store path below still works
-    ss = spark.sparkContext._jsc.sc().statusStore()
-    defaults = [getattr(ss, f"stageList$default${i}")() for i in range(2, 6)]
-    stages = ss.stageList(None, *defaults)
-    tot = dict.fromkeys(_FIELDS, 0)
-    it = stages.iterator()
-    while it.hasNext():
-        s = it.next()
-        for k, meth in _FIELDS.items():
-            tot[k] += getattr(s, meth)()
-    return tot
+    try:
+        ss = spark.sparkContext._jsc.sc().statusStore()
+        defaults = [getattr(ss, f"stageList$default${i}")() for i in range(2, 6)]
+        stages = ss.stageList(None, *defaults)
+        tot = dict.fromkeys(_FIELDS, 0)
+        max_id = since_stage_id
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            sid = s.stageId()
+            if sid <= since_stage_id:
+                continue
+            max_id = max(max_id, sid)
+            for k, meth in _FIELDS.items():
+                tot[k] += getattr(s, meth)()
+        tot["max_stage_id"] = max_id
+        return tot
+    except Exception as e:  # py4j reflection against private[spark] API
+        raise ShuffleMetricsUnavailable(
+            "AppStatusStore access failed on this Spark build (UI-off "
+            "py4j path uses private accessors pinned against pyspark "
+            "4.1.x); shuffle-byte envelopes cannot run here"
+        ) from e
 
 
 def shuffle_delta(before: dict[str, int], after: dict[str, int]) -> dict[str, int]:
@@ -76,7 +116,7 @@ def shuffle_delta(before: dict[str, int], after: dict[str, int]) -> dict[str, in
     return {k: max(0, after[k] - before[k]) for k in _FIELDS}
 
 
-def settled_snapshot(spark: SparkSession) -> dict[str, int]:
+def settled_snapshot(spark: SparkSession, since_stage_id: int = -1) -> dict[str, int]:
     """``shuffle_snapshot`` polled until two consecutive reads agree: the
     AppStatusListener consumes events on an async bus that can lag an
     action's return by a beat, so an un-settled read both undercounts
@@ -84,10 +124,10 @@ def settled_snapshot(spark: SparkSession) -> dict[str, int]:
     Use this on BOTH edges of a measurement window (bench.py does)."""
     import time
 
-    snap = shuffle_snapshot(spark)
+    snap = shuffle_snapshot(spark, since_stage_id)
     for _ in range(20):
         time.sleep(0.1)
-        nxt = shuffle_snapshot(spark)
+        nxt = shuffle_snapshot(spark, since_stage_id)
         if nxt == snap:
             break
         snap = nxt
@@ -95,8 +135,17 @@ def settled_snapshot(spark: SparkSession) -> dict[str, int]:
 
 
 def measure_shuffle(spark: SparkSession, thunk) -> dict[str, int]:
-    """Run ``thunk()`` and return the shuffle/spill bytes its jobs moved
-    (both window edges settled — see settled_snapshot)."""
-    before = settled_snapshot(spark)
+    """Run ``thunk()`` and return the shuffle/spill bytes its jobs moved.
+
+    Both window edges settled (see ``settled_snapshot``); the closing
+    edge iterates only stages submitted after the opening edge, so the
+    py4j cost of the UI-off path is O(stages in the window), not
+    O(stages retained since session start).  The window total IS the
+    closing snapshot (no subtraction): stages at or before the opening
+    edge's ``max_stage_id`` are excluded at the source, which also stops
+    late byte-updates from pre-window stragglers being mischarged to the
+    window."""
+    floor = settled_snapshot(spark)["max_stage_id"]
     thunk()
-    return shuffle_delta(before, settled_snapshot(spark))
+    win = settled_snapshot(spark, since_stage_id=floor)
+    return {k: win[k] for k in _FIELDS}
