@@ -508,6 +508,81 @@ def main() -> int:
         fuzzy_hc_results[("matches", n_names)] = (n_match, time.perf_counter() - t0)
         print(f"fuzzy_hc capped end-to-end n={n_names}: {n_match} matches", flush=True)
 
+    # --- PageRank edge blow-up: per-iteration shuffle is O(|V|), not O(|E|)
+    # (VERDICT r7 items 3+5).  The trade graph's edge set is multiplied
+    # ×k over the SAME node set (per-copy dst rotation modulo the customer
+    # key space), so |E| grows ~k× while |V| stays put.  Loop-only
+    # per-iteration bytes are isolated as (bytes@11 iters − bytes@1 iter)/10
+    # — the subtraction removes every one-time cost (edge build, the single
+    # O(|E|) repartition, deg/nodes materialization).  Claim under test:
+    # the persisted src-clustered edges are NEVER re-exchanged in the loop,
+    # so per-iteration bytes track the |V|-row rank side at BOTH arms
+    # (broadcast: contrib partial-agg exchange only; copartition: rank/deg/
+    # contrib shuffled sides only) — flat bytes at ×k edges is the measured
+    # form of "edges stay put".
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import pagerank
+
+    o_base = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trade = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o_base, li.l_orderkey == o_base.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ckey_span = o_base.agg(F.max("o_custkey")).collect()[0][0] + 1
+    pr_results = {}
+    for mult in (1, k):
+        parts = [trade]
+        for c in range(1, mult):
+            # rotate dst within the customer id space: new edges, same nodes
+            parts.append(
+                trade.select(
+                    "src",
+                    (
+                        ((((F.col("dst") - 1) / 2).cast("long") + F.lit(c * 379)) % ckey_span)
+                        * 2
+                        + 1
+                    ).alias("dst"),
+                )
+            )
+        e_m = parts[0]
+        for p in parts[1:]:
+            e_m = e_m.unionByName(p)
+        e_m = e_m.distinct().localCheckpoint(eager=True)
+        n_edges = e_m.count()
+        n_nodes_m = (
+            e_m.select(F.col("src").alias("n"))
+            .unionByName(e_m.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        for arm in ("broadcast", "copartition"):
+            per_iter = {}
+            for iters in (1, 11):
+                wall = {}
+
+                def pr_run(it=iters, a=arm):
+                    t0 = time.perf_counter()
+                    pagerank(spark, e_m, iters=it, join_strategy=a).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    wall["t"] = time.perf_counter() - t0
+
+                per_iter[iters] = (
+                    measure_shuffle(spark, pr_run)["shuffle_write_bytes"],
+                    wall["t"],
+                )
+            loop_bytes = (per_iter[11][0] - per_iter[1][0]) / 10
+            pr_results[(arm, mult)] = (n_edges, n_nodes_m, loop_bytes, per_iter[11][1])
+            print(
+                f"pagerank {arm} x{mult}: |E|={n_edges} |V|={n_nodes_m} "
+                f"{loop_bytes / 1024:.0f}KB/iter (11-iter wall {per_iter[11][1]:.2f}s)",
+                flush=True,
+            )
+
     li_rows = li.count()
     lines = [
         "# Scaling probe",
@@ -735,6 +810,44 @@ def main() -> int:
         "GEMM-rate tasks that spread over a cluster — per-pair throughput",
         "should stay flat or IMPROVE as the grid deepens (more parallelism,",
         "same kernel).  Approximate sub-quadratic paths: q_ann_lsh, q_ann_ivf.",
+    ]
+    lines += [
+        "",
+        "## PageRank edge blow-up: per-iteration shuffle is O(|V|), not O(|E|)",
+        "",
+        f"Trade-graph edges ×{k} over the SAME node set (per-copy dst",
+        "rotation inside the customer key space).  Loop-only bytes are",
+        "isolated as (bytes@11 iters − bytes@1 iter)/10 — every one-time",
+        "cost (edge build, the single O(|E|) src-repartition, deg/nodes",
+        "materialization) subtracts out.  Both join arms of `pagerank()`",
+        "(graph.py): `broadcast` ships the |V|-row sides to the edges;",
+        "`copartition` shuffles ONLY the |V|-row sides against the",
+        "persisted src-clustered edges (the billion-node arm, r8):",
+        "",
+        "| arm | scale | edges | nodes | loop shuffle/iter (KB) | 11-iter wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for arm in ("broadcast", "copartition"):
+        for mult in (1, k):
+            ne, nv, lb, w = pr_results[(arm, mult)]
+            lines.append(
+                f"| {arm} | {mult}× | {ne:,} | {nv:,} | {lb / 1024:.0f} | {w:.2f} |"
+            )
+    eb1 = pr_results[("broadcast", 1)]
+    ebk = pr_results[("broadcast", k)]
+    ec1 = pr_results[("copartition", 1)]
+    eck = pr_results[("copartition", k)]
+    lines += [
+        "",
+        f"Edges grew {ebk[0] / eb1[0]:.1f}× but per-iteration loop bytes moved only",
+        f"{ebk[2] / max(eb1[2], 1):.2f}× (broadcast) / {eck[2] / max(ec1[2], 1):.2f}× (copartition) — the",
+        "edge list is never re-exchanged inside the loop; what moves each",
+        "round is the rank-vector side, which is pinned to |V|.  That is",
+        "the Pregel property the persisted src-clustering buys, and the",
+        "measured license for the 100 TB claim: at |E| = 10⁶·|V|, iteration",
+        "cost is dominated by one co-located join against static edges,",
+        "not by moving them.  Identical 12-dp ranks across arms is pinned",
+        "by tests/test_graph.py.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
