@@ -237,8 +237,37 @@ def main() -> int:
         "q_pagerank_directed",
         "q_dedup_simhash_c6",
         "q_ann_ivf",
+        # r8: the stateful streaming family (VERDICT r7 item 4) — these
+        # were correctness-green but perf-invisible; the
+        # applyInPandasWithState paths (session, dedup_*) are exactly
+        # where a plan regression would hide.  Each thunk replays the
+        # full events stream (availableNow) before the noop sink, so the
+        # timed region covers the streaming run itself.
+        "q_stream_session",
+        "q_stream_sliding",
+        "q_stream_dedup_near",
+        "q_stream_dedup_incremental",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
+
+    # IVF regimes, one per row (VERDICT r7 item 6 — r7's record mixed
+    # cold/steady numbers for one key): `q_ann_ivf` above is STEADY-STATE
+    # (bench warm-up populates the memoized (cell, codes) index + centroid/
+    # codebook stores — the serving shape, a real deployment reads the
+    # index from parquet); `q_ann_ivf_cold` clears every memo before EACH
+    # run, so all its reps price the full build: centroid training, PQ
+    # codebook training, and the Arrow assign+encode pass.
+    def ivf_cold():
+        from matrix_multiplication_bigdata_ind_assignments_spark.operators import (
+            similarity as S,
+        )
+
+        S._IVF_CENTS.clear()
+        S._IVF_INDEX.clear()
+        S._PQ_BOOKS.clear()
+        run(qs["q_ann_ivf"](spark, sf_dir))
+
+    benches["q_ann_ivf_cold"] = ivf_cold
 
     # One untimed warmup pass per query before the timed pass: the reference
     # benchmarks steady state the same way (r=3 averages, JIT-warmed Java
@@ -344,6 +373,11 @@ def main() -> int:
         "cpus": int(cpus),
         "driver_peak_rss_mb": rss_mb,
         "noise_sentinel": sentinel,
+        # regime per ANN row (VERDICT r7 item 6): one number, one regime
+        "regimes": {
+            "q_ann_ivf": "steady-state: memoized centroids/codebook/index (serving shape)",
+            "q_ann_ivf_cold": "cold: centroid+codebook training and Arrow index build in every rep",
+        },
     }
     if exec_peak_after:
         full["executor_peak_mb"] = max(exec_peak_after.values())
