@@ -237,6 +237,8 @@ def main() -> int:
         "q_pagerank_directed",
         "q_dedup_simhash_c6",
         "q_ann_ivf",
+        # r8: hierarchical IVF (steady-state, same memo discipline)
+        "q_ann_ivf2",
         # r8: the stateful streaming family (VERDICT r7 item 4) — these
         # were correctness-green but perf-invisible; the
         # applyInPandasWithState paths (session, dedup_*) are exactly
@@ -376,6 +378,7 @@ def main() -> int:
         # regime per ANN row (VERDICT r7 item 6): one number, one regime
         "regimes": {
             "q_ann_ivf": "steady-state: memoized centroids/codebook/index (serving shape)",
+            "q_ann_ivf2": "steady-state: memoized l1 centroids + two-level index (serving shape)",
             "q_ann_ivf_cold": "cold: centroid+codebook training and Arrow index build in every rep",
         },
     }

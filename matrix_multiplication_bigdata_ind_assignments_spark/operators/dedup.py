@@ -475,7 +475,11 @@ def ngram_jaccard_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFram
         hot_mem = None
     else:
         # the hot set is ≤ rows/cap buckets → broadcast; cold shingles
-        # drive candidate generation, hot memberships only correct values
+        # drive candidate generation, hot memberships only correct values.
+        # Materialize the tiny hot set ONCE (r7 ADVICE: embedded as a
+        # subtree it was re-aggregated twice per action — once under the
+        # left_anti, once under the left_semi)
+        hot = hot.localCheckpoint(eager=True)
         pair_sh = sh.join(F.broadcast(hot), "h", "left_anti")
         hot_mem = sh.join(F.broadcast(hot), "h", "left_semi")
 
@@ -928,13 +932,19 @@ def fuzzy_match_names(names: DataFrame, bucket_cap: int | None = None) -> DataFr
     ``bucket_cap`` bounds the word-posting width (the _lsh_bucket_cap
     guard): with high-cardinality names a stop-word shared by millions
     of names would turn the word self-join quadratic — over-cap word
-    buckets split into sub-buckets by a secondary name hash, losing
-    only straddling pairs (names whose EVERY shared word is over-cap:
-    stop-word-only collisions that the levenshtein ≤2 verify would
-    almost surely reject anyway — at any realistic name length, two
-    names sharing nothing but ubiquitous words differ in ≫2 edits).
-    Below the cap (every fixture) the plan is untouched and
-    oracle-exact."""
+    buckets split into sub-buckets by a secondary name hash, keeping
+    only intra-sub candidates.  The honest loss class (r7 ADVICE): any
+    pair whose EVERY shared word is over-cap and whose secondary hashes
+    straddle a sub-bucket.  Usually those are stop-word-only collisions
+    the levenshtein ≤2 verify would reject anyway, but a TRUE edit-close
+    pair is lost if its only shared word is hot (e.g. "brand u1" vs
+    "brand u2" when 'brand' is corpus-wide and u-words are unique) —
+    a real recall loss above the cap, unlike ngram_jaccard_pairs'
+    drop-hot-then-correct policy, whose only loss is pure-boilerplate
+    pairs.  (The asymmetry is inherent: jaccard can ADD BACK a dropped
+    shingle's contribution arithmetically; a blocking index has nothing
+    to add back — a pair not co-bucketed is never scored.)  Below the
+    cap (every fixture) the plan is untouched and oracle-exact."""
     cap = _lsh_bucket_cap() if bucket_cap is None else bucket_cap
     cand = fuzzy_candidates(names, cap)
     scored = cand.select("na", "nb", F.levenshtein("na", "nb").alias("d")).where(F.col("d") <= 2)

@@ -417,6 +417,47 @@ _IVF_CENTS: dict[tuple[str, int], list] = {}
 _IVF_INDEX: dict[int, list] = {}
 
 
+def _kmeans_fit(X, k: int, rounds: int | None = None):
+    """Deterministic Lloyd over rows of ``X``: first-k distinct rows (in
+    np.unique order) as init, empty cells re-seeded to DISTINCT
+    worst-covered points measured against the freshly-updated centroids
+    (r7 ADVICE: the old form reseeded all empties to the same argmax of
+    a STALE d2, so k empty cells collapsed into duplicate centroids that
+    tied on argmin and stayed empty forever, silently shrinking the
+    effective cell count) — no RNG anywhere.  Distances via the BLAS
+    identity ‖x−c‖² = ‖x‖²+‖c‖²−2x·c, O(n·k) memory.  Shared by the
+    driver-side coarse training AND the per-cell level-2 training that
+    runs INSIDE an applyInPandas task (q_ann_ivf2), so both levels are
+    bit-reproducible from the same code path."""
+    import numpy as np
+
+    if rounds is None:
+        rounds = _PQ_ROUNDS
+    C = X[np.unique(X.round(9), axis=0, return_index=True)[1][:k]].copy()
+    if len(C) < k:  # degenerate input (< k distinct vectors)
+        C = np.resize(C, (k, X.shape[1]))
+
+    def d2_to(cents):
+        # ‖x‖² omitted: constant per row, argmin-invariant
+        return (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+
+    for _ in range(rounds):
+        d2 = d2_to(C)
+        assign = d2.argmin(axis=1)
+        empty = []
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:
+                empty.append(c)
+        if empty:
+            far = np.argsort(-d2_to(C).min(axis=1))[: len(empty)]
+            for c, idx in zip(empty, far):
+                C[c] = X[idx]
+    return C
+
+
 def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
     """Coarse k-means over unit vectors: Lloyd on a bounded md5-ordered
     deterministic sample (the coarse quantizer is ALWAYS sample-trained
@@ -424,32 +465,12 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
     sample is sized WITH the cell count (≥8·cells, floor _PQ_TRAIN) so a
     big corpus can't request more centroids than training points (the r7
     review caught np.resize silently padding duplicates past
-    N ≈ (2048/6)² ≈ 116k).  Init: deterministic distinct sample rows in
-    np.unique order; empty cells re-seed to the worst-covered point; no
-    RNG anywhere.  Distances via the BLAS identity ‖x−c‖² = ‖x‖²+‖c‖²
-    −2x·c — O(n·cells) memory instead of the n×cells×64 broadcast
-    tensor."""
+    N ≈ (2048/6)² ≈ 116k).  Training itself is the shared deterministic
+    Lloyd (_kmeans_fit)."""
     import numpy as np
 
     X = np.array([r["u"] for r in _pq_train_sample(unit, max(_PQ_TRAIN, 8 * cells))])
-    C = X[np.unique(X.round(9), axis=0, return_index=True)[1][:cells]].copy()
-    if len(C) < cells:  # degenerate corpus (< cells distinct vectors)
-        C = np.resize(C, (cells, X.shape[1]))
-
-    def d2_to(cents):
-        # ‖x‖² omitted: constant per row, argmin-invariant
-        return (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
-
-    for _ in range(_PQ_ROUNDS):
-        d2 = d2_to(C)
-        assign = d2.argmin(axis=1)
-        for k in range(cells):
-            members = X[assign == k]
-            if len(members):
-                C[k] = members.mean(axis=0)
-            else:
-                C[k] = X[d2.min(axis=1).argmax()]
-    return [[float(x) for x in row] for row in C]
+    return [[float(x) for x in row] for row in _kmeans_fit(X, cells)]
 
 
 def _ivf_candidates(spark: SparkSession, sf_dir: str):
@@ -590,10 +611,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, unit = _ivf_candidates(spark, sf_dir)
     if candidates is None:  # no query vectors in range
         return _empty_topk(spark)
+    return _adc_shortlist_rerank(candidates, unit)
+
+
+def _adc_shortlist_rerank(
+    candidates: DataFrame, unit: DataFrame, shortlist_n: int = _IVF_SHORTLIST
+) -> DataFrame:
+    """ADC-shortlist → exact re-rank → top-k, shared by the flat
+    (q_ann_ivf) and hierarchical (q_ann_ivf2) indexes: keep the
+    ``shortlist_n`` best candidates per query by asymmetric distance,
+    exact-re-rank ONLY those (constant queries × shortlist work), emit
+    the top _TOPK."""
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     shortlist = (
         candidates.withColumn("srk", F.row_number().over(w_short))
-        .where(F.col("srk") <= _IVF_SHORTLIST)
+        .where(F.col("srk") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
 
@@ -614,6 +646,234 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+# Two-level geometry (VERDICT r7 item 7): the flat coarse quantizer
+# trains ALL cells driver-side, which hits a wall at the 64k-cell
+# ceiling (6√N cells crosses it near N ≈ 1.1e8 vectors — real at
+# 100 TB).  The hierarchical form trains only √total level-1 cells on
+# the driver; level-2 k-means runs WITHIN each l1 cell as an
+# applyInPandas task, so the driver-side work is O(√total) while the
+# total cell count (and therefore probe-fraction geometry) matches the
+# flat index.  Probe = (l1, l2) pair, ranked fully in-plan.
+# l1 probe breadth: which l1 cells feed the (l1, l2) pair ranking.  On
+# this fixture's angularly-diffuse geometry true neighbors straddle l1
+# boundaries, so the pair ranking must see ALL l1 cells (measured at
+# sf0.01: div=1 → recall 0.94 = flat; div=2 → 0.86; div=3 → 0.64 — the
+# PAIR budget, not l1 pruning, is what bounds the scan here, 34% vs
+# flat's 33%).  The div knob stays for clustered real corpora, where
+# top-l1/div pruning cuts the pair-ranking join without recall loss.
+_IVF2_L1_DIV = 1
+# (sf_dir, l1) → level-1 centroid rows (same memo discipline as _IVF_CENTS)
+_IVF2_CENTS: dict[tuple[str, int], list] = {}
+# plan_memo store for the materialized two-level index (members + l2 cents)
+_IVF2_INDEX: dict[int, list] = {}
+
+
+def _ivf2_geometry(n_rows: int) -> tuple[int, int]:
+    """(l1, l2) with l1·l2 ≥ the flat cell count and l1 ≈ √total: the
+    driver trains l1 centroids, every applyInPandas task trains one
+    cell's l2 — no level outgrows its host."""
+    total = _ivf_cells(n_rows)
+    l1 = max(4, int(round(total**0.5)))
+    l2 = max(1, -(-total // l1))  # ceil
+    return l1, l2
+
+
+def _ivf2_candidates(spark: SparkSession, sf_dir: str):
+    """(candidates, unit) for the hierarchical IVF-PQ — the same contract
+    as _ivf_candidates so recall/scan-fraction tooling and the re-rank
+    tail are shared.
+
+    Index build (memoized per fixture+geometry, like the flat index):
+
+    1. level-1 assign: one Arrow pass, train-consistent L2 against the
+       driver-trained l1 centroids;
+    2. level-2 train+assign+encode: ONE applyInPandas over l1 groups —
+       each task runs the shared deterministic Lloyd (_kmeans_fit) on a
+       bounded md5-ordered slice of its cell's members (≥8·l2, so task
+       memory is O(cap·d) not O(|cell|·d) for training; assignment
+       covers every member), assigns members to l2, PQ-encodes them
+       against the global memoized codebook, and emits member rows PLUS
+       its l2 centroid rows (kind-tagged union, split after one
+       materialization).
+
+    Query side is fully in-plan: the driver ranks only the tiny l1 list
+    per query; (l1, l2) pair ranking joins the l2-centroid table
+    (broadcast probe/query sides, d2 via zip_with/aggregate JVM-side)
+    and keeps the same total probe budget as the flat index
+    (total_cells/_IVF_PROBE_DIV pairs), so the scan-fraction geometry
+    is comparable by construction."""
+    import hashlib
+
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select("vec_id", F.transform(emb, lambda x: x / nrm).alias("u"))
+
+    if sf_dir not in _EMB_COUNTS:  # corpus-size stat, memoized per fixture
+        _EMB_COUNTS[sf_dir] = e.count()
+    l1, l2 = _ivf2_geometry(_EMB_COUNTS[sf_dir])
+    ckey = (sf_dir, l1)
+    if ckey not in _IVF2_CENTS:
+        _IVF2_CENTS[ckey] = _ivf_train_centroids(unit, l1)
+    CC = np.array(_IVF2_CENTS[ckey])  # (l1, 64)
+    CC_n2 = (CC**2).sum(axis=1)
+
+    bkey = (sf_dir, _PQ_K)
+    if bkey not in _PQ_BOOKS:
+        _PQ_BOOKS[bkey] = _pq_train_codebook(unit)
+    C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
+    for s, k, cw in _PQ_BOOKS[bkey]:
+        C[s, k] = cw
+
+    @F.pandas_udf("int")
+    def assign_l1(u: pd.Series) -> pd.Series:
+        M = np.stack(u.values)
+        return pd.Series((CC_n2[None, :] - 2.0 * (M @ CC.T)).argmin(axis=1).astype("int32"))
+
+    train_cap = max(_PQ_TRAIN, 8 * l2)
+
+    def train_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell_l1 = int(key[0])
+        M = np.stack(pdf["u"].to_numpy())  # (|cell|, 64)
+        # bounded deterministic training slice: md5 order is unbiased and
+        # partition-order-independent (members arrive unordered)
+        order = np.argsort(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in pdf["vec_id"]]
+        )
+        C2 = _kmeans_fit(M[order[:train_cap]], l2)
+        assign = ((C2**2).sum(axis=1)[None, :] - 2.0 * (M @ C2.T)).argmin(axis=1)
+        X = M.reshape(len(pdf), _PQ_M, -1)
+        codes = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=2)
+        members = pd.DataFrame(
+            {
+                "kind": 0,
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "l1": cell_l1,
+                "l2": assign.astype("int32"),
+                "codes": list(codes.astype("int32")),
+                "cent": None,
+            }
+        )
+        cents = pd.DataFrame(
+            {
+                "kind": 1,
+                "vec_id": -1,
+                "l1": cell_l1,
+                "l2": np.arange(l2, dtype="int32"),
+                "codes": None,
+                "cent": list(C2),
+            }
+        )
+        return pd.concat([members, cents], ignore_index=True)
+
+    def build_index() -> DataFrame:
+        return (
+            unit.withColumn("l1", assign_l1("u"))
+            .groupBy("l1")
+            .applyInPandas(
+                train_cell,
+                schema="kind int, vec_id long, l1 int, l2 int, "
+                "codes array<int>, cent array<double>",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    from ..functions.memo import plan_memo
+
+    raw = plan_memo(
+        _IVF2_INDEX, unit, (l1, l2, _PQ_K, "ivf2-index"), build_index, max_entries=8
+    )
+    members = raw.where(F.col("kind") == 0).select("vec_id", "l1", "l2", "codes")
+    cents2 = raw.where(F.col("kind") == 1).select("l1", "l2", "cent")
+
+    qrows = sorted(
+        unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        return None, unit
+    Qm = np.array([r["u"] for r in qrows])
+    # level-1 probe list: driver ranks the TINY l1 set (√total rows)
+    n_l1 = max(1, -(-l1 // _IVF2_L1_DIV))
+    top_l1 = np.argsort(CC_n2[None, :] - 2.0 * (Qm @ CC.T), axis=1, kind="stable")[:, :n_l1]
+    probes_l1 = spark.createDataFrame(
+        [(int(r["vec_id"]), int(c)) for i, r in enumerate(qrows) for c in top_l1[i]],
+        "query_id long, l1 int",
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["u"]]) for r in qrows],
+        "query_id long, qu array<double>",
+    )
+    # (l1, l2) pair ranking, fully in-plan: d2 = ‖c‖² − 2 q·c per probed
+    # pair, window-top the flat index's probe budget per query
+    pair_budget = max(1, (l1 * l2) // _IVF_PROBE_DIV)
+    d2 = F.aggregate(
+        F.zip_with("cent", "qu", lambda c, q: c * c - 2 * c * q),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w_pair = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("l1"), F.asc("l2"))
+    probes = (
+        cents2.join(F.broadcast(probes_l1), "l1")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "l1", "l2", d2.alias("d2"))
+        .withColumn("prk", F.row_number().over(w_pair))
+        .where(F.col("prk") <= pair_budget)
+        .select("query_id", "l1", "l2")
+    )
+
+    Q = Qm.reshape(len(qrows), _PQ_M, -1)
+    qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+    qtab_df = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "query_id long, tab array<array<double>>",
+    )
+    adist = F.aggregate(
+        F.zip_with("codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    candidates = (
+        F.broadcast(probes)
+        .join(members, ["l1", "l2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qtab_df), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist"))
+    )
+    return candidates, unit
+
+
+@register("q_ann_ivf2", oracle=None)  # approximate by construction → rows-only
+def q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) IVF-PQ ANN — q_ann_ivf past the 64k-cell
+    driver ceiling (VERDICT r7 item 7): level-1 trains √total cells
+    driver-side on a bounded sample; level-2 k-means runs WITHIN each l1
+    cell as one applyInPandas task (the shared deterministic Lloyd on a
+    bounded md5-ordered member slice), emitting cell ids + PQ codes +
+    the l2 centroid table in one pass.  A query probes (l1, l2) PAIRS:
+    the driver ranks only the tiny l1 list; pair ranking joins the l2
+    centroid table in-plan (JVM-side d2) and keeps the SAME total probe
+    budget as the flat index (total/_IVF_PROBE_DIV pairs), so its scan
+    fraction is comparable by construction; then the shared ADC
+    shortlist → exact re-rank tail.
+
+    Scale shape: driver memory O(√total·d) instead of O(total·d) —
+    at 6√N cells the flat ceiling (64k cells ≈ N = 1.1e8) becomes
+    l1 = 256 rows, fine to N ≈ 10¹⁶; index build work is one Arrow
+    assign pass + one cogrouped train pass, both corpus-distributed.
+    Deterministic but approximate → rows-only; recall measured within
+    0.02 of flat IVF at both SFs (ANN_RECALL.md)."""
+    candidates, unit = _ivf2_candidates(spark, sf_dir)
+    if candidates is None:
+        return _empty_topk(spark)
+    return _adc_shortlist_rerank(candidates, unit)
 
 
 _PQ_M = 8  # subspaces (64-d → 8 × 8-d)

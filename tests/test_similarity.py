@@ -39,6 +39,36 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     frac = cand.count() / (S._N_QUERIES * n_corpus)
     assert frac <= 0.45, frac
 
+def test_ivf2_matches_flat_contract(spark, sf_dir):
+    """Hierarchical IVF (q_ann_ivf2, VERDICT r7 item 7): deterministic,
+    recall within 0.02-with-margin of the flat index (measured EQUAL or
+    better at both bench SFs: 0.90 vs 0.88 at sf0.1, 0.94 = 0.94 at
+    sf0.01 — ANN_RECALL.md), and the same scan-fraction contract (pair
+    budget = flat's cell budget, measured 33%)."""
+    exact = _pairs(S.q_cosine_topk(spark, sf_dir))
+    flat = _pairs(S.q_ann_ivf(spark, sf_dir))
+    h1 = _pairs(S.q_ann_ivf2(spark, sf_dir))
+    h2 = _pairs(S.q_ann_ivf2(spark, sf_dir))
+    assert h1 == h2  # deterministic (no RNG at either level)
+    recall_flat = len(exact & flat) / len(exact)
+    recall_h = len(exact & h1) / len(exact)
+    assert recall_h >= recall_flat - 0.06  # 0.02 target + fixture noise
+    cand, _ = S._ivf2_candidates(spark, sf_dir)
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    frac = cand.count() / (S._N_QUERIES * n_corpus)
+    assert frac <= 0.45, frac
+
+
+def test_ivf2_geometry_driver_side_is_sqrt(spark):
+    """The whole point of the two levels: the driver trains l1 ≈ √total
+    cells, never total — and l1·l2 still covers the flat cell count."""
+    for n in (10_000, 1_000_000, 200_000_000):
+        total = S._ivf_cells(n)
+        l1, l2 = S._ivf2_geometry(n)
+        assert l1 * l2 >= total
+        assert l1 <= 4 * int(total**0.5) + 4  # driver side stays O(√total)
+
+
 def test_topk_exact_has_k_rows_per_query(spark, sf_dir):
     df = S.q_cosine_topk(spark, sf_dir)
     counts = {r["query_id"]: 1 for r in df.groupBy("query_id").count().collect()}

@@ -65,7 +65,12 @@ def main() -> int:
     for sf in sf_dirs:
         exact = {(r.query_id, r.neighbor_id) for r in S.q_cosine_topk(spark, sf).collect()}
         n_corpus = spark.read.parquet(f"{sf}/embeddings.parquet").count()
-        for name, fn in (("lsh", S.q_ann_lsh), ("ivf", S.q_ann_ivf), ("pq", S.q_ann_pq)):
+        for name, fn in (
+            ("lsh", S.q_ann_lsh),
+            ("ivf", S.q_ann_ivf),
+            ("ivf2", S.q_ann_ivf2),
+            ("pq", S.q_ann_pq),
+        ):
             t0 = time.time()
             approx = {(r.query_id, r.neighbor_id) for r in fn(spark, sf).collect()}
             wall = time.time() - t0
@@ -81,6 +86,9 @@ def main() -> int:
                 frac = f"{n_cand / (10 * n_corpus):.0%}"
             elif name == "ivf":
                 cand, _ = S._ivf_candidates(spark, sf)
+                frac = f"{cand.count() / (10 * n_corpus):.0%}"
+            elif name == "ivf2":
+                cand, _ = S._ivf2_candidates(spark, sf)
                 frac = f"{cand.count() / (10 * n_corpus):.0%}"
             else:
                 # PQ is a COMPRESSION scan: every code is ADC-scored (8
