@@ -61,6 +61,24 @@ def test_dedup_embedding_is_tiled_not_theta(spark, sf_dir, qs, monkeypatch):
     assert "FlatMapCoGroupsInPandas" in plan  # the GEMM tile kernel
 
 
+def test_ivf2_candidates_stay_equi_and_grouped(spark, sf_dir):
+    """The hierarchical index's candidate plan (q_ann_ivf2): the level-2
+    training must be INSIDE the distributed FlatMapGroupsInPandas node
+    (not a driver loop), and every join — pair ranking against the l2
+    centroid table, probes against members — must be an equi-join; a
+    CartesianProduct or BroadcastNestedLoopJoin would mean the in-plan
+    pair ranking degenerated."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import (
+        similarity as S,
+    )
+
+    cand, _ = S._ivf2_candidates(spark, sf_dir)
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ExistingRDD" in plan  # memoized index
+
+
 def test_matmul_has_partial_final_agg(spark, sf_dir, qs):
     plan = plan_of(qs["q_matmul_dense"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # map-side combine before the shuffle

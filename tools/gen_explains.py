@@ -35,6 +35,11 @@ AUDIT = {
     "q_ann_ivf": "ONE Arrow assign+encode kernel over the corpus; probe is a broadcast equi-join "
     "on cell id; only the probed cells' members reach the ADC expression; constant-size re-rank "
     "joins are all BroadcastHashJoin (r7: 6*sqrt(N) k-means cells, driver-trained)",
+    "q_ann_ivf2": "two-level index: l1 assignment is one Arrow kernel; level-2 training runs "
+    "INSIDE the FlatMapGroupsInPandas node (one pass emits members + l2 centroids); the (l1, l2) "
+    "pair ranking is a broadcast equi-join + window over the centroid TABLE (in-plan, no driver "
+    "collect of centroids); members join probes on (l1, l2) as a plain equi-join — no "
+    "CartesianProduct anywhere (r8: the past-64k-cells architecture, driver holds only sqrt(total))",
     "q_dedup_simhash_c6": "the 20-combination wide-key pigeonhole index must still pair via a "
     "plain equi-join on (combo id, concatenated key) — same join shape as the 4-block layout, "
     "never a theta/cross join; the layouts differ only in bucket granularity",
