@@ -290,6 +290,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same oracle as q_pagerank: the copartition arm must produce the
+# IDENTICAL 12-dp ranks (per-iteration rounding absorbs summation-order
+# differences), so gate-checking it against the same unrolled CTEs makes
+# the arm-equality claim externally verifiable, not just unit-tested.
+@register("q_pagerank_copart", oracle=_sql_pagerank())
+def q_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pagerank on join_strategy='copartition' — the billion-node arm
+    (VERDICT r7 item 3): shuffled joins re-use the persisted
+    src-clustered edges, so each iteration exchanges ONLY the |V|-row
+    rank/deg/contrib sides (measured ~22 B/node/iter, envelope-pinned in
+    tests/test_graph.py; SCALING.md shows bytes bounded by parts·|V|
+    under a 10× edge blow-up).  Identical output to q_pagerank by
+    construction — checked against the SAME DuckDB oracle."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(spark, edges, join_strategy="copartition")
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
+        (F.col("node") / 2).cast("long").alias("key"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def _sql_pagerank_directed(damping: float = _PR_DAMPING, iters: int = _PR_ITERS) -> str:
     """The directed power method with uniform dangling-mass
     re-distribution as unrolled DuckDB CTEs — every customer node is
