@@ -57,6 +57,11 @@ _ENVELOPES = {
 # bench.py does — same plan, sf0.001-sized data)
 _MATMUL_ENVELOPES = {
     "matmul_join_n256": 1_764_409,
+    # identical bytes to the join form at this scale: AQE broadcasts the
+    # tiny side either way, so both plans' exchanges reduce to the same
+    # partial-product aggregation — the envelope still pins that shared
+    # agg volume
+    "matmul_broadcast_n256": 1_764_409,
     "spmm_sparse_n2048_d05": 53_643,
     "matmul_blocked_n4096_3d": 589_686,
 }
@@ -113,6 +118,9 @@ def matmul_thunks(spark, sf_dir):
     yield {
         "matmul_join_n256": lambda: _noop(
             M.multiply(ops["A256"], ops["B256"], strategy="join")
+        ),
+        "matmul_broadcast_n256": lambda: _noop(
+            M.multiply(ops["A256"], ops["B256"], strategy="broadcast")
         ),
         "spmm_sparse_n2048_d05": lambda: _noop(
             M.multiply(ops["A2048"], ops["B2048"], strategy="join")
