@@ -377,6 +377,8 @@ def main() -> int:
         "noise_sentinel": sentinel,
         # regime per ANN row (VERDICT r7 item 6): one number, one regime
         "regimes": {
+            "q_stream_dedup_near": "steady-state: memoized epoch band index (cold build priced by q_dedup_minhash)",
+            "q_stream_dedup_incremental": "steady-state: memoized epoch content-hash set",
             "q_ann_ivf": "steady-state: memoized centroids/codebook/index (serving shape)",
             "q_ann_ivf2": "steady-state: memoized l1 centroids + two-level index (serving shape)",
             "q_ann_ivf_cold": "cold: centroid+codebook training and Arrow index build in every rep",

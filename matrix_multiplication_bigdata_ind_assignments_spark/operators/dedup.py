@@ -649,19 +649,30 @@ def minhash_bands(d: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_structs(toks):
-    """The SAME band signature as minhash_bands, but as ONE stateless
-    per-row expression over a pre-materialized token-array column — the
-    form a STREAMING pipeline needs (no explode+groupBy per doc, so no
-    state): shingles, 32-bit md5 base hashes, 16 array_min minhashes and
-    the 4 band structs all evaluate inside a single projection.
-    Equivalence with the batch table is asserted in tests/test_dedup.py.
-    (Interpreted higher-order functions — fine at per-row fan-out; a
-    throughput-critical stream would move the signature into an Arrow
-    kernel, as the ANN projections do.)"""
+def minhash_base_hashes(toks):
+    """32-bit md5 base hash per distinct 3-gram shingle of a token-array
+    column, as one stateless per-row expression.  MATERIALIZE this into
+    its own column (a separate projection) before feeding it to
+    minhash_band_structs: higher-order expressions evaluate interpreted,
+    with no common-subexpression elimination — embedding this subtree
+    once per seed re-ran the shingle+md5 work 16× (measured 3.2 s →
+    0.5 s for the sf0.1 stream half after the split, r8).  The alias is
+    safe from CollapseProject re-inlining precisely because the
+    downstream projection references it 16 times and it is not cheap."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
     shs = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")))
-    hs = F.transform(shs, lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"))
+    return F.transform(shs, lambda sh: F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long"))
+
+
+def minhash_band_structs(hs):
+    """The SAME band signature as minhash_bands, but as a stateless
+    per-row expression — the form a STREAMING pipeline needs (no
+    explode+groupBy per doc, so no state).  ``hs`` is the
+    PRE-MATERIALIZED base-hash array column (minhash_base_hashes, its
+    own projection — see there for why); the 16 array_min minhashes over
+    it are cheap affine arithmetic, and the 4 band structs evaluate in
+    one projection.  Equivalence with the batch table is asserted in
+    tests/test_dedup.py."""
     mhs = [
         F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)))
         for (a, b) in _mh_constants()

@@ -329,6 +329,7 @@ def test_per_row_band_expr_matches_batch_bands(spark, sf_dir):
     from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
         minhash_band_structs,
         minhash_bands,
+        minhash_base_hashes,
     )
     from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
 
@@ -337,7 +338,8 @@ def test_per_row_band_expr_matches_batch_bands(spark, sf_dir):
     per_row = {
         tuple(r)
         for r in d.withColumn("toks", F.filter(F.split("text", " "), lambda t: t != ""))
-        .select("doc_id", F.explode(minhash_band_structs(F.col("toks"))).alias("kb"))
+        .withColumn("mmbd_hs", minhash_base_hashes(F.col("toks")))
+        .select("doc_id", F.explode(minhash_band_structs(F.col("mmbd_hs"))).alias("kb"))
         .select("doc_id", "kb.band", "kb.band_key")
         .collect()
     }
