@@ -25,11 +25,16 @@ Caveat: the store evicts old stages beyond ``spark.ui.retainedStages``
 measurement window must not span an eviction of stages *inside* the
 window — bench raises retainedStages; test windows are a handful of
 stages.  ``measure_shuffle`` additionally bounds the *cost* of the
-store path to O(window): it records the max stage id at the window's
-start and only iterates stages newer than that on the closing edge
-(ADVICE r7: with UI off each full snapshot was ~4 py4j round trips per
-retained stage, so late-suite envelope tests degraded linearly in suite
-length).
+store path to O(window) — genuinely, not just by skipping field getters
+(the r8 review found the first cut still paid 3 py4j round trips per
+retained stage on both edges): iteration skips pre-window stages
+SERVER-SIDE via the KVStore's ``stageId`` index (``view.index(
+"stageId").first(floor+1)``), and the opening edge starts from a
+module-level per-application floor cache (the max stage id ANY previous
+snapshot saw), so a snapshot never re-walks stages an earlier snapshot
+already counted.  (ADVICE r7: with UI off each full snapshot was ~4
+py4j round trips per retained stage, so late-suite envelope tests
+degraded linearly in suite length.)
 """
 
 from __future__ import annotations
@@ -42,6 +47,13 @@ _FIELDS = {
     "spill_memory_bytes": "memoryBytesSpilled",
     "spill_disk_bytes": "diskBytesSpilled",
 }
+
+# applicationId → largest stage id any snapshot of that app has seen.
+# Lets measure_shuffle's OPENING edge start its iteration there instead
+# of walking every retained stage: stages at or below the cached floor
+# were registered before any current window opened, so re-reading them
+# can never change a window's membership.
+_FLOOR_CACHE: dict[str, int] = {}
 
 
 class ShuffleMetricsUnavailable(RuntimeError):
@@ -63,16 +75,18 @@ def shuffle_snapshot(spark: SparkSession, since_stage_id: int = -1) -> dict[str,
     Two access paths over the same store: when the UI is up (bench), ONE
     REST call returns every stage as JSON — constant py4j traffic no
     matter how many stages have accumulated; with the UI off (tests),
-    fall back to iterating the store through py4j, which costs ~4 round
-    trips per stage and is only acceptable for small stage counts (use
-    ``since_stage_id`` to keep the iteration O(window))."""
+    iterate the store's KVStore through its ``stageId`` index, which
+    skips stages ≤ ``since_stage_id`` server-side so the py4j traffic is
+    ~6 round trips per IN-WINDOW stage attempt and zero per skipped
+    stage.  (A ``stageList``-based fallback covers builds where the
+    KVStore index shape differs.)"""
+    app = spark.sparkContext.applicationId
     base = spark.sparkContext.uiWebUrl
     if base:
         try:
             import json
             import urllib.request
 
-            app = spark.sparkContext.applicationId
             with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages", timeout=10) as r:
                 stages = json.load(r)
             stages = [s for s in stages if int(s.get("stageId", -1)) > since_stage_id]
@@ -82,25 +96,49 @@ def shuffle_snapshot(spark: SparkSession, since_stage_id: int = -1) -> dict[str,
             out["max_stage_id"] = max(
                 (int(s.get("stageId", -1)) for s in stages), default=since_stage_id
             )
+            _FLOOR_CACHE[app] = max(_FLOOR_CACHE.get(app, -1), out["max_stage_id"])
             return out
         except Exception:
             pass  # UI race/shutdown → the store path below still works
     try:
         ss = spark.sparkContext._jsc.sc().statusStore()
-        defaults = [getattr(ss, f"stageList$default${i}")() for i in range(2, 6)]
-        stages = ss.stageList(None, *defaults)
         tot = dict.fromkeys(_FIELDS, 0)
         max_id = since_stage_id
-        it = stages.iterator()
-        while it.hasNext():
-            s = it.next()
-            sid = s.stageId()
-            if sid <= since_stage_id:
-                continue
-            max_id = max(max_id, sid)
-            for k, meth in _FIELDS.items():
-                tot[k] += getattr(s, meth)()
+        try:
+            # O(window): StageDataWrapper carries a @KVIndex("stageId"),
+            # so .first(floor+1) starts the store scan at the window
+            cls = spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.spark.status.StageDataWrapper"
+            )
+            it = ss.store().view(cls).index("stageId").first(since_stage_id + 1).closeableIterator()
+            try:
+                while it.hasNext():
+                    info = it.next().info()
+                    sid = info.stageId()
+                    if sid <= since_stage_id:
+                        continue
+                    max_id = max(max_id, sid)
+                    for k, meth in _FIELDS.items():
+                        tot[k] += getattr(info, meth)()
+            finally:
+                it.close()
+        except Exception:
+            # index shape differs on this build → full stageList walk
+            defaults = [getattr(ss, f"stageList$default${i}")() for i in range(2, 6)]
+            stages = ss.stageList(None, *defaults)
+            tot = dict.fromkeys(_FIELDS, 0)
+            max_id = since_stage_id
+            it = stages.iterator()
+            while it.hasNext():
+                s = it.next()
+                sid = s.stageId()
+                if sid <= since_stage_id:
+                    continue
+                max_id = max(max_id, sid)
+                for k, meth in _FIELDS.items():
+                    tot[k] += getattr(s, meth)()
         tot["max_stage_id"] = max_id
+        _FLOOR_CACHE[app] = max(_FLOOR_CACHE.get(app, -1), max_id)
         return tot
     except Exception as e:  # py4j reflection against private[spark] API
         raise ShuffleMetricsUnavailable(
@@ -144,8 +182,11 @@ def measure_shuffle(spark: SparkSession, thunk) -> dict[str, int]:
     closing snapshot (no subtraction): stages at or before the opening
     edge's ``max_stage_id`` are excluded at the source, which also stops
     late byte-updates from pre-window stragglers being mischarged to the
-    window."""
-    floor = settled_snapshot(spark)["max_stage_id"]
+    window.  The opening edge starts its scan at the per-application
+    floor cache — stages a previous snapshot already counted can't
+    change window membership, so re-reading them is pure py4j waste."""
+    start = _FLOOR_CACHE.get(spark.sparkContext.applicationId, -1)
+    floor = settled_snapshot(spark, since_stage_id=start)["max_stage_id"]
     thunk()
     win = settled_snapshot(spark, since_stage_id=floor)
     return {k: win[k] for k in _FIELDS}

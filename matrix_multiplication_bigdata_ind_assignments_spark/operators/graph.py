@@ -28,6 +28,7 @@ def pagerank(
     tol: float | None = None,
     checkpoint_every: int | None = None,
     join_strategy: str = "broadcast",
+    truncate_every: int = 1,
 ) -> DataFrame:
     """Power-method PageRank over an edge list ``(src, dst)``.
 
@@ -100,6 +101,10 @@ def pagerank(
 
     if join_strategy not in ("broadcast", "copartition"):
         raise ValueError(f"unknown join_strategy {join_strategy!r}")
+    if truncate_every < 1:
+        raise ValueError(f"truncate_every must be >= 1, got {truncate_every}")
+    if tol is not None:
+        truncate_every = 1  # the per-iteration delta probe materializes anyway
     # 'copartition': identity instead of the broadcast hint — the rank
     # sides are ExistingRDD scans with no stats (sizeInBytes defaults to
     # the max), so the planner picks a shuffled join and EnsureRequirements
@@ -156,6 +161,17 @@ def pagerank(
     n_nodes = nodes.count()  # one O(|V|) stat job; the teleport term needs the scalar
 
     def truncate(df: DataFrame, it: int) -> DataFrame:
+        """Lineage truncation, every ``truncate_every``-th iteration (the
+        final iteration always truncates so the returned frame is an
+        eager checkpoint with no lineage into the unpersisted walk).
+        Results are cadence-invariant — the 12-dp rounding is IN-PLAN,
+        so a 2-iteration lineage computes the identical bits — but each
+        eager materialization is a scheduled job plus a broadcast round,
+        which at fixture scale is most of an iteration's wall time
+        (A/B'd in SCALING.md; cadence is bounded so failure-recompute
+        and plan growth stay O(truncate_every))."""
+        if (it + 1) % truncate_every != 0 and it != iters - 1:
+            return df
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
@@ -262,19 +278,17 @@ FROM r{iters}
     )
 
 
-@register("q_pagerank", oracle=_sql_pagerank())
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the supplier↔customer trade graph (an edge per
-    distinct (suppkey, custkey) pair appearing on the same order),
-    damping 0.85, 10 power iterations — the canonical Pregel-style
-    iterative workload, expressed as per-round join+agg over DataFrames
-    and ORACLE-CHECKED against the same method unrolled into chained
-    DuckDB CTEs (12-dp per-iteration rounding pins fp in both engines).
-    Node ids are disambiguated arithmetically (supplier 2k, customer
-    2k+1) and decoded to (kind, key) in the result."""
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier↔customer trade graph every PageRank query/test/probe
+    runs on: one edge per distinct (suppkey, custkey) pair appearing on
+    the same order, node ids disambiguated arithmetically (supplier 2k,
+    customer 2k+1).  ONE definition (r8 review: the recipe was
+    copy-pasted in four places, so an encoding change could silently
+    desynchronize the oracle-checked arm-equality and envelope tests
+    from the queries they pin)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("l_suppkey") * 2).alias("src"),
@@ -282,12 +296,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(spark, edges)
+
+
+def _decode_ranks(ranks: DataFrame) -> DataFrame:
+    """(node, rank) → (kind, key, rank): undo trade_edges' 2k/2k+1 node
+    encoding and round for the 6-dp oracle comparison."""
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
         (F.col("node") / 2).cast("long").alias("key"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+@register("q_pagerank", oracle=_sql_pagerank())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔customer trade graph (trade_edges),
+    damping 0.85, 10 power iterations — the canonical Pregel-style
+    iterative workload, expressed as per-round join+agg over DataFrames
+    and ORACLE-CHECKED against the same method unrolled into chained
+    DuckDB CTEs (12-dp per-iteration rounding pins fp in both engines)."""
+    return _decode_ranks(pagerank(spark, trade_edges(spark, sf_dir)))
 
 
 # Same oracle as q_pagerank: the copartition arm must produce the
@@ -303,21 +331,8 @@ def q_pagerank_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph.py; SCALING.md shows bytes bounded by parts·|V|
     under a 10× edge blow-up).  Identical output to q_pagerank by
     construction — checked against the SAME DuckDB oracle."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    ranks = pagerank(spark, edges, join_strategy="copartition")
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
-        (F.col("node") / 2).cast("long").alias("key"),
-        F.round("rank", 6).alias("rank"),
+    return _decode_ranks(
+        pagerank(spark, trade_edges(spark, sf_dir), join_strategy="copartition")
     )
 
 
@@ -386,19 +401,4 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one |V|-row anti-join agg per iteration, rounded to 12 dp in both
     engines so the unrolled-CTE oracle stays bit-comparable despite
     summation-order differences.  Same Pregel shape as q_pagerank."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    ranks = pagerank(spark, edges, directed=True)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
-        (F.col("node") / 2).cast("long").alias("key"),
-        F.round("rank", 6).alias("rank"),
-    )
+    return _decode_ranks(pagerank(spark, trade_edges(spark, sf_dir), directed=True))

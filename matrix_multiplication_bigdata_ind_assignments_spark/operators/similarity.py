@@ -419,16 +419,21 @@ _IVF_INDEX: dict[int, list] = {}
 
 def _kmeans_fit(X, k: int, rounds: int | None = None):
     """Deterministic Lloyd over rows of ``X``: first-k distinct rows (in
-    np.unique order) as init, empty cells re-seeded to DISTINCT
-    worst-covered points measured against the freshly-updated centroids
-    (r7 ADVICE: the old form reseeded all empties to the same argmax of
-    a STALE d2, so k empty cells collapsed into duplicate centroids that
-    tied on argmin and stayed empty forever, silently shrinking the
-    effective cell count) — no RNG anywhere.  Distances via the BLAS
-    identity ‖x−c‖² = ‖x‖²+‖c‖²−2x·c, O(n·k) memory.  Shared by the
-    driver-side coarse training AND the per-cell level-2 training that
-    runs INSIDE an applyInPandas task (q_ann_ivf2), so both levels are
-    bit-reproducible from the same code path."""
+    np.unique order) as init, empty cells re-seeded to DISTINCT-VALUED
+    worst-covered points measured against only the freshly-updated
+    NON-EMPTY centroids (r7 ADVICE + r8 review: the old forms either
+    reseeded all empties to the same argmax of a STALE d2, or picked
+    distinct row INDICES whose values could still coincide, and measured
+    coverage against a matrix that still contained the stale empty
+    centroids — all three let duplicate centroids tie on argmin and stay
+    empty forever, silently shrinking the effective cell count) — no RNG
+    anywhere.  With fewer than k distinct input vectors duplicates are
+    inherent (np.resize init pads); that degenerate case is the caller's
+    geometry, not a trainer bug.  Distances via the BLAS identity
+    ‖x−c‖² = ‖x‖²+‖c‖²−2x·c, O(n·k) memory.  Shared by the driver-side
+    coarse training, the per-subspace PQ codebook training, AND the
+    per-cell level-2 training that runs INSIDE an applyInPandas task
+    (q_ann_ivf2), so all three are bit-reproducible from one code path."""
     import numpy as np
 
     if rounds is None:
@@ -442,8 +447,7 @@ def _kmeans_fit(X, k: int, rounds: int | None = None):
         return (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
 
     for _ in range(rounds):
-        d2 = d2_to(C)
-        assign = d2.argmin(axis=1)
+        assign = d2_to(C).argmin(axis=1)
         empty = []
         for c in range(k):
             members = X[assign == c]
@@ -451,10 +455,22 @@ def _kmeans_fit(X, k: int, rounds: int | None = None):
                 C[c] = members.mean(axis=0)
             else:
                 empty.append(c)
-        if empty:
-            far = np.argsort(-d2_to(C).min(axis=1))[: len(empty)]
-            for c, idx in zip(empty, far):
+        if empty and len(empty) < k:
+            live = C[[c for c in range(k) if c not in empty]]
+            order = np.argsort(-d2_to(live).min(axis=1))
+            seen = {tuple(row) for row in live.round(9)}
+            fills = iter(empty)
+            for idx in order:
+                key = tuple(X[idx].round(9))
+                if key in seen:
+                    continue
+                seen.add(key)
+                c = next(fills, None)
+                if c is None:
+                    break
                 C[c] = X[idx]
+            # any cells left unfilled: < k distinct points remain — leave
+            # them at their previous value (inherently degenerate input)
     return C
 
 
@@ -471,6 +487,45 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
 
     X = np.array([r["u"] for r in _pq_train_sample(unit, max(_PQ_TRAIN, 8 * cells))])
     return [[float(x) for x in row] for row in _kmeans_fit(X, cells)]
+
+
+def _query_rows(unit: DataFrame) -> list:
+    """The bounded deterministic query set (vec_id < _N_QUERIES) as
+    driver rows sorted by vec_id — the collect every ANN variant starts
+    from.  Bounded by construction: _N_QUERIES rows, never corpus-sized."""
+    return sorted(
+        unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+
+def _adc_query_side(spark: SparkSession, qrows: list, C):
+    """(Qm, qtab_df, adist) — the ADC query-side construction shared by
+    the flat (q_ann_ivf) and hierarchical (q_ann_ivf2) indexes: the
+    query matrix, the per-query (subspace × centroid) distance-table
+    frame (broadcast-sized: n_q rows), and the JVM-side scan expression
+    (8 table lookups per candidate via zip_with/element_at/aggregate —
+    no per-pair vector math).  One definition (r8 review: previously
+    duplicated per index, so a layout or tie-break change in one copy
+    would silently diverge the variants ANN_RECALL.md compares)."""
+    import numpy as np
+
+    Qm = np.array([r["u"] for r in qrows])  # (n_q, 64)
+    Q = Qm.reshape(len(qrows), _PQ_M, -1)
+    qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n_q, M, K)
+    qtab_df = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "query_id long, tab array<array<double>>",
+    )
+    adist = F.aggregate(
+        F.zip_with("codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return Qm, qtab_df, adist
 
 
 def _ivf_candidates(spark: SparkSession, sf_dir: str):
@@ -541,15 +596,13 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
     assigned = plan_memo(_IVF_INDEX, unit, (cells, _PQ_K, "ivf-index"), build_index, max_entries=8)
 
     # query side, all driver-built from the bounded query set: probe list
-    # (top cells/_IVF_PROBE_DIV centroids per query) + per-query ADC tables
-    qrows = sorted(
-        unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
-        key=lambda r: r["vec_id"],
-    )
+    # (top cells/_IVF_PROBE_DIV centroids per query) + the shared ADC
+    # query-side construction (_adc_query_side)
+    qrows = _query_rows(unit)
     if not qrows:
         return None, unit
     n_probes = max(1, cells // _IVF_PROBE_DIV)
-    Qm = np.array([r["u"] for r in qrows])  # (n_q, 64)
+    Qm, qtab_df, adist = _adc_query_side(spark, qrows, C)
     # probe order by the same train-consistent L2 metric as assignment
     top_cells = np.argsort(CC_n2[None, :] - 2.0 * (Qm @ CC.T), axis=1, kind="stable")[
         :, :n_probes
@@ -562,20 +615,9 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
         ],
         "query_id long, cell int",
     )
-    Q = Qm.reshape(len(qrows), _PQ_M, -1)
-    qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)  # (n_q, M, K)
-    qtab_df = spark.createDataFrame(
-        [(int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]]) for i, r in enumerate(qrows)],
-        "query_id long, tab array<array<double>>",
-    )
 
     # ADC scan of the probed cells: equi-join on cell id, then 8 table
     # lookups per candidate — all JVM-side, no per-pair vector math
-    adist = F.aggregate(
-        F.zip_with("codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     candidates = (
         F.broadcast(probes)
         .join(assigned, "cell")
@@ -770,17 +812,21 @@ def _ivf2_candidates(spark: SparkSession, sf_dir: str):
         )
         return pd.concat([members, cents], ignore_index=True)
 
-    def build_index() -> DataFrame:
-        return (
-            unit.withColumn("l1", assign_l1("u"))
-            .groupBy("l1")
-            .applyInPandas(
-                train_cell,
-                schema="kind int, vec_id long, l1 int, l2 int, "
-                "codes array<int>, cent array<double>",
-            )
-            .localCheckpoint(eager=True)
+    def index_plan() -> DataFrame:
+        return unit.withColumn("l1", assign_l1("u")).groupBy("l1").applyInPandas(
+            train_cell,
+            schema="kind int, vec_id long, l1 int, l2 int, "
+            "codes array<int>, cent array<double>",
         )
+
+    def build_index() -> DataFrame:
+        return index_plan().localCheckpoint(eager=True)
+
+    # test hook: the UN-checkpointed construction, so the plan guard can
+    # pin "level-2 training is a FlatMapGroupsInPandas node" on the real
+    # code path — the memoized/checkpointed frame always explains as
+    # ExistingRDD, which made the old guard vacuous (r8 review)
+    _ivf2_candidates.last_index_plan = index_plan
 
     from ..functions.memo import plan_memo
 
@@ -790,13 +836,10 @@ def _ivf2_candidates(spark: SparkSession, sf_dir: str):
     members = raw.where(F.col("kind") == 0).select("vec_id", "l1", "l2", "codes")
     cents2 = raw.where(F.col("kind") == 1).select("l1", "l2", "cent")
 
-    qrows = sorted(
-        unit.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "u").collect(),
-        key=lambda r: r["vec_id"],
-    )
+    qrows = _query_rows(unit)
     if not qrows:
         return None, unit
-    Qm = np.array([r["u"] for r in qrows])
+    Qm, qtab_df, adist = _adc_query_side(spark, qrows, C)
     # level-1 probe list: driver ranks the TINY l1 set (√total rows)
     n_l1 = max(1, -(-l1 // _IVF2_L1_DIV))
     top_l1 = np.argsort(CC_n2[None, :] - 2.0 * (Qm @ CC.T), axis=1, kind="stable")[:, :n_l1]
@@ -826,20 +869,6 @@ def _ivf2_candidates(spark: SparkSession, sf_dir: str):
         .select("query_id", "l1", "l2")
     )
 
-    Q = Qm.reshape(len(qrows), _PQ_M, -1)
-    qtab = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
-    qtab_df = spark.createDataFrame(
-        [
-            (int(r["vec_id"]), [[float(x) for x in row] for row in qtab[i]])
-            for i, r in enumerate(qrows)
-        ],
-        "query_id long, tab array<array<double>>",
-    )
-    adist = F.aggregate(
-        F.zip_with("codes", "tab", lambda c, t: F.element_at(t, c + F.lit(1))),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     candidates = (
         F.broadcast(probes)
         .join(members, ["l1", "l2"])
@@ -924,28 +953,18 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
     THRESHOLD filter (pushdown-friendly, no shuffle) sized from the
     corpus count so only ~4×_PQ_TRAIN rows reach the global sort — a
     bare orderBy().limit() would full-sort the corpus at 100 TB.  Lloyd
-    iterations run in numpy with first-K distinct-subvector init and
-    empty-cluster re-seeding to the farthest point — no RNG anywhere, so
-    codes and recall are reproducible."""
+    iterations are the shared deterministic trainer (_kmeans_fit —
+    first-K distinct-subvector init, distinct-point empty-cluster
+    re-seeding; the r8 review found this function still carried its own
+    pre-fix loop with the stale-d2 reseed) — no RNG anywhere, so codes
+    and recall are reproducible."""
     import numpy as np
 
     X = np.array([r["u"] for r in _pq_train_sample(unit)])  # (n, 64)
     sub_dim = X.shape[1] // _PQ_M
     book: list[tuple[int, int, list[float]]] = []
     for s in range(_PQ_M):
-        S = X[:, s * sub_dim : (s + 1) * sub_dim]
-        C = S[np.unique(S.round(9), axis=0, return_index=True)[1][:_PQ_K]].copy()
-        if len(C) < _PQ_K:  # degenerate corpus: pad by repeating
-            C = np.resize(C, (_PQ_K, sub_dim))
-        for _ in range(_PQ_ROUNDS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(_PQ_K):
-                members = S[assign == k]
-                if len(members):
-                    C[k] = members.mean(axis=0)
-                else:  # re-seed empty cluster to the worst-covered point
-                    C[k] = S[d2.min(axis=1).argmax()]
+        C = _kmeans_fit(X[:, s * sub_dim : (s + 1) * sub_dim], _PQ_K)
         book.extend((s, k, [float(x) for x in C[k]]) for k in range(_PQ_K))
     return book
 
@@ -991,9 +1010,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query-side exact distance tables, computed once from the (tiny,
     # explicitly bounded) query set: (n_q, M, K)
-    qrows = sorted(
-        unit.where(F.col("vec_id") < _N_QUERIES).collect(), key=lambda r: r["vec_id"]
-    )
+    qrows = _query_rows(unit)
     if not qrows:  # no query vectors in range → empty result, not a reshape error
         return _empty_topk(spark)
     qids = np.array([r["vec_id"] for r in qrows])

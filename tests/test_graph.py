@@ -7,21 +7,10 @@ from matrix_multiplication_bigdata_ind_assignments_spark.operators import graph 
 
 
 def _trade_edges(spark, sf_dir):
-    """The q_pagerank edge list (supplier 2k ↔ customer 2k+1), lineage
-    truncated so per-test measurement windows exclude the edge build."""
-    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    """The q_pagerank edge list — the SHARED recipe (G.trade_edges, one
+    definition for queries/tests/probes), lineage truncated so per-test
+    measurement windows exclude the edge build."""
+    return G.trade_edges(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def test_pagerank_mass_and_structure(spark, sf_dir):

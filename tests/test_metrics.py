@@ -151,15 +151,22 @@ def test_snapshot_monotone_and_delta_clamped(spark):
     eviction can't produce negative charges.  Also pins the O(window)
     contract: a snapshot taken `since` the current max stage id charges
     only window-new stages."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        settled_snapshot,
+    )
+
     try:
-        s0 = shuffle_snapshot(spark)
+        s0 = settled_snapshot(spark)
     except ShuffleMetricsUnavailable as e:
         pytest.skip(f"shuffle metrics unavailable on this Spark build: {e}")
     import pyspark.sql.functions as F
 
     df = spark.range(10_000).withColumn("k", F.col("id") % 7).groupBy("k").count()
     df.write.format("noop").mode("overwrite").save()
-    s1 = shuffle_snapshot(spark)
+    # settled on both edges (r8 review: raw snapshots race the async
+    # AppStatusListener bus — in-flight stage events could land between
+    # the s1 and win reads and flake the exact-equality asserts below)
+    s1 = settled_snapshot(spark)
     d = shuffle_delta(s0, s1)
     assert d["shuffle_write_bytes"] > 0
     assert all(v >= 0 for v in d.values())

@@ -67,7 +67,12 @@ def test_ivf2_candidates_stay_equi_and_grouped(spark, sf_dir):
     (not a driver loop), and every join — pair ranking against the l2
     centroid table, probes against members — must be an equi-join; a
     CartesianProduct or BroadcastNestedLoopJoin would mean the in-plan
-    pair ranking degenerated."""
+    pair ranking degenerated.  The training-node assertion runs against
+    the UN-checkpointed index construction exposed by the
+    `last_index_plan` hook (r8 review: the old `or ExistingRDD`
+    disjunct over the candidate plan was vacuous — the built index
+    always explains as ExistingRDD whether training was distributed or
+    a driver loop)."""
     from matrix_multiplication_bigdata_ind_assignments_spark.operators import (
         similarity as S,
     )
@@ -76,7 +81,10 @@ def test_ivf2_candidates_stay_equi_and_grouped(spark, sf_dir):
     plan = plan_of(cand)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "FlatMapGroupsInPandas" in plan or "ExistingRDD" in plan  # memoized index
+    # level-2 training is distributed: the construction plan (pre-
+    # checkpoint) must carry the applyInPandas node, unconditionally
+    idx_plan = plan_of(S._ivf2_candidates.last_index_plan())
+    assert "FlatMapGroupsInPandas" in idx_plan
 
 
 def test_matmul_has_partial_final_agg(spark, sf_dir, qs):

@@ -53,10 +53,14 @@ _CHAIN = [
 ]
 
 
-def ast_identity_report() -> dict[str, bool]:
+def ast_identity_report() -> dict[str, str]:
     """Compare each call-chain function's AST between the r6 revision and
-    the working tree (docstrings and formatting ignored by ast.dump of a
-    re-parse; any semantic edit shows up)."""
+    the working tree.  Formatting-only edits compare equal via ast.dump
+    of a re-parse; docstring edits DO show as CHANGED (the docstring is
+    a Constant node in the AST).  A chain function missing from either
+    revision reports MISSING, never a vacuous SAME (r8 review: the old
+    bool form returned None == None for a renamed/moved function, so the
+    headline 'no kernel regression' silently stopped being checked)."""
     import ast
 
     f = "matrix_multiplication_bigdata_ind_assignments_spark/operators/dedup.py"
@@ -76,7 +80,13 @@ def ast_identity_report() -> dict[str, bool]:
         return out
 
     fo, fn = funcs(old), funcs(new)
-    return {name: fo.get(name) == fn.get(name) for name in _CHAIN}
+    out = {}
+    for name in _CHAIN:
+        if name not in fo or name not in fn:
+            out[name] = "MISSING"
+        else:
+            out[name] = "SAME" if fo[name] == fn[name] else "CHANGED"
+    return out
 
 
 def main() -> int:
@@ -85,8 +95,8 @@ def main() -> int:
 
     ident = ast_identity_report()
     print("AST identity vs r6 kernel (2e836c3^):")
-    for k, same in ident.items():
-        print(f"  {k}: {'SAME' if same else 'CHANGED'}")
+    for k, verdict in ident.items():
+        print(f"  {k}: {verdict}")
 
     import os
 

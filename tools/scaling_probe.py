@@ -520,18 +520,13 @@ def main() -> int:
     # (broadcast: contrib partial-agg exchange only; copartition: rank/deg/
     # contrib shuffled sides only) — flat bytes at ×k edges is the measured
     # form of "edges stay put".
-    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import pagerank
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import (
+        pagerank,
+        trade_edges,
+    )
 
     o_base = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    trade = (
-        li.select("l_orderkey", "l_suppkey")
-        .join(o_base, li.l_orderkey == o_base.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    trade = trade_edges(spark, sf_dir)  # the shared recipe (graph.trade_edges)
     ckey_span = o_base.agg(F.max("o_custkey")).collect()[0][0] + 1
     pr_results = {}
     for mult in (1, k):
