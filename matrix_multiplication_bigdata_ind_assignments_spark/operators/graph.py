@@ -28,7 +28,7 @@ def pagerank(
     tol: float | None = None,
     checkpoint_every: int | None = None,
     join_strategy: str = "broadcast",
-    truncate_every: int = 1,
+    truncate_every: int = 2,
 ) -> DataFrame:
     """Power-method PageRank over an edge list ``(src, dst)``.
 
@@ -43,11 +43,17 @@ def pagerank(
     engines agree despite different summation orders.
 
     Scale shape (the Pregel pattern in DataFrames): each iteration is
-    one join of the edge list with the current rank vector keyed on src
-    + one hash agg keyed on dst — both shuffles on node ids, map-side
-    combinable; the rank vector is |V| rows, orders of magnitude smaller
-    than the edges.  Lineage is truncated per round (localCheckpoint),
-    otherwise iteration k re-plans all k-1 predecessors.  Ranks are
+    one join of the edge list with the current rank STATE — a |V|-row
+    (node, outdeg, rank) vector; folding outdeg into the state replaces
+    the old per-iteration walk⋈deg join + broadcast with a column — plus
+    one hash agg keyed on dst, both map-side combinable.  Lineage is
+    truncated every ``truncate_every`` iterations (default 2 — the
+    measured knee in tools/ab_pagerank_cadence.py: results are cadence-
+    invariant because the 12-dp rounding is in-plan, and each skipped
+    eager materialization saves a scheduled job + broadcast round, ~15%
+    of the 10-iteration wall; deeper cadences trade recompute-on-failure
+    and plan size for little more), otherwise iteration k re-plans all
+    k-1 predecessors.  Ranks are
     rounded to 12 dp EACH iteration — the determinism contract that
     makes the unrolled-CTE oracle bit-comparable (summation order
     differs between engines; rounding every round stops drift from
@@ -155,10 +161,18 @@ def pagerank(
             .persist()
         )
         nodes = materialize(walk.select(F.col("src").alias("node")).distinct())
-    # deg is consumed by EVERY iteration — materialize it once (its agg
-    # also rides walk's src-clustering: no exchange to compute)
-    deg = materialize(walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
-    n_nodes = nodes.count()  # one O(|V|) stat job; the teleport term needs the scalar
+    # Fold out-degree INTO the node state once: every iteration needs
+    # (rank, outdeg) keyed on the same node id, so carrying outdeg in the
+    # rank vector replaces a per-iteration walk⋈deg join (and its
+    # broadcast round) with a column — and makes the directed dangling
+    # mass a WHERE outdeg IS NULL agg instead of an anti-join (r8: A/B'd
+    # ~25% off the 10-iteration wall, bit-identical ranks).  deg itself
+    # rides walk's src-clustering: no exchange to compute.
+    deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    statics = materialize(
+        nodes.join(deg, nodes.node == deg.src, "left").select("node", "outdeg")
+    )
+    n_nodes = statics.count()  # one O(|V|) stat job; the teleport term needs the scalar
 
     def truncate(df: DataFrame, it: int) -> DataFrame:
         """Lineage truncation, every ``truncate_every``-th iteration (the
@@ -170,43 +184,43 @@ def pagerank(
         which at fixture scale is most of an iteration's wall time
         (A/B'd in SCALING.md; cadence is bounded so failure-recompute
         and plan growth stay O(truncate_every))."""
-        if (it + 1) % truncate_every != 0 and it != iters - 1:
-            return df
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+        reliable = bool(checkpoint_every) and (it + 1) % checkpoint_every == 0
+        if (it + 1) % truncate_every != 0 and it != iters - 1 and not reliable:
+            return df  # skip: lineage depth stays < truncate_every
+        if reliable:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        ranks = statics.withColumn("rank", F.lit(1.0 / n_nodes))
         for it in range(iters):
-            # ranks/deg are |V|-row frames — broadcast by default (their
-            # ExistingRDD scans carry no stats, so the planner would SMJ,
-            # re-sorting the 70×-bigger edge list every round: measured
-            # 31 MB shuffle / ~7 s vs 3 MB / ~2.5 s broadcast at sf0.1).
+            # The rank state (node, outdeg, rank) is a |V|-row frame —
+            # broadcast by default (its ExistingRDD scan carries no
+            # stats, so the planner would SMJ, re-sorting the 70×-bigger
+            # edge list every round: measured 31 MB shuffle / ~7 s vs
+            # 3 MB / ~2.5 s broadcast at sf0.1).
             # join_strategy='copartition' is the billion-node arm: the
             # persisted walk keeps its src clustering, so the shuffled
             # join moves only the |V|-row side.
             contribs = (
                 walk.join(bc(ranks), walk.src == ranks.node)
-                .join(bc(deg), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
             base = F.lit((1.0 - damping) / n_nodes)
-            joined = nodes.join(bc(contribs), nodes.node == contribs.dst, "left")
+            joined = statics.join(bc(contribs), statics.node == contribs.dst, "left")
             if directed:
-                # dangling mass: rank not held by any out-edge owner — a
-                # 1-row anti-join agg, attached IN-PLAN as a broadcast
-                # cross join (a driver .first() here would add a blocking
-                # job per iteration; 12-dp rounding keeps both engines'
-                # scalars bit-equal).  The arithmetic mirrors the oracle's
-                # parenthesization exactly: ((1-d)/n + (d·m_dang)/n) +
-                # d·contrib.
-                dang = ranks.join(
-                    bc(deg), ranks.node == deg.src, "left_anti"
-                ).agg(
+                # dangling mass: rank held by nodes with no out-edges —
+                # outdeg is ALREADY in the state vector, so this is a
+                # 1-row filtered agg (no anti-join), attached IN-PLAN as
+                # a broadcast cross join (a driver .first() here would
+                # add a blocking job per iteration; 12-dp rounding keeps
+                # both engines' scalars bit-equal).  The arithmetic
+                # mirrors the oracle's parenthesization exactly:
+                # ((1-d)/n + (d·m_dang)/n) + d·contrib.
+                dang = ranks.where(F.col("outdeg").isNull()).agg(
                     F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 12).alias("mmbd_dang")
                 )
                 joined = joined.crossJoin(F.broadcast(dang))
@@ -214,6 +228,7 @@ def pagerank(
             new_ranks = truncate(
                 joined.select(
                     "node",
+                    "outdeg",
                     F.round(
                         base + damping * F.coalesce(F.col("m"), F.lit(0.0)), 12
                     ).alias("rank"),
@@ -236,7 +251,7 @@ def pagerank(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         walk.unpersist()  # ranks is an eager checkpoint — no lineage into walk
-    return ranks
+    return ranks.select("node", "rank")  # outdeg is loop-internal state
 
 
 def _sql_pagerank(damping: float = _PR_DAMPING, iters: int = _PR_ITERS) -> str:

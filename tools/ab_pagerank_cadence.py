@@ -15,6 +15,8 @@ from __future__ import annotations
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
