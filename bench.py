@@ -249,6 +249,11 @@ def main() -> int:
         "q_stream_sliding",
         "q_stream_dedup_near",
         "q_stream_dedup_incremental",
+        # r8 additions: unigram-LM quality gate, degree-oriented
+        # triangle counting, CDC snapshot diff
+        "q_lm_perplexity",
+        "q_triangle_count",
+        "q_snapshot_diff",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

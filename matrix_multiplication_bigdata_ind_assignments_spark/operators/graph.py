@@ -417,3 +417,171 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the unrolled-CTE oracle stays bit-comparable despite
     summation-order differences.  Same Pregel shape as q_pagerank."""
     return _decode_ranks(pagerank(spark, trade_edges(spark, sf_dir), directed=True))
+
+
+_TRI_Q = 0.9  # co-supply strength quantile that defines the graph's edges
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list ``(u, v)``
+    (distinct, u < v) — the compact-forward / node-iterator algorithm of
+    Suri & Vassilvitskii ("Counting Triangles and the Curse of the Last
+    Reducer", WWW'11), expressed as three DataFrame joins:
+
+    1. degree: one hash agg over both endpoints (map-side combinable);
+    2. ORIENT each edge from its lower-(deg, id) endpoint to the higher
+       — the load-balancing step: every wedge is charged to its
+       lowest-degree vertex, so total wedge work is O(m^1.5) regardless
+       of skew (a star's hub receives its edges, it never self-joins);
+    3. wedges: equi-self-join of the oriented list on the low endpoint
+       (the (deg, id) order on the two high endpoints de-duplicates each
+       wedge); close: equi-join wedge (x, y) against oriented edge
+       (x, y).  Every join is an equi-join — no theta join anywhere —
+       and each triangle is produced exactly once.
+
+    Returns (node, deg, tri, lcc): degree, triangle count, and local
+    clustering coefficient 2·tri/(deg·(deg−1)) rounded through the
+    portable 6-dp floor form.  All counting is integer-exact."""
+    # Materialize the edge list once: it feeds the degree agg, the
+    # orientation join, and (through `oriented`) the wedge self-join —
+    # without this every consumer re-runs the caller's whole edge-
+    # generation subtree.
+    edges = edges.localCheckpoint(eager=True)
+    both = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = (
+        both.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # O(|V|), read three times below
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    e = (
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
+        )
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_hi"),
+    ).localCheckpoint(eager=True)  # O(|E|), read by both wedge sides + the closer
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
+        (F.col("e1.d_hi") < F.col("e2.d_hi"))
+        | ((F.col("e1.d_hi") == F.col("e2.d_hi")) & (F.col("e1.hi") < F.col("e2.hi")))
+    ).select(
+        F.col("e1.lo").alias("ctr"), F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y")
+    )
+    closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tris = wedges.join(closer, ["x", "y"])
+    corners = (
+        tris.select(F.col("ctr").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("d").cast("long").alias("deg"),
+        F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+    )
+    lcc = F.when(
+        F.col("deg") > 1,
+        F.floor(
+            (2.0 * F.col("tri") / (F.col("deg") * (F.col("deg") - 1))) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return out.select("node", "deg", "tri", lcc.alias("lcc"))
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+thr AS (SELECT quantile_cont(shared, {_TRI_Q}) AS m FROM pairs),
+und AS (SELECT u, v FROM pairs, thr WHERE shared >= m),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS hi,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS d_hi
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+w AS (
+  SELECT e1.lo AS ctr, e1.hi AS x, e2.hi AS y
+  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+  WHERE (e1.d_hi < e2.d_hi) OR (e1.d_hi = e2.d_hi AND e1.hi < e2.hi)
+),
+tri3 AS (SELECT w.ctr, w.x, w.y FROM w JOIN o ON o.lo = w.x AND o.hi = w.y),
+corners AS (
+  SELECT ctr AS node FROM tri3
+  UNION ALL SELECT x FROM tri3
+  UNION ALL SELECT y FROM tri3
+),
+tcount AS (SELECT node, count(*) AS tri FROM corners GROUP BY node)
+SELECT deg.node AS s_suppkey,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(tcount.tri, 0) AS BIGINT) AS tri,
+       CASE WHEN deg.d > 1 THEN
+         floor((2.0 * coalesce(tcount.tri, 0) / (deg.d * (deg.d - 1))) * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficients over the
+    supplier co-supply graph: suppliers are linked when the number of
+    distinct parts they both supply is in the top decile of all
+    co-supply strengths (the quantile threshold is computed IN-PLAN —
+    self-normalizing across scale factors, where any absolute cutoff
+    would make the graph empty at one SF and complete at another).
+    Triangle structure is the community / link-spam signal in
+    web-graph curation and the motif primitive for graph features.
+
+    Scale shape: edge generation is the inverted-index co-occurrence
+    join (sp ⋈ sp on part) — the same candidate-pair pattern as
+    dedup.py's shingle index, with the same hot-key exposure (a part
+    supplied by k suppliers emits C(k,2) pairs) and the same remedies
+    (hot-bucket cap / drop-hot-then-correct) when k explodes; at TPC-H
+    fan-outs it is bounded by parts-per-supplier.  Counting itself is
+    triangle_counts' degree-oriented node-iterator: O(m^1.5) wedge work
+    regardless of degree skew (the 'curse of the last reducer' fix),
+    every step an equi-join or map-side-combinable agg.  All counts are
+    integers, the threshold is Spark `percentile` ≡ DuckDB
+    `quantile_cont` (the q_percentiles equivalence), and lcc rounds
+    through the portable floor form — fully oracle-checked."""
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # both sides of the co-occurrence self-join
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .localCheckpoint(eager=True)  # read twice: the quantile scalar + the filter
+    )
+    thr = pairs.agg(F.percentile("shared", F.lit(_TRI_Q)).alias("m"))
+    und = pairs.crossJoin(F.broadcast(thr)).where(F.col("shared") >= F.col("m")).select("u", "v")
+    return triangle_counts(und).select(
+        F.col("node").alias("s_suppkey"), "deg", "tri", "lcc"
+    )

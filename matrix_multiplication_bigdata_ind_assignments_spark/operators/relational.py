@@ -718,3 +718,89 @@ def bloom_semi_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus,
+         floor(o_totalprice * 100 + 0.5) / 100 AS price
+  FROM orders WHERE o_orderkey % 10 < 9
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+              ELSE floor(o_totalprice * 100 + 0.5) / 100 END AS price
+  FROM orders WHERE o_orderkey % 10 > 0
+)
+SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       old.o_orderstatus AS old_status, new.o_orderstatus AS new_status,
+       old.price AS old_price, new.price AS new_price
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_orderstatus <> new.o_orderstatus OR old.price <> new.price
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-capture derivation: given two
+    snapshots of a keyed table, emit the minimal change feed — inserts
+    (key only in new), deletes (key only in old), and updates (key in
+    both with any column changed), dropping unchanged rows.  This is
+    the primitive behind incremental pipeline maintenance (feed the
+    ops to q_upsert's MERGE to roll a base table forward) and dataset
+    versioning diffs; the snapshots here are two deterministic slices
+    of orders with seeded status/price mutations.
+
+    Scale shape: ONE full-outer shuffle join on the unique key — skew
+    is impossible on a key side (both sides unique), the change
+    predicate is a narrow post-join filter, and at 100 TB both
+    snapshots would be bucketed on the key (q_bucketed_join) making
+    the diff shuffle-free.  Comparisons are exact: prices round
+    through the portable 2-dp floor form BEFORE comparing, so the
+    update set is bit-stable in both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    p2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+    old = o.where(F.col("o_orderkey") % 10 < 9).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        p2(F.col("o_totalprice")).alias("old_price"),
+    )
+    new = o.where(F.col("o_orderkey") % 10 > 0).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, p2(F.col("o_totalprice") * 1.1)
+        )
+        .otherwise(p2(F.col("o_totalprice")))
+        .alias("new_price"),
+    )
+    j = old.join(new, old.old_key == new.new_key, "full_outer")
+    changed = (
+        F.col("old_key").isNull()
+        | F.col("new_key").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+        | (F.col("old_price") != F.col("new_price"))
+    )
+    op = (
+        F.when(F.col("old_key").isNull(), F.lit("insert"))
+        .when(F.col("new_key").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return j.where(changed).select(
+        F.coalesce("new_key", "old_key").alias("o_orderkey"),
+        op.alias("op"),
+        "old_status",
+        "new_status",
+        "old_price",
+        "new_price",
+    )

@@ -692,3 +692,107 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
+
+
+_NLL_KEEP = 3.404  # nats/token; docs above this are "surprising" → drop
+
+
+@register(
+    "q_lm_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM vocab),
+lp AS (
+  SELECT token,
+         CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+  FROM vocab, tot
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n, sum(lp_micro) AS s
+  FROM toks JOIN lp USING (token) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       floor((-CAST(s AS DOUBLE) / (n * 1000000.0)) * 1000000 + 0.5) / 1000000 AS avg_nll,
+       floor((-CAST(s AS DOUBLE) / (n * 1000000.0)) * 1000000 + 0.5) / 1000000
+         <= {_NLL_KEEP} AS keep
+FROM perdoc
+""",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity quality filter (the CCNet / Wenzek et
+    al. 2020 gate, with the corpus itself as the LM): train a unigram
+    MLE model over the whole corpus, score every document by its
+    average negative log-likelihood per token, and keep the
+    unsurprising ones (avg_nll <= 3.404 nats).  This is the standard
+    third quality axis next to q_quality_score's ratio heuristics and
+    q_repetition_filter's duplication fraction: gibberish and
+    boilerplate both sit in the NLL tails.
+
+    Spark-first shape: ONE tokenize pass feeds (a) the vocabulary hash
+    agg (token -> count, map-side combinable) and (b) the per-doc
+    scoring agg; the corpus-total token count is a broadcast scalar
+    computed IN-PLAN (one-row agg + crossJoin, the dangling-mass
+    pattern from graph.py), and the token->logprob join is an equi-join
+    on token with the vocab side PINNED broadcast (bm25's term-dim
+    pattern; without the hint Catalyst broadcasts the post-explode
+    PROBE side at small SFs — the wrong side at any scale).  At 100 TB
+    vocab sizes drop the hint for a shuffle hash join; Heaps' law still
+    keeps the vocab side orders of magnitude under the token stream.
+    Hot tokens ("the")
+    are join KEYS only on the probe side — the vocab side is unique per
+    token, so the join skews no worse than the data itself and needs no
+    salting.
+
+    Determinism contract (what makes an LM score oracle-checkable):
+    each token's log-prob is rounded to integer MICRO-NATS
+    (floor(ln(c/t)*1e6+0.5)) so the per-doc reduction is an exact
+    BIGINT sum — summation order cannot drift between engines; the
+    final avg re-rounds through the same portable floor form.  The
+    only float ops are one ln per DISTINCT token and one divide per
+    doc, both on identical inputs in both engines, with 6-dp slack
+    vs their sub-ulp implementation differences."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+        )
+    )
+    # Materialize the vocabulary ONCE (Heaps'-law-sized, orders of
+    # magnitude under the token stream): without this the tokenize scan
+    # runs three times — once under the total-count scalar, once under
+    # the log-prob table, once on the probe side.  localCheckpoint, not
+    # .cache() (GC-scoped, and the scalar subtree would otherwise embed
+    # a duplicate of the whole agg pipeline).
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = vocab.agg(F.sum("c").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("c").cast("double") / F.col("t")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("lp_micro").alias("s"))
+    )
+    nll = F.floor(
+        (-F.col("s").cast("double") / (F.col("n") * 1e6)) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return perdoc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        nll.alias("avg_nll"),
+        (nll <= _NLL_KEEP).alias("keep"),
+    )

@@ -142,3 +142,46 @@ def test_pagerank_reliable_checkpoint_cadence(spark, tmp_path):
         for r in G.pagerank(spark, edges, iters=6, checkpoint_every=3).collect()
     )
     assert plain == ck
+
+
+# --- triangle counting -------------------------------------------------
+
+
+def _tri_map(df):
+    return {r["node"]: (r["deg"], r["tri"], r["lcc"]) for r in df.collect()}
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4-minus-an-edge plus a pendant: triangles (1,2,3) and (2,3,4);
+    node 5 hangs off node 4 and closes nothing."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)], "u long, v long"
+    )
+    out = _tri_map(G.triangle_counts(edges))
+    assert out == {
+        1: (2, 1, 1.0),
+        2: (3, 2, 0.666667),
+        3: (3, 2, 0.666667),
+        4: (3, 1, 0.333333),
+        5: (1, 0, 0.0),
+    }
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    """A star has zero triangles — and the degree orientation points every
+    edge INTO the hub, so the wedge self-join finds no common low
+    endpoint at the hub (the curse-of-the-last-reducer guard rail: the
+    hub never fans out C(k,2) wedges)."""
+    hub = [(0, i) for i in range(1, 21)]
+    edges = spark.createDataFrame(hub, "u long, v long")
+    out = _tri_map(G.triangle_counts(edges))
+    assert out[0] == (20, 0, 0.0)
+    assert all(out[i] == (1, 0, 0.0) for i in range(1, 21))
+
+
+def test_triangle_count_fixture_is_k4(spark, sf_dir):
+    """At sf0.001 the p90 co-supply graph is a 4-clique: every node has
+    deg 3, sits in all C(3,2)=3 triangles, lcc exactly 1.0."""
+    rows = G.q_triangle_count(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all((r["deg"], r["tri"], r["lcc"]) == (3, 3, 1.0) for r in rows)

@@ -146,3 +146,27 @@ def test_corpus_clean_strict_composes_all_three_stages(spark, tmp_path):
     assert en["n_docs"] == 2  # doc 1 exact-dup-collapsed
     # doc 2's 30-token passage P (offset 7) is span-deduped against doc 0
     assert en["tokens_dropped"] >= 30
+
+
+# --- snapshot diff / CDC -----------------------------------------------
+
+
+def test_snapshot_diff_classification(spark, sf_dir):
+    """Op classes must match the seeded snapshot derivation: inserts are
+    exactly the keys only in the new slice (key%10==9), deletes exactly
+    the old-only keys (key%10==0), updates only mutated keys (%7 or %13
+    seeds), and NO unchanged row leaks through."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import q_snapshot_diff
+
+    rows = q_snapshot_diff(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        if r["op"] == "insert":
+            assert k % 10 == 9 and r["old_status"] is None and r["new_price"] is not None
+        elif r["op"] == "delete":
+            assert k % 10 == 0 and r["new_status"] is None and r["old_price"] is not None
+        else:
+            assert r["op"] == "update"
+            assert k % 7 == 0 or k % 13 == 0
+            assert (r["old_status"] != r["new_status"]) or (r["old_price"] != r["new_price"])

@@ -28,3 +28,30 @@ def test_pii_scrub_removes_every_injected_match(spark, sf_dir):
     assert bad == 0
     # scrubbing shortened or kept length (tokens replaced by short tags)
     assert out.where(F.col("len_after") >= F.col("len_before")).count() == 0
+
+
+# --- unigram-LM perplexity filter --------------------------------------
+
+
+def test_lm_perplexity_invariants(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_lm_perplexity, _NLL_KEEP
+
+    rows = q_lm_perplexity(spark, sf_dir).collect()
+    # every doc tokenizes non-empty at this fixture
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_tokens"] > 0
+        # unigram MLE NLL is positive and bounded by ln(total tokens)
+        assert 0.0 < r["avg_nll"] < 20.0
+        assert r["keep"] == (r["avg_nll"] <= _NLL_KEEP)
+    # the threshold actually splits the fixture (not vacuously all-keep)
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < 500
+
+
+def test_lm_perplexity_deterministic(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_lm_perplexity
+
+    a = sorted(tuple(r) for r in q_lm_perplexity(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_lm_perplexity(spark, sf_dir).collect())
+    assert a == b
