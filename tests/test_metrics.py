@@ -51,6 +51,9 @@ _ENVELOPES = {
     "q_dedup_simhash_pairs": 387_966,
     "q_dedup_simhash_c6": 387_263,
     "q_dedup_ngram_jaccard": 288_396,
+    # r8: 37.7 MB at sf0.1 (the co-supply pair generation dominates) —
+    # the one new-this-round query over the ≥10 MB-at-bench-SF bar
+    "q_triangle_count": 28_166,
 }
 
 # bench-only matmul shapes (operands derived from lineitem exactly as
