@@ -233,3 +233,26 @@ def test_bloom_semi_join_fact_side_never_exchanges(spark, sf_dir, qs):
     assert plan.count("BroadcastHashJoin") >= 4  # 3 word probes + dim semi
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_triangle_count_stays_equi(spark, sf_dir, qs):
+    """The wedge self-join and the closing join must be plain equi-joins
+    (the Suri-Vassilvitskii shape) — a CartesianProduct here would mean
+    the (deg, id) orientation predicate leaked out of the join keys and
+    the wedge work became O(|E|^2).  The in-plan quantile threshold is
+    materialized away by the edge checkpoint, so no nested-loop join of
+    any kind may survive into the final counting plan."""
+    plan = plan_of(qs["q_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_perplexity_broadcasts_vocab_not_probe(spark, sf_dir, qs):
+    """The token→logprob join must broadcast the Heaps'-law-sized VOCAB
+    side (pinned by hint): without it Catalyst broadcasts the
+    post-explode probe side at small SFs — the wrong side at any scale.
+    The only nested-loop join is the 1-row corpus-total scalar."""
+    plan = plan_of(qs["q_lm_perplexity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total only
+    assert "BroadcastHashJoin" in plan  # vocab side build

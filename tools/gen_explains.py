@@ -43,6 +43,11 @@ AUDIT = {
     "q_dedup_simhash_c6": "the 20-combination wide-key pigeonhole index must still pair via a "
     "plain equi-join on (combo id, concatenated key) — same join shape as the 4-block layout, "
     "never a theta/cross join; the layouts differ only in bucket granularity",
+    "q_triangle_count": "the wedge self-join and the closing join are plain equi-joins (the "
+    "degree-oriented Suri-Vassilvitskii shape: every wedge charged to its lowest-degree vertex, "
+    "O(m^1.5) total work regardless of skew) — no CartesianProduct / BroadcastNestedLoopJoin "
+    "anywhere in the counting plan; the in-plan p90 threshold scalar is materialized away by the "
+    "edge checkpoint before counting starts",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
