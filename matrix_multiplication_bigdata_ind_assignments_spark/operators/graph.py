@@ -422,7 +422,7 @@ def q_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_Q = 0.9  # co-supply strength quantile that defines the graph's edges
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
     """Per-node triangle counts over an undirected edge list ``(u, v)``
     (distinct, u < v) — the compact-forward / node-iterator algorithm of
     Suri & Vassilvitskii ("Counting Triangles and the Curse of the Last
@@ -441,43 +441,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, deg, tri, lcc): degree, triangle count, and local
     clustering coefficient 2·tri/(deg·(deg−1)) rounded through the
-    portable 6-dp floor form.  All counting is integer-exact."""
-    # Materialize the edge list once: it feeds the degree agg, the
-    # orientation join, and (through `oriented`) the wedge self-join —
-    # without this every consumer re-runs the caller's whole edge-
-    # generation subtree.
-    edges = edges.localCheckpoint(eager=True)
-    both = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg = (
-        both.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)  # O(|V|), read three times below
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    e = (
-        edges.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
-        .select(
-            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
-        )
-    )
-    u_first = (F.col("d_u") < F.col("d_v")) | (
-        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
-    )
-    oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_hi"),
-    ).localCheckpoint(eager=True)  # O(|E|), read by both wedge sides + the closer
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(
-        (F.col("e1.d_hi") < F.col("e2.d_hi"))
-        | ((F.col("e1.d_hi") == F.col("e2.d_hi")) & (F.col("e1.hi") < F.col("e2.hi")))
-    ).select(
-        F.col("e1.lo").alias("ctr"), F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y")
-    )
+    portable 6-dp floor form.  All counting is integer-exact.
+
+    ``orient`` selects the orientation order — ``'degree'`` (the
+    (deg, id) order above, the production arm) or ``'id'`` (plain
+    u < v, the textbook-naive arm kept ONLY as the measured
+    counter-example: on a hub of degree k whose id sorts low it fans
+    out C(k,2) wedges where the degree order fans out zero —
+    tools/tri_skew_probe.py runs the two arms on the same star graph
+    and SCALING.md records the blow-up).  Both arms return identical
+    counts; only the wedge volume differs."""
+    deg, oriented, wedges = oriented_wedges(edges, orient)
     closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     tris = wedges.join(closer, ["x", "y"])
     corners = (
@@ -500,6 +474,59 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         / 1e6,
     ).otherwise(F.lit(0.0))
     return out.select("node", "deg", "tri", lcc.alias("lcc"))
+
+
+def oriented_wedges(edges: DataFrame, orient: str = "degree"):
+    """The orientation + wedge-generation stages of triangle_counts,
+    exposed so tools/tri_skew_probe.py can MEASURE wedge volume per
+    orientation arm.  Returns (deg, oriented, wedges)."""
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    # Materialize the edge list once: it feeds the degree agg, the
+    # orientation join, and (through `oriented`) the wedge self-join —
+    # without this every consumer re-runs the caller's whole edge-
+    # generation subtree.
+    edges = edges.localCheckpoint(eager=True)
+    both = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = (
+        both.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # O(|V|), read three times below
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    e = (
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
+        )
+    )
+    if orient == "degree":
+        u_first = (F.col("d_u") < F.col("d_v")) | (
+            (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+        )
+    else:  # 'id': ignore degrees — the skew-blind naive orientation
+        u_first = F.col("u") < F.col("v")
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_hi"),
+    ).localCheckpoint(eager=True)  # O(|E|), read by both wedge sides + the closer
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # the wedge pair (x, y) must be emitted in the SAME total order the
+    # orientation used, so the closing lookup hits the oriented edge
+    if orient == "degree":
+        wedge_order = (F.col("e1.d_hi") < F.col("e2.d_hi")) | (
+            (F.col("e1.d_hi") == F.col("e2.d_hi")) & (F.col("e1.hi") < F.col("e2.hi"))
+        )
+    else:
+        wedge_order = F.col("e1.hi") < F.col("e2.hi")
+    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).where(wedge_order).select(
+        F.col("e1.lo").alias("ctr"), F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y")
+    )
+    return deg, oriented, wedges
 
 
 @register(
