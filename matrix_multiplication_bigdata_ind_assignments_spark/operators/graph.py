@@ -587,7 +587,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.py's shingle index, with the same hot-key exposure (a part
     supplied by k suppliers emits C(k,2) pairs) and the same remedies
     (hot-bucket cap / drop-hot-then-correct) when k explodes; at TPC-H
-    fan-outs it is bounded by parts-per-supplier.  Counting itself is
+    fan-outs it is bounded by parts-per-supplier.  (Measured choice:
+    the codegen'd equi-self-join beats a groupBy(p)+collect_list+
+    nested-transform pair expansion 2.0 s vs 3.4 s min5 at sf0.1 —
+    the array churn costs more than the second exchange saves.)  Counting itself is
     triangle_counts' degree-oriented node-iterator: O(m^1.5) wedge work
     regardless of degree skew (the 'curse of the last reducer' fix),
     every step an equi-join or map-side-combinable agg.  All counts are
