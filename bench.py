@@ -254,6 +254,7 @@ def main() -> int:
         "q_lm_perplexity",
         "q_triangle_count",
         "q_snapshot_diff",
+        "q_quality_classifier",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

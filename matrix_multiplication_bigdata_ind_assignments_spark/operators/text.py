@@ -796,3 +796,142 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         nll.alias("avg_nll"),
         (nll <= _NLL_KEEP).alias("keep"),
     )
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+lab AS (
+  SELECT doc_id, count(*) AS n,
+         CASE WHEN 10 * count(*) FILTER (WHERE token IN {_STOPWORDS!r}) >= count(*)
+              THEN 1 ELSE 0 END AS y
+  FROM toks GROUP BY doc_id
+),
+tl AS (
+  SELECT token, y, count(*) AS c
+  FROM toks JOIN lab USING (doc_id) GROUP BY token, y
+),
+wide AS (
+  SELECT token,
+         coalesce(sum(c) FILTER (WHERE y = 1), 0) AS c1,
+         coalesce(sum(c) FILTER (WHERE y = 0), 0) AS c0
+  FROM tl GROUP BY token
+),
+consts AS (
+  SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM wide
+),
+lp AS (
+  SELECT token,
+         CAST(floor(ln((c1 + 1.0) / (n1 + v)) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln((c0 + 1.0) / (n0 + v)) * 1000000 + 0.5) AS BIGINT) AS dlp
+  FROM wide, consts
+),
+prior AS (
+  SELECT CAST(floor(ln(sum(y) * 1.0 / count(*)) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln((count(*) - sum(y)) * 1.0 / count(*)) * 1000000 + 0.5) AS BIGINT) AS dprior
+  FROM lab
+),
+score AS (
+  SELECT doc_id, sum(dlp) AS s
+  FROM toks JOIN lp USING (token) GROUP BY doc_id
+)
+SELECT lab.doc_id,
+       CAST(lab.n AS BIGINT) AS n_tokens,
+       lab.y = 1 AS weak_keep,
+       CAST(score.s + prior.dprior AS BIGINT) AS log_odds_micro,
+       (score.s + prior.dprior) > 0 AS pred_keep
+FROM lab JOIN score ON lab.doc_id = score.doc_id, prior
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the third stage of the
+    CCNet / LLaMA-style curation stack (heuristics → perplexity →
+    classifier): train a multinomial Naive Bayes text classifier with
+    Laplace smoothing on WEAK labels (stopword density ≥ 10%, an
+    integer-exact portable rule) and score every document's keep/drop
+    log-odds.  NB is the closed-form stand-in for the fasttext linear
+    classifier used in production pipelines: same bag-of-words decision
+    function w·x + b, but with weights derived by counting — which is
+    what makes it expressible as a dataflow in BOTH engines and thus
+    oracle-checkable end-to-end, training included.
+
+    Spark-first shape (the q_lm_perplexity template, one class wider):
+    ONE tokenize pass feeds the label agg, the per-(token, class)
+    count agg, and the scoring probe; all corpus constants (class
+    token totals, vocab size, priors) are computed IN-PLAN (one-row
+    aggs + broadcast cross joins, never a driver collect); the
+    token→Δlogprob table is Heaps'-law-sized and PINNED broadcast on
+    the probe join.  Every reduction is a BIGINT sum of integer
+    MICRO-NATS — floor(ln(·)·1e6 + 0.5) per DISTINCT token, the
+    determinism contract that makes a trained model's scores
+    hash-comparable across engines (see q_lm_perplexity).
+
+    At 100 TB: training is two map-side-combinable hash aggs over the
+    token stream (label + (token, class) counts) — embarrassingly
+    partial; scoring is the same broadcast probe as perplexity.  The
+    weak-label rule stands in for hand-curated positives (in CCNet,
+    Wikipedia); swapping a curated label column in changes nothing
+    structural."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+        )
+    )
+    # one materialization feeds labels, counts, and the scoring probe
+    toks = toks.localCheckpoint(eager=True)
+    lab = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            10 * F.count(F.when(F.col("token").isin(*_STOPWORDS), 1)) >= F.count(F.lit(1))
+        ).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)  # read by training AND the final select
+    tl = (
+        toks.join(lab.select("doc_id", "y"), "doc_id")
+        .groupBy("token", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = tl.groupBy("token").agg(
+        F.coalesce(F.sum(F.when(F.col("y") == 1, F.col("c"))), F.lit(0)).alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("y") == 0, F.col("c"))), F.lit(0)).alias("c0"),
+    ).localCheckpoint(eager=True)  # Heaps'-law-sized; feeds consts AND lp
+    consts = wide.agg(
+        F.sum("c1").alias("n1"), F.sum("c0").alias("n0"), F.count(F.lit(1)).alias("v")
+    )
+    micro = lambda x: F.floor(F.log(x) * 1e6 + F.lit(0.5)).cast("long")
+    lp = wide.crossJoin(F.broadcast(consts)).select(
+        "token",
+        (
+            micro((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+            - micro((F.col("c0") + 1.0) / (F.col("n0") + F.col("v")))
+        ).alias("dlp"),
+    )
+    prior = lab.agg(
+        (
+            micro(F.sum("y") * 1.0 / F.count(F.lit(1)))
+            - micro((F.count(F.lit(1)) - F.sum("y")) * 1.0 / F.count(F.lit(1)))
+        ).alias("dprior")
+    )
+    score = (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("dlp").alias("s"))
+    )
+    odds = (F.col("s") + F.col("dprior")).cast("long")
+    return (
+        lab.join(score, "doc_id")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("y") == 1).alias("weak_keep"),
+            odds.alias("log_odds_micro"),
+            (odds > 0).alias("pred_keep"),
+        )
+    )

@@ -55,3 +55,31 @@ def test_lm_perplexity_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in q_lm_perplexity(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in q_lm_perplexity(spark, sf_dir).collect())
     assert a == b
+
+
+# --- Naive Bayes classifier quality filter -------------------------------
+
+
+def test_quality_classifier_invariants(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_quality_classifier
+
+    rows = q_quality_classifier(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_tokens"] > 0
+        # the decision rule is the sign of the integer log-odds, exactly
+        assert r["pred_keep"] == (r["log_odds_micro"] > 0)
+    # the trained model is non-degenerate: both predicted classes occur,
+    # and prediction is not a copy of the weak label (NB generalizes /
+    # errs, it doesn't memorize a one-feature rule)
+    preds = {r["pred_keep"] for r in rows}
+    assert preds == {True, False}
+    assert any(r["pred_keep"] != r["weak_keep"] for r in rows)
+
+
+def test_quality_classifier_deterministic(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_quality_classifier
+
+    a = sorted(tuple(r) for r in q_quality_classifier(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_quality_classifier(spark, sf_dir).collect())
+    assert a == b

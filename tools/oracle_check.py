@@ -12,6 +12,7 @@ surface here instead of in the round gate.
 
 from __future__ import annotations
 
+import gc
 import math
 import sys
 import time
@@ -74,7 +75,17 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in only}
     oracles = registry.oracles(sf_dir)
     failures = []
-    for name, fn in sorted(qs.items()):
+    for i, (name, fn) in enumerate(sorted(qs.items())):
+        if i and i % 10 == 0:
+            # A 151-query sweep accumulates dead weight the 1 GB vanilla
+            # driver heap can't absorb at sf0.1: collected row lists,
+            # py4j-dangling DataFrames whose localCheckpoint blocks the
+            # ContextCleaner can only drop after their Python refs die.
+            # (Measured: the sweep OOMed at q_dedup_simhash_c6's 1.57M-row
+            # collect when run after 180 prior queries, while the same
+            # query passes in isolation.)  GC both sides periodically.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
