@@ -256,3 +256,13 @@ def test_lm_perplexity_broadcasts_vocab_not_probe(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total only
     assert "BroadcastHashJoin" in plan  # vocab side build
+
+
+def test_quality_classifier_broadcasts_model_stays_equi(spark, sf_dir, qs):
+    """The token→Δlogprob model join must broadcast the vocab-sized side
+    (q_lm_perplexity's property, one class wider); the only nested-loop
+    joins are the two 1-row scalar sides (class totals, prior)."""
+    plan = plan_of(qs["q_quality_classifier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
