@@ -43,6 +43,14 @@ AUDIT = {
     "q_dedup_simhash_c6": "the 20-combination wide-key pigeonhole index must still pair via a "
     "plain equi-join on (combo id, concatenated key) — same join shape as the 4-block layout, "
     "never a theta/cross join; the layouts differ only in bucket granularity",
+    "q_lm_perplexity": "the token→logprob probe is a BroadcastHashJoin with the Heaps'-law-sized "
+    "VOCAB side as the build (pinned by hint — without it Catalyst broadcasts the post-explode "
+    "probe side at small SFs, the wrong side at any scale); the only nested-loop join is the "
+    "1-row corpus-total scalar; both aggs are map-side-combinable hash aggs over BIGINT micro-nats",
+    "q_quality_classifier": "same contract as q_lm_perplexity one class wider: the token→Δlogprob "
+    "model join broadcasts the vocab-sized side, the two 1-row scalar sides (class totals, prior) "
+    "are the only nested-loop joins, training is two map-side-combinable hash aggs over the token "
+    "stream — no CartesianProduct, no driver-side model state",
     "q_triangle_count": "the wedge self-join and the closing join are plain equi-joins (the "
     "degree-oriented Suri-Vassilvitskii shape: every wedge charged to its lowest-degree vertex, "
     "O(m^1.5) total work regardless of skew) — no CartesianProduct / BroadcastNestedLoopJoin "
