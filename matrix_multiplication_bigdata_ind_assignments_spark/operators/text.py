@@ -757,12 +757,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float ops are one ln per DISTINCT token and one divide per
     doc, both on identical inputs in both engines, with 6-dp slack
     vs their sub-ulp implementation differences."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
-        )
+    return lm_perplexity_frame(load(spark, sf_dir, "documents"))
+
+
+def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """q_lm_perplexity's pipeline over an arbitrary (doc_id, text) frame —
+    factored out so tools/lm_scale_probe.py can drive it against a
+    blown-up corpus and measure the vocab/stream asymmetry claim."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
     )
     # Materialize the vocabulary ONCE (Heaps'-law-sized, orders of
     # magnitude under the token stream): without this the tokenize scan
