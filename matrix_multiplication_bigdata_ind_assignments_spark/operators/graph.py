@@ -602,6 +602,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inlines the pair pipeline per reference and mis-plans the
     orientation join (measured >15 min at sf0.1 vs 3.8 s
     materialized)."""
+    return triangle_counts(cosupply_edges(spark, sf_dir)).select(
+        F.col("node").alias("s_suppkey"), "deg", "tri", "lcc"
+    )
+
+
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier co-supply graph (u < v, distinct): suppliers linked
+    when their shared-distinct-part count clears the in-plan p90
+    threshold.  Shared by q_triangle_count and q_kcore."""
     sp = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
@@ -616,7 +625,4 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # read twice: the quantile scalar + the filter
     )
     thr = pairs.agg(F.percentile("shared", F.lit(_TRI_Q)).alias("m"))
-    und = pairs.crossJoin(F.broadcast(thr)).where(F.col("shared") >= F.col("m")).select("u", "v")
-    return triangle_counts(und).select(
-        F.col("node").alias("s_suppkey"), "deg", "tri", "lcc"
-    )
+    return pairs.crossJoin(F.broadcast(thr)).where(F.col("shared") >= F.col("m")).select("u", "v")
