@@ -30,6 +30,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+_NOISE_FLAG_SCALE = 1.5  # sentinel ratio past which a record is untrustworthy
+
+
+def noise_policy(committed: dict | None, sentinel_now: float) -> dict:
+    """Sentinel-based noise accounting (VERDICT r8 items 2 & 8).
+
+    ``committed`` is the parsed BENCH_local.json already in the tree (the
+    quiet-box record committed last round), ``sentinel_now`` this run's
+    fixed-GEMM sentinel seconds.  Returns:
+
+    - ``noise_scale``: sentinel_now / committed quiet sentinel (None when
+      there is no committed reference) — divide raw timings by this to
+      compare across rounds;
+    - ``flagged``: noise_scale > 1.5 — the record ran on a loaded box and
+      per-query timings are NOT comparable round-over-round (r7 and r8
+      verdicts each burned a cycle on exactly this class of phantom
+      regression);
+    - ``write_main``: whether this run may overwrite the committed
+      BENCH_local.json.  A flagged run must NOT clobber the quiet-box
+      record (the r8 driver run left a 2.6×-sentinel record over the
+      committed one); it goes to BENCH_local_noisy.json instead.
+      SPARK_GRAFT_BENCH_FORCE=1 overrides (e.g. after a hardware change
+      that legitimately moved the sentinel).
+    """
+    ref = None
+    if committed:
+        s = committed.get("noise_sentinel") or {}
+        vals = [
+            v
+            for v in (s.get("sentinel_start_sec"), s.get("sentinel_end_sec"))
+            if isinstance(v, (int, float)) and v > 0
+        ]
+        if vals:
+            # the committed record's quietest observation is the reference
+            ref = min(vals)
+    if not ref:
+        return {"noise_scale": None, "flagged": False, "write_main": True, "quiet_ref_sec": None}
+    scale = sentinel_now / ref
+    flagged = scale > _NOISE_FLAG_SCALE
+    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
+    return {
+        "noise_scale": round(scale, 3),
+        "flagged": flagged,
+        "write_main": (not flagged) or force,
+        "quiet_ref_sec": ref,
+    }
+
+
 def mat_from_lineitem(spark, sf_dir: str, n: int, shift: int = 0):
     """Deterministic n×n COO matrix from the lineitem fact table."""
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -366,6 +414,17 @@ def main() -> int:
         "loadavg_start": round(load_start, 1),
         "loadavg_end": round(os.getloadavg()[0], 1),
     }
+    # noise accounting vs the COMMITTED quiet-box record (VERDICT r8
+    # items 2 & 8): read the in-tree BENCH_local.json BEFORE any write
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    committed = None
+    try:
+        with open(bench_path) as f:
+            committed = json.load(f)
+    except (OSError, ValueError):
+        pass
+    sent_now = (sentinel["sentinel_start_sec"] + sentinel["sentinel_end_sec"]) / 2.0
+    policy = noise_policy(committed, sent_now)
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -382,6 +441,19 @@ def main() -> int:
         "cpus": int(cpus),
         "driver_peak_rss_mb": rss_mb,
         "noise_sentinel": sentinel,
+        # sentinel-normalized totals: divide by noise_scale before any
+        # round-over-round comparison; a flagged record's raw timings are
+        # box noise, not plan signal (VERDICT r8 item 2)
+        "noise_scale": policy["noise_scale"],
+        "noise_flagged": policy["flagged"],
+        "value_normalized": (
+            round(total / policy["noise_scale"], 3) if policy["noise_scale"] else None
+        ),
+        "queries_normalized": (
+            {k: round(v / policy["noise_scale"], 3) for k, v in timings.items()}
+            if policy["noise_scale"]
+            else None
+        ),
         # regime per ANN row (VERDICT r7 item 6): one number, one regime
         "regimes": {
             "q_stream_dedup_near": "steady-state: memoized epoch band index (cold build priced by q_dedup_minhash)",
@@ -402,10 +474,30 @@ def main() -> int:
     # peaks/rss/prose live only in the file, separators are tight, and the
     # primary "queries" (min) dict is LAST so even a truncated tail still
     # carries it whole.
+    # Overwrite guards (VERDICT r8 item 8): a sentinel-flagged run must
+    # not replace the committed quiet-box record (it lands in
+    # BENCH_local_noisy.json for forensics), and a run at a DIFFERENT SF
+    # than the committed record (e.g. an sf0.01 sanity pass over the
+    # committed sf0.1 round record) goes to its own side file — both are
+    # clobbers of the round's comparable record, just different causes.
+    target = bench_path
+    if committed and committed.get("sf") not in (None, sf):
+        target = bench_path.replace(".json", f"_sf{sf}.json")
+        print(
+            f"NOTE: committed BENCH_local.json is sf={committed.get('sf')}, this run is"
+            f" sf={sf} — writing {os.path.basename(target)} instead",
+            file=sys.stderr,
+        )
+    elif not policy["write_main"]:
+        target = bench_path.replace(".json", "_noisy.json")
+        print(
+            f"WARNING: noise_scale {policy['noise_scale']} > {_NOISE_FLAG_SCALE} vs committed"
+            f" quiet sentinel {policy['quiet_ref_sec']}s — keeping committed BENCH_local.json,"
+            f" writing {os.path.basename(target)} (SPARK_GRAFT_BENCH_FORCE=1 overrides)",
+            file=sys.stderr,
+        )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w"
-        ) as f:
+        with open(target, "w") as f:
             json.dump(full, f, indent=2)
             f.write("\n")
     except OSError:
@@ -422,11 +514,19 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "method": f"min{repeats}+mean{repeats}_warm{warmup}",
-        "full": "BENCH_local.json (queries_mean + per-query shuffle bytes)",
+        "full": f"{os.path.basename(target)} (queries_mean + per-query shuffle bytes)",
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 1),
         # box-load calibration: fixed 3×1024³-GEMM wall at start/end —
         # normalize before comparing timings across rounds
         "sentinel": [sentinel["sentinel_start_sec"], sentinel["sentinel_end_sec"]],
+        # noise_scale = this run's sentinel / committed quiet-box sentinel;
+        # value_norm = value / noise_scale.  noise_flag=true means the box
+        # was >1.5× slower than the committed record's — per-query timings
+        # in THIS record are not comparable round-over-round (read
+        # value_norm, or prefer the committed BENCH_local.json)
+        "noise_scale": policy["noise_scale"],
+        "noise_flag": policy["flagged"],
+        "value_norm": full["value_normalized"],
         "queries": timings,
     }
     print(json.dumps(compact, separators=(",", ":")))

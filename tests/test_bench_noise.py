@@ -1,0 +1,58 @@
+"""Unit tests for bench.py's sentinel noise policy (VERDICT r8 items
+2 & 8): noise_scale computation, the >1.5× flag, and the committed-
+record overwrite guard.  Pure-python — no SparkSession."""
+
+import bench
+
+
+def _committed(start=0.2, end=0.16):
+    return {
+        "noise_sentinel": {
+            "sentinel_start_sec": start,
+            "sentinel_end_sec": end,
+            "loadavg_start": 1.0,
+            "loadavg_end": 1.0,
+        }
+    }
+
+
+def test_no_committed_record_writes_main():
+    p = bench.noise_policy(None, 0.5)
+    assert p == {
+        "noise_scale": None,
+        "flagged": False,
+        "write_main": True,
+        "quiet_ref_sec": None,
+    }
+
+
+def test_malformed_committed_record_treated_as_missing():
+    for rec in ({}, {"noise_sentinel": {}}, {"noise_sentinel": {"sentinel_start_sec": 0}}):
+        p = bench.noise_policy(rec, 0.5)
+        assert p["noise_scale"] is None and p["write_main"]
+
+
+def test_quiet_run_not_flagged_and_overwrites():
+    # reference = min(start, end) = 0.16; 0.2/0.16 = 1.25 < 1.5
+    p = bench.noise_policy(_committed(), 0.2)
+    assert p["quiet_ref_sec"] == 0.16
+    assert p["noise_scale"] == 1.25
+    assert not p["flagged"] and p["write_main"]
+
+
+def test_loaded_run_flagged_and_guarded():
+    # the r8 driver-box scenario: committed quiet 0.16/0.2, run at 0.5
+    p = bench.noise_policy(_committed(), 0.5)
+    assert p["noise_scale"] == 3.125
+    assert p["flagged"] and not p["write_main"]
+
+
+def test_flag_threshold_is_strict():
+    p = bench.noise_policy(_committed(start=0.2, end=0.2), 0.3)  # exactly 1.5
+    assert p["noise_scale"] == 1.5 and not p["flagged"] and p["write_main"]
+
+
+def test_force_env_overrides_guard(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
+    p = bench.noise_policy(_committed(), 0.5)
+    assert p["flagged"] and p["write_main"]
