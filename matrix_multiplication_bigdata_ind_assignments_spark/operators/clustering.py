@@ -1,0 +1,177 @@
+"""Distributed k-means as a first-class, ORACLE-CHECKED operator
+(VERDICT r8 item 3) — the clustering primitive the similarity family was
+missing (q_ann_ivf trains its coarse quantizer with k-means; q_kmeans is
+the same algorithm promoted to a query with a DuckDB oracle).
+
+Oracle-checkability recipe (the q_pagerank treatment, graph.py:22):
+fixed iteration count, a deterministic in-plan init (no RNG: centroid c
+starts as the per-dimension mean of the points with vec_id % k == c),
+per-iteration 12-dp rounding of BOTH the centroid coordinates and the
+squared distances — so different summation orders across engines cannot
+drift — and a deterministic argmin tie-break on (dist, cluster).  The
+whole fixed-point loop then unrolls into chained DuckDB CTEs that must
+reproduce Spark's assignments bit-for-bit.
+
+Scale shape (the canonical distributed Lloyd, Spark-first):
+
+- ASSIGNMENT is shuffle-free: the k centroids collapse to a single
+  broadcast row (array<struct<cl, cv>>), and each point computes its
+  argmin NARROWLY with JVM higher-order functions — array_min over
+  transform(centroids, c -> struct(round(Σ(x−c)², 12), c.cl)) with the
+  inner sum a zip_with/aggregate fold.  No n×k join materialization, no
+  per-point shuffle, no Python.
+- UPDATE is one map-side-combinable hash agg: posexplode the assigned
+  vectors to (cluster, dim, x) and avg — partial aggregation reduces
+  each partition to ≤ k·d rows before the exchange, so per-iteration
+  shuffle is O(k·d·partitions), independent of n.  Empty clusters keep
+  their previous centroid (left-join coalesce), mirroring the oracle.
+- The loop state (k·d centroid rows) is localCheckpoint'ed each
+  iteration — the PageRank lineage-truncation discipline; at 1000
+  executors swap for .checkpoint() cadence exactly as graph.pagerank's
+  checkpoint_every knob documents.
+
+Cross-engine fp note: embeddings are unit-norm (values O(1), distances
+≤ 4), so the 12-dp quantum sits ~100× above the ~d·eps ≈ 1.4e-14
+worst-case summation-order divergence — same argument, tighter margin
+accounting, as PageRank's 1/N-scaled ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load
+
+_KM_K = 8  # clusters
+_KM_ITERS = 4  # fixed Lloyd iterations (assignment count; 3 centroid updates)
+_KM_DIMS = 64  # embedding dimensionality (all fixtures; oracle constant)
+
+
+def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+    """Fixed-iteration deterministic Lloyd over ``points`` (vec_id,
+    v: array<double>) → (vec_id, cluster, dist) after ``iters``
+    assignment rounds.  See the module docstring for the determinism
+    contract and the per-iteration plan shape."""
+    # init: centroid c = per-dim mean of the vec_id % k == c points
+    cents = (
+        points.select(
+            F.pmod("vec_id", F.lit(k)).alias("cl"), F.posexplode("v").alias("d", "x")
+        )
+        .groupBy("cl", "d")
+        .agg(F.round(F.avg("x"), 12).alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for it in range(iters):
+        # k·d rows → k rows of (cl, cv array) → ONE broadcast row
+        allc = (
+            cents.groupBy("cl")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
+                ).alias("cv")
+            )
+            .agg(F.array_sort(F.collect_list(F.struct("cl", "cv"))).alias("cents"))
+        )
+        # narrow argmin: struct ordering = (dist asc, cl asc) tie-break
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(F.col("v"), c["cv"], lambda x, cc: (x - cc) * (x - cc)),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        ),
+                        12,
+                    ).alias("dist"),
+                    c["cl"].alias("cl"),
+                ),
+            )
+        )
+        assigned = (
+            points.crossJoin(F.broadcast(allc))
+            .select("vec_id", "v", best.alias("m"))
+            .select(
+                "vec_id", "v", F.col("m.cl").alias("cluster"), F.col("m.dist").alias("dist")
+            )
+        )
+        if it < iters - 1:
+            ncents = (
+                assigned.select(F.col("cluster").alias("cl"), F.posexplode("v").alias("d", "x"))
+                .groupBy("cl", "d")
+                .agg(F.round(F.avg("x"), 12).alias("ncx"))
+            )
+            cents = (
+                cents.join(ncents, ["cl", "d"], "left")
+                .select("cl", "d", F.coalesce("ncx", "cx").alias("cx"))
+                .localCheckpoint(eager=True)
+            )
+    return assigned.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+
+
+def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) -> str:
+    """The identical fixed-iteration Lloyd unrolled into DuckDB CTEs.
+    Multi-referenced CTEs are AS MATERIALIZED (the q_triangle_count
+    lesson: DuckDB re-inlines by default and can mis-plan the repeated
+    subtrees)."""
+    sq = f"(p.v[t+1] - c.cv[t+1]) * (p.v[t+1] - c.cv[t+1])"
+    ctes = [
+        """p AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS v FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id % {k} AS cl, g.d, round(avg(p.v[g.d + 1]), 12) AS cx
+  FROM p, (SELECT unnest(range({dims})) AS d) g
+  GROUP BY cl, g.d
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (SELECT cl, list(cx ORDER BY d) AS cv FROM c{i - 1} GROUP BY cl)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT p.vec_id, c.cl,
+         round(list_sum(list_transform(range({dims}), t -> {sq})), 12) AS dist
+  FROM p, l{i} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cl) = 1
+)"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""n{i} AS (
+  SELECT a.cl, g.d, round(avg(p.v[g.d + 1]), 12) AS cx
+  FROM a{i} a JOIN p ON a.vec_id = p.vec_id, (SELECT unnest(range({dims})) AS d) g
+  GROUP BY a.cl, g.d
+)""",
+            )
+            ctes.append(
+                f"""c{i} AS MATERIALIZED (
+  SELECT o.cl, o.d, coalesce(n.cx, o.cx) AS cx
+  FROM c{i - 1} o LEFT JOIN n{i} n ON o.cl = n.cl AND o.d = n.d
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cl AS cluster, round(dist, 6) AS dist FROM a{iters}
+"""
+    )
+
+
+@register("q_kmeans", oracle=_sql_kmeans())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embeddings table (k=8, 4 fixed Lloyd
+    iterations), returning every vector's final cluster and 6-dp squared
+    distance — ORACLE-CHECKED against the same loop unrolled into DuckDB
+    CTEs (see module docstring for the determinism contract and the
+    shuffle-free-assignment / map-side-combinable-update plan shape)."""
+    pts = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("v")
+    )
+    return kmeans_assignments(pts)

@@ -293,6 +293,7 @@ def _load_all() -> None:
         setops,
         dedup,
         graph,
+        clustering,
         similarity,
         text,
         tokenizer,
