@@ -304,8 +304,42 @@ def main() -> int:
         "q_triangle_count",
         "q_snapshot_diff",
         "q_quality_classifier",
+        # r9 (VERDICT r8 item 4): the remaining oracle-green heavyweights
+        # that had no perf row — a plan regression in these was invisible.
+        # q_stream_stream_join is the interval-join state machine,
+        # q_stream_watermark_late the late-data/watermark path,
+        # q_matrix_power the 10-hop chained-matmul lineage; plus the new
+        # distributed k-means operator (r9).
+        "q_stream_stream_join",
+        "q_stream_watermark_late",
+        "q_matrix_power",
+        "q_kmeans",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
+
+    # q_bpe_train's DISTRIBUTED path, one labeled row (VERDICT r8 item 4):
+    # MMBD_BPE_LOCAL_VOCAB=0 forces the per-round dataflow loop the 100 TB
+    # posture rests on (the default in-memory path prices at ~0 here — its
+    # work is bounded by the vocab, not the corpus, so only the
+    # distributed arm carries plan-regression signal).
+    def bpe_train_distributed():
+        from matrix_multiplication_bigdata_ind_assignments_spark.operators import (
+            tokenizer as T,
+        )
+
+        T._BPE_RULES.clear()  # cold regime: every rep prices the training loop
+        old = os.environ.get("MMBD_BPE_LOCAL_VOCAB")
+        os.environ["MMBD_BPE_LOCAL_VOCAB"] = "0"
+        try:
+            run(qs["q_bpe_train"](spark, sf_dir))
+        finally:
+            T._BPE_RULES.clear()  # don't leak distributed-trained rules to other rows
+            if old is None:
+                del os.environ["MMBD_BPE_LOCAL_VOCAB"]
+            else:
+                os.environ["MMBD_BPE_LOCAL_VOCAB"] = old
+
+    benches["q_bpe_train_distributed"] = bpe_train_distributed
 
     # IVF regimes, one per row (VERDICT r7 item 6 — r7's record mixed
     # cold/steady numbers for one key): `q_ann_ivf` above is STEADY-STATE
@@ -461,6 +495,7 @@ def main() -> int:
             "q_ann_ivf": "steady-state: memoized centroids/codebook/index (serving shape)",
             "q_ann_ivf2": "steady-state: memoized l1 centroids + two-level index (serving shape)",
             "q_ann_ivf_cold": "cold: centroid+codebook training and Arrow index build in every rep",
+            "q_bpe_train_distributed": "cold + forced distributed: memo cleared and MMBD_BPE_LOCAL_VOCAB=0 in every rep, so the row prices the per-round dataflow merge loop (the default bounded in-memory path is vocab-bound, ~corpus-independent)",
         },
     }
     if exec_peak_after:

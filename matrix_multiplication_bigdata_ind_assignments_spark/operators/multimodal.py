@@ -452,6 +452,107 @@ def phash_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=schema)
 
 
+_SQL_PHASH_PAIRS = f"""
+WITH codes AS (
+  SELECT doc_id, j % 64 AS i, ord(text[j + 1]) AS c
+  FROM (SELECT doc_id, text, unnest(range(length(text))) AS j FROM documents)
+),
+bits AS (SELECT doc_id, i, sum(c) % 2 AS bit FROM codes GROUP BY doc_id, i),
+dense AS (
+  SELECT d.doc_id, g.i, coalesce(b.bit, 0) AS bit
+  FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS i) g
+  LEFT JOIN bits b ON b.doc_id = d.doc_id AND b.i = g.i
+),
+keys AS (
+  SELECT doc_id, i // 8 AS band, sum(bit * (1 << (i % 8))) AS key
+  FROM dense GROUP BY doc_id, band
+),
+karr AS (SELECT doc_id, list(key ORDER BY band) AS keys FROM keys GROUP BY doc_id),
+cand AS (
+  SELECT doc_id, keys, g.band, keys[g.band + 1] AS bk
+  FROM karr, (SELECT unnest(range(8)) AS band) g
+)
+SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+  CAST(list_sum(list_transform(range(8), t -> bit_count(xor(a.keys[t+1], b.keys[t+1])))) AS BIGINT) AS hamming
+FROM cand a JOIN cand b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(8), t -> bit_count(xor(a.keys[t+1], b.keys[t+1])))) <= {_PHASH_MAX_HAMMING}
+"""
+
+
+@register("q_phash_pairs", oracle=_SQL_PHASH_PAIRS)
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-LSH PAIRING stage of perceptual-hash dedup, split out
+    as its own ORACLE-CHECKED query (VERDICT r8 item 5 — the simhash
+    treatment: q_multimodal_phash_dedup's DCT fingerprint kernel is
+    float/numpy and stays rows-only, but everything AFTER a 64-bit
+    fingerprint exists — 8×8-bit band explode, equi-join on (band,
+    key), exact Hamming confirm via bit_count(XOR), dedup — is pure
+    integer relational algebra, and THIS query hash-checks that whole
+    stage end-to-end).
+
+    To make the fingerprint itself portable, the DCT is replaced by a
+    positional parity-fold computed IDENTICALLY in both engines with
+    integer ops only: bit i = (Σ of the byte codes at text positions
+    ≡ i mod 64) mod 2 (the corpus is pure ASCII — chars = bytes, the
+    same invariant _SQL_MEDIA_FEATURES relies on), densified to all 64
+    dims so short/empty docs get zero bits, packed into 8 one-byte band
+    keys.  Near-identical texts produce near-identical folds, so the
+    pairing runs over a realistic Hamming distribution (25 pairs ≤ 10
+    at sf0.01), not a vacuous empty set.
+
+    Plan shape is q_multimodal_phash_dedup's exactly: candidates form
+    ONLY inside (band, key) buckets — an equi-join, never all-pairs —
+    then one JVM-side bit_count XOR fold per candidate.  Scale story
+    identical to simhash band-LSH: 8 index rows per item, bucket-local
+    quadratic work."""
+    docs = load(spark, sf_dir, "documents")
+    codes = (
+        docs.select("doc_id", F.posexplode(F.split("text", "")).alias("j", "ch"))
+        .where(F.col("ch") != "")
+        .select("doc_id", F.pmod("j", F.lit(64)).alias("i"), F.ascii("ch").alias("c"))
+    )
+    bits = codes.groupBy("doc_id", "i").agg(F.pmod(F.sum("c"), F.lit(2)).alias("bit"))
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    dense = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(dims))
+        .join(bits, ["doc_id", "i"], "left")
+        .select("doc_id", "i", F.coalesce("bit", F.lit(0)).alias("bit"))
+    )
+    keys = dense.groupBy(
+        "doc_id", (F.col("i") / 8).cast("int").alias("band")
+    ).agg(F.sum(F.col("bit") * F.expr("shiftleft(1, i % 8)")).alias("key"))
+    karr = keys.groupBy("doc_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("band", "key"))), lambda s: s["key"]).alias(
+            "keys"
+        )
+    )
+    cand = karr.select("doc_id", "keys", F.posexplode("keys").alias("band", "bk"))
+    a, b = cand.alias("a"), cand.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.keys"), F.col("b.keys"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 @register("q_multimodal_phash_dedup", oracle=None)  # binary kernel → rows-only
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup via pHash + band LSH: candidates share one identical

@@ -206,3 +206,20 @@ def test_empty_text_audio_doc_matches_oracle(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want
+
+
+def test_phash_pairs_contract(spark, sf_dir):
+    """q_phash_pairs (the oracle-checked pairing split, VERDICT r8 item
+    5): ordered pairs, Hamming bound respected, and every pair the full
+    rows-only phash query would form from the SAME fingerprints is
+    found — here checked structurally (da < db, hamming ≤ bound, no
+    duplicates); value correctness is the DuckDB oracle's job."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import (
+        multimodal as MM,
+    )
+
+    rows = MM.q_phash_pairs(spark, sf_dir).collect()
+    assert rows, "fixture should contain near-dup folds"
+    assert all(r["da"] < r["db"] for r in rows)
+    assert all(0 <= r["hamming"] <= MM._PHASH_MAX_HAMMING for r in rows)
+    assert len({(r["da"], r["db"]) for r in rows}) == len(rows)
