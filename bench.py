@@ -67,6 +67,14 @@ def noise_policy(committed: dict | None, sentinel_now: float) -> dict:
             ref = min(vals)
     if not ref:
         return {"noise_scale": None, "flagged": False, "write_main": True, "quiet_ref_sec": None}
+    # The reference is the QUIETEST credible measurement — including this
+    # run's own sentinel.  This makes scale ≥ 1 always (a fast box means
+    # the timings are MORE trustworthy, never something to inflate away),
+    # and it self-heals a contaminated committed reference: the r8 driver
+    # round-commit overwrote the quiet-box record with a 0.50 s-sentinel
+    # one; the first quiet run afterwards reads scale 1.0 and, once
+    # committed, carries the honest lower reference forward.
+    ref = min(ref, sentinel_now)
     scale = sentinel_now / ref
     flagged = scale > _NOISE_FLAG_SCALE
     force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"

@@ -40,6 +40,18 @@ def test_quiet_run_not_flagged_and_overwrites():
     assert not p["flagged"] and p["write_main"]
 
 
+def test_quieter_than_committed_reference_scales_to_one():
+    """A run QUIETER than the committed reference is the new reference:
+    scale 1.0, never < 1 (trustworthy timings are not inflated), and it
+    self-heals a contaminated committed record — the r8 driver
+    round-commit scenario, where the in-tree reference sentinel was the
+    loaded-box 0.50 s."""
+    p = bench.noise_policy(_committed(start=0.502, end=0.499), 0.2)
+    assert p["quiet_ref_sec"] == 0.2
+    assert p["noise_scale"] == 1.0
+    assert not p["flagged"] and p["write_main"]
+
+
 def test_loaded_run_flagged_and_guarded():
     # the r8 driver-box scenario: committed quiet 0.16/0.2, run at 0.5
     p = bench.noise_policy(_committed(), 0.5)
