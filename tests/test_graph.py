@@ -199,3 +199,34 @@ def test_triangle_counts_id_arm_identical(spark):
     assert _tri_map(G.triangle_counts(df, orient="degree")) == _tri_map(
         G.triangle_counts(df, orient="id")
     )
+
+
+def test_kcore_path_and_clique(spark):
+    """A 6-path (2-core empty: endpoints peel inward round by round)
+    glued to a 5-clique (4-core = the clique, every in-core degree 4)
+    — exercises multi-round peeling AND a surviving dense core."""
+    path = [(100 + i, 101 + i) for i in range(6)]
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(sorted(path + clique), "u long, v long")
+    core = {(r["node"], r["core_deg"]) for r in G.kcore(df, k=4, rounds=6).collect()}
+    assert core == {(i, 4) for i in range(5)}
+    # the path alone has no 2-core; needs len(path)//2 peel rounds
+    p = spark.createDataFrame(path, "u long, v long")
+    assert G.kcore(p, k=2, rounds=6).count() == 0
+
+
+def test_kcore_fixpoint_margin(spark, sf_dir):
+    """The fixed unroll must have slack: rounds-1 already reaches the
+    fixpoint on the fixture, so a regenerated fixture needing deeper
+    peeling fails HERE instead of silently diverging from the oracle."""
+    from conftest import rows_set
+
+    e = G.cosupply_edges(spark, sf_dir)
+    assert rows_set(G.kcore(e, rounds=G._KCORE_ROUNDS - 1)) == rows_set(
+        G.kcore(e, rounds=G._KCORE_ROUNDS)
+    )
+
+
+def test_kcore_degrees_at_least_k(spark, sf_dir):
+    rows = G.q_kcore(spark, sf_dir).collect()
+    assert all(r["core_deg"] >= G._KCORE_K for r in rows)
