@@ -322,6 +322,7 @@ def main() -> int:
         "q_stream_watermark_late",
         "q_matrix_power",
         "q_kmeans",
+        "q_kcore",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -266,3 +266,37 @@ def test_quality_classifier_broadcasts_model_stays_equi(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_kcore_peeling_stays_equi(spark, sf_dir, qs):
+    """Every peel round is a degree hash agg + two LEFT-SEMI equi-joins
+    against the >=k vertex set — no theta join may appear anywhere in
+    the peeled plan (the quantile-threshold scalar is materialized away
+    by the edge checkpoint before peeling starts)."""
+    plan = plan_of(qs["q_kcore"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_pairs_via_band_equijoin(spark, sf_dir, qs):
+    """Candidates must form ONLY inside (band, key) buckets — an
+    equi-join on the exploded band index; the only nested-loop joins
+    allowed are the broadcasts of the tiny 64-row densify grid (one per
+    self-join side — each side re-derives the fingerprints)."""
+    plan = plan_of(qs["q_phash_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 64-row dim grid, ×2 sides
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_assignment_shuffle_free(spark, sf_dir, qs):
+    """q_kmeans' assignment must stay NARROW: the centroids reach each
+    point as ONE broadcast row (a benign 1-row BroadcastNestedLoopJoin),
+    and no n×k join materialization may appear — the only
+    HashAggregates are the (cluster, dim) update and the final argmin-
+    free projection path."""
+    plan = plan_of(qs["q_kmeans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the per-iteration state is checkpointed, so the final plan is the
+    # LAST assignment only: one broadcast of the single centroid row
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -56,6 +56,18 @@ AUDIT = {
     "O(m^1.5) total work regardless of skew) — no CartesianProduct / BroadcastNestedLoopJoin "
     "anywhere in the counting plan; the in-plan p90 threshold scalar is materialized away by the "
     "edge checkpoint before counting starts",
+    "q_kmeans": "assignment is SHUFFLE-FREE: the k centroids collapse to ONE broadcast row and "
+    "each point computes argmin narrowly (array_min over transform with a zip_with/aggregate "
+    "fold — JVM higher-order functions, no Python, no n×k join materialization); the only "
+    "exchanges are the map-side-combinable (cluster, dim) update agg and the k·d-row state "
+    "checkpoint; the 1-row centroid-array side is the only nested-loop join (benign broadcast)",
+    "q_kcore": "each peel round is one map-side-combinable degree hash agg + two LEFT-SEMI "
+    "equi-joins against the ≥k vertex set — no theta joins; the live edge state explains as an "
+    "ExistingRDD scan (per-round checkpoints truncate lineage, the PageRank property), so the "
+    "plan never grows with peel depth",
+    "q_phash_pairs": "candidates form ONLY inside (band, key) buckets — a plain equi-join on the "
+    "exploded band index, never all-pairs; the Hamming confirm is one JVM-side "
+    "bit_count(XOR) fold per candidate; the 64-dim densify grid is a broadcast of a 64-row range",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
