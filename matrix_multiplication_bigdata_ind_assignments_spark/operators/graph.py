@@ -607,6 +607,106 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LP_ROUNDS = 5  # fixed synchronous rounds (a deterministic snapshot, see below)
+
+
+def label_prop(edges: DataFrame, rounds: int = _LP_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list ``(u, v)``: every node starts labeled with its
+    own id; each round, every node simultaneously adopts the most
+    frequent label among its neighbors (ties → smallest label).
+    Returns (node, label) after ``rounds`` rounds — nodes sharing a
+    label form a community.  This is the community primitive BETWEEN
+    connected components (q_dedup_components: too coarse on a connected
+    graph — one label) and triangles/k-core (local density, no
+    partition): LPA partitions a connected graph into dense regions.
+
+    Determinism contract: all-integer voting, a total tie-break
+    ((count DESC, label ASC) — both engines rank identically), and a
+    FIXED round count.  Synchronous LPA famously need not converge
+    (bipartite-ish structures oscillate with period 2) — the fixed
+    round count makes the result a deterministic SNAPSHOT, which is
+    exactly what an oracle can check; convergence-seeking variants
+    (async sweeps, damping) trade that determinism away and are out of
+    scope.  No floats anywhere, so no rounding contract is needed.
+
+    Scale shape (the PageRank loop template): per round, ONE join of
+    the symmetrized edge list against the |V|-row label state (label
+    side broadcast-able; at billion-node scale use the copartition
+    discipline of graph.pagerank) + one map-side-combinable (node,
+    label) count agg + one (node) argmax agg.  Label state is
+    localCheckpoint'ed per round."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("node").distinct().select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        msgs = sym.join(
+            F.broadcast(labels.select(F.col("node").alias("nbr"), "label")), "nbr"
+        ).select("node", "label")
+        votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _sql_label_prop(rounds: int = _LP_ROUNDS) -> str:
+    """The identical synchronous LPA unrolled into DuckDB CTEs over the
+    co-supply graph."""
+    ctes = [
+        """sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.s AS u, b.s AS v, count(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+thr AS (SELECT quantile_cont(shared, {q}) AS m FROM pairs),
+und AS MATERIALIZED (SELECT u, v FROM pairs, thr WHERE shared >= m),
+sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".replace("{q}", str(_TRI_Q))
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT s.node, l.label, count(*) AS cnt
+    FROM sym s JOIN l{i - 1} l ON s.nbr = l.node
+    GROUP BY s.node, l.label
+  ) QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS s_suppkey, CAST(label AS BIGINT) AS community
+FROM l{rounds}
+"""
+    )
+
+
+@register("q_label_prop", oracle=_sql_label_prop())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the supplier co-supply graph
+    (label_prop over cosupply_edges, 5 synchronous rounds): the
+    community-partition primitive next to q_triangle_count's local
+    density and q_kcore's dense cores.  ORACLE-CHECKED — all-integer
+    voting with a total (count DESC, label ASC) tie-break and a fixed
+    round count make the synchronous snapshot bit-reproducible in both
+    engines (see label_prop's determinism contract)."""
+    return label_prop(cosupply_edges(spark, sf_dir)).select(
+        F.col("node").alias("s_suppkey"), F.col("label").cast("long").alias("community")
+    )
+
+
 _KCORE_K = 8  # sf0.01 peels 97 → 48 vertices in 4 rounds (measured)
 _KCORE_ROUNDS = 6  # fixed unroll; fixpoint measured at ≤ 4 rounds on every SF
 

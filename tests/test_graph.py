@@ -230,3 +230,22 @@ def test_kcore_fixpoint_margin(spark, sf_dir):
 def test_kcore_degrees_at_least_k(spark, sf_dir):
     rows = G.q_kcore(spark, sf_dir).collect()
     assert all(r["core_deg"] >= G._KCORE_K for r in rows)
+
+
+def test_label_prop_partitions_disjoint_cliques(spark):
+    """Two disjoint cliques must each collapse to one community (the
+    clique's min id) — and a bridge edge between them must NOT merge
+    them at this density (each side's internal majority dominates)."""
+    c1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(sorted(c1 + c2 + [(3, 10)]), "u long, v long")
+    labels = {r["node"]: r["label"] for r in G.label_prop(df).collect()}
+    assert {labels[i] for i in range(4)} == {0}
+    assert {labels[10 + i] for i in range(4)} == {10}
+
+
+def test_label_prop_deterministic(spark, sf_dir):
+    from conftest import rows_set
+
+    e = G.cosupply_edges(spark, sf_dir)
+    assert rows_set(G.label_prop(e)) == rows_set(G.label_prop(e))
