@@ -323,6 +323,7 @@ def main() -> int:
         "q_matrix_power",
         "q_kmeans",
         "q_kcore",
+        "q_label_prop",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -68,6 +68,10 @@ AUDIT = {
     "q_phash_pairs": "candidates form ONLY inside (band, key) buckets — a plain equi-join on the "
     "exploded band index, never all-pairs; the Hamming confirm is one JVM-side "
     "bit_count(XOR) fold per candidate; the 64-dim densify grid is a broadcast of a 64-row range",
+    "q_label_prop": "the FINAL label state explains as a bare ExistingRDD scan (per-round "
+    "checkpoints truncate lineage, the PageRank property); per round the |V|-row label side is "
+    "broadcast against the symmetrized edges and both aggs (vote count, argmax) are map-side-"
+    "combinable hash aggs over integers — no theta joins, no floats",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
