@@ -54,6 +54,11 @@ _ENVELOPES = {
     # r8: 37.7 MB at sf0.1 (the co-supply pair generation dominates) —
     # the one new-this-round query over the ≥10 MB-at-bench-SF bar
     "q_triangle_count": 28_166,
+    # r9: the two new co-supply-graph consumers, both ≥10 MB at bench SF
+    # (37.7 / 39.1 MB at sf0.1 — again dominated by the shared pair
+    # generation; the peel/propagation loops themselves are |V|-scaled)
+    "q_kcore": 26_724,
+    "q_label_prop": 30_378,
 }
 
 # bench-only matmul shapes (operands derived from lineitem exactly as
