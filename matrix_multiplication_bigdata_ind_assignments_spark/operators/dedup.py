@@ -998,12 +998,23 @@ def fuzzy_candidates(names: DataFrame, cap: int) -> DataFrame:
 
 
 def connected_components(spark: SparkSession, pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """component_labels aggregated to groups: (comp, n_members,
+    keeper_id) with keeper = min doc_id per component."""
+    labels = component_labels(spark, pairs, a, b)
+    return labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+def component_labels(spark: SparkSession, pairs: DataFrame, a: str, b: str) -> DataFrame:
     """Min-label propagation to a fixpoint over an undirected pair list —
     the canonical DataFrame-native iterative algorithm (SURVEY.md's
     'iterative algorithms' rows-only class).  Deterministic; bounded by
     graph diameter.  At 100 TB each iteration is one shuffle keyed on the
     node id, and the candidate graph is orders of magnitude smaller than
-    the corpus.  Returns (comp, n_members, keeper_id)."""
+    the corpus.  Returns the PER-NODE labels (doc_id, comp) — consumed
+    by connected_components' group rollup and by q_dedup_keep_best's
+    quality-argmax keeper selection."""
     pairs = pairs.select(a, b).localCheckpoint(eager=True)
     # undirected edge list; consumed once per fixpoint round —
     # localCheckpoint (GC-scoped), not .cache() (session-scoped), so
@@ -1082,9 +1093,7 @@ def connected_components(spark: SparkSession, pairs: DataFrame, a: str, b: str) 
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
-    return labels.groupBy("comp").agg(
-        F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("keeper_id")
-    )
+    return labels
 
 
 def connected_components_star(
@@ -1217,6 +1226,96 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise matches into dedup groups (see
     connected_components for the fixpoint machinery)."""
     return connected_components(spark, q_dedup_minhash(spark, sf_dir), "da", "db")
+
+
+from .text import _STOPWORDS as _KB_STOPWORDS  # noqa: E402  (shared quality vocabulary)
+
+_SQL_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({_SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT da AS u, db AS v FROM pairs
+  UNION ALL
+  SELECT db AS u, da AS v FROM pairs
+),
+reach(n, m) AS (
+  SELECT DISTINCT u AS n, u AS m FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+),
+lbl AS (SELECT n, min(m) AS comp FROM reach GROUP BY n),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+             + 0.3 * (1 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) / greatest(n_chars, 1))
+             + 0.3 * (len(list_filter(string_split(text, ' '), x -> x IN {_KB_STOPWORDS!r}))
+                      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)), 6) AS quality
+  FROM documents
+),
+dl AS (
+  SELECT q.doc_id, coalesce(l.comp, q.doc_id) AS comp, q.quality
+  FROM q LEFT JOIN lbl l ON q.doc_id = l.n
+),
+ranked AS (
+  SELECT comp, doc_id, quality,
+         row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY comp) AS n_members
+  FROM dl
+)
+SELECT comp, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS keeper_id, quality AS keeper_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q_dedup_keep_best", oracle=_SQL_KEEP_BEST)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups with QUALITY-ARGMAX keeper selection — what a
+    production dedup actually ships: q_dedup_components keeps the
+    min-id member per group (a positional accident), but a pretraining
+    pipeline keeps the BEST member (Lee et al. keep one; CCNet keeps
+    by quality bucket).  Composition: MinHash-LSH candidate pairs →
+    per-node component labels (component_labels) → EVERY corpus doc
+    joined in (singletons form their own group) → per-group argmax of
+    the q_quality_score composite, ties broken by lowest doc_id.
+
+    Determinism contract: quality is the 6-dp-rounded portable
+    composite (quality_expr_6dp — identical rounding in the oracle),
+    so the DESC ranking compares identical decimals in both engines;
+    the (quality DESC, doc_id ASC) order is total.  Expressed as one
+    min(struct(-quality, doc_id)) agg — map-side combinable, no window
+    over the corpus.
+
+    Scale shape: the label fixpoint runs on the CANDIDATE graph
+    (orders of magnitude under the corpus); the corpus-sized work is
+    one left join against the |V(candidates)|-row label table
+    (broadcast at any realistic dup fraction) + one hash agg keyed on
+    comp."""
+    from .text import quality_expr_6dp
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_expr_6dp().alias("quality")
+    )
+    labels = component_labels(spark, q_dedup_minhash(spark, sf_dir), "da", "db")
+    dl = (
+        docs.join(
+            F.broadcast(labels.withColumnRenamed("comp", "lcomp")), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("lcomp", "doc_id").alias("comp"),
+            "quality",
+        )
+    )
+    best = dl.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id"))).alias("m"),
+    )
+    return best.select(
+        "comp",
+        "n_members",
+        F.col("m.id").alias("keeper_id"),
+        (-F.col("m.nq")).alias("keeper_quality"),
+    )
 
 
 # oracle is a CALLABLE only because _SQL_EMB_PAIRS is defined further down

@@ -206,10 +206,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(
-            0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio,
-            6,
-        ).alias("quality"),
+        quality_expr_6dp().alias("quality"),
+    )
+
+
+def quality_expr_6dp():
+    """The q_quality_score composite as one 6-dp-rounded Column over a
+    (text, n_chars) row — the portable form (identical rounding in the
+    DuckDB oracles), shared with q_dedup_keep_best's keeper ranking."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+    punct_ratio = n_punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    stop_ratio = sw / F.greatest(n_toks, F.lit(1.0))
+    return F.round(
+        0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio,
+        6,
     )
 
 

@@ -344,3 +344,34 @@ def test_per_row_band_expr_matches_batch_bands(spark, sf_dir):
         .collect()
     }
     assert batch == per_row
+
+
+def test_keep_best_keeper_dominates_group(spark, sf_dir):
+    """q_dedup_keep_best: every keeper's quality is the max of its
+    group (ties by lowest doc_id), singletons keep themselves, and the
+    groups partition the whole corpus."""
+    best = {r["comp"]: r for r in D.q_dedup_keep_best(spark, sf_dir).collect()}
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import (
+        quality_expr_6dp,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    docs = {
+        r["doc_id"]: r["q"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", quality_expr_6dp().alias("q"))
+        .collect()
+    }
+    labels = {
+        r["doc_id"]: r["comp"]
+        for r in D.component_labels(
+            spark, D.q_dedup_minhash(spark, sf_dir), "da", "db"
+        ).collect()
+    }
+    assert sum(r["n_members"] for r in best.values()) == len(docs)
+    for doc, q in docs.items():
+        comp = labels.get(doc, doc)
+        r = best[comp]
+        assert r["keeper_quality"] >= q
+        if q == r["keeper_quality"]:
+            assert r["keeper_id"] <= doc or docs[r["keeper_id"]] > q
