@@ -302,6 +302,7 @@ def _load_all() -> None:
         sampling,
         profiling,
         pipeline,
+        regression,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 

@@ -1,0 +1,122 @@
+"""Regression-operator invariants: the fit must recover known answers
+(the matmul cubic), agree with an independent solver (numpy lstsq /
+polyfit), drop degenerate series via the shared guard, stay
+partition-invariant (the exact-integer-sums property), and keep its
+one-pass partial-aggregate plan shape."""
+
+import re
+
+import duckdb
+import numpy as np
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import (
+    _ZIPF_K,
+    q_complexity_fit,
+    q_linreg,
+    q_ols_normal,
+    q_zipf_fit,
+)
+
+from conftest import SF_DIR, rows_set
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_complexity_fit_recovers_the_cubic(spark, sf_dir):
+    """The fixture's C and Python series are the reference's own naive
+    matmul timings — the fitted exponent must say 'cubic', and the Java
+    thread-sweep series (one size each → zero x-variance) must be
+    dropped by the degenerate-series guard, not fitted or crashed on."""
+    rows = {(r["lang"], r["algo"], r["threads"]): r for r in q_complexity_fit(spark, sf_dir).collect()}
+    assert set(rows) == {("c", "basic", 1), ("python", "basic", 1)}
+    for key, r in rows.items():
+        assert abs(r["exponent"] - 3.0) < 0.05, (key, r["exponent"])
+        assert r["r2"] > 0.999
+        assert r["n_points"] == 3
+
+
+def test_linreg_matches_numpy_polyfit(spark, sf_dir):
+    ours = {r["event_type"]: r for r in q_linreg(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS x, value"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).df()
+    assert set(ours) == set(pts["event_type"].unique())
+    for et, grp in pts.groupby("event_type"):
+        x = grp["x"].to_numpy(dtype=float)
+        # same fixed-point quantization of y the operator applies
+        y = np.floor(grp["value"].to_numpy(dtype=float) * 1e6 + 0.5) / 1e6
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(ours[et]["slope"] - slope) < 1e-4, et
+        assert abs(ours[et]["intercept"] - intercept) < 1e-3, et
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(ours[et]["r2"] - r * r) < 1e-3, et
+
+
+def test_ols_normal_matches_numpy_lstsq(spark, sf_dir):
+    row = q_ols_normal(spark, sf_dir).collect()
+    assert len(row) == 1
+    row = row[0]
+    con = duckdb.connect()
+    df = con.execute(f"SELECT text, n_chars FROM '{SF_DIR}/documents.parquet'").df()
+    stop = {"the", "a", "of", "and", "to"}
+    x1, x2, y = [], [], []
+    for text, n_chars in zip(df["text"], df["n_chars"]):
+        toks = [t for t in text.split(" ") if t]
+        sw = sum(1 for t in toks if t in stop)
+        punct = len(re.findall(r"[^a-z0-9 ]", text))
+        q = (
+            0.4 * min(len(toks) / 100.0, 1.0)
+            + 0.3 * (1 - punct / max(n_chars, 1))
+            + 0.3 * (sw / max(len(toks), 1))
+        )
+        x1.append(len(toks))
+        x2.append(sw)
+        y.append(np.floor(round(q, 6) * 1e6 + 0.5) / 1e6)
+    X = np.column_stack([np.ones(len(x1)), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, np.asarray(y), rcond=None)
+    assert row["n_rows"] == len(x1)
+    for got, want in zip((row["b0"], row["b1"], row["b2"]), beta):
+        assert abs(got - want) < 1e-4, (got, want)
+    resid = np.asarray(y) - X @ beta
+    sst = ((np.asarray(y) - np.mean(y)) ** 2).sum()
+    assert abs(row["r2"] - (1 - (resid**2).sum() / sst)) < 1e-3
+
+
+def test_zipf_fit_bounded_and_partition_invariant(spark, sf_dir):
+    base = rows_set(q_zipf_fit(spark, sf_dir))
+    assert len(base) == 1
+    n_points = [v for v in base[0] if isinstance(v, int)][0]
+    assert 0 < n_points <= _ZIPF_K
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert rows_set(q_zipf_fit(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_linreg_partition_invariant(spark, sf_dir):
+    base = rows_set(q_linreg(spark, sf_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert rows_set(q_linreg(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(base) > 0
+
+
+def test_fit_plans_stay_one_pass(spark, sf_dir):
+    """The OLS sums must keep the partial/final HashAggregate split (the
+    shuffle carries O(groups·d²) sum rows, not data), and the Zipf top-K
+    must plan as TakeOrderedAndProject — no global sort of the
+    wordcount."""
+    lin = plan_of(q_linreg(spark, sf_dir))
+    assert lin.count("HashAggregate") >= 2
+    zipf = plan_of(q_zipf_fit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in zipf
+    assert zipf.count("Sort ") <= 1  # only the bounded K-row window sort
