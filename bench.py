@@ -324,6 +324,12 @@ def main() -> int:
         "q_kmeans",
         "q_kcore",
         "q_label_prop",
+        # r9 additions: quality-argmax keeper dedup (components over the
+        # MinHash candidate graph + one argmin agg) and the gram+Cramer
+        # normal-equations OLS (the regression family's scale
+        # representative — one combinable pass, d² shuffle rows)
+        "q_dedup_keep_best",
+        "q_ols_normal",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -72,6 +72,13 @@ AUDIT = {
     "checkpoints truncate lineage, the PageRank property); per round the |V|-row label side is "
     "broadcast against the symmetrized edges and both aggs (vote count, argmax) are map-side-"
     "combinable hash aggs over integers — no theta joins, no floats",
+    "q_ols_normal": "the whole multivariate fit is ONE partial/final HashAggregate pair over "
+    "exact integer gram sums (the shuffle carries d²=10 numbers, not rows) followed by a "
+    "constant-size Cramer-solve projection on the single aggregated row — no second scan, no "
+    "driver loop, no join of any kind in the training plan",
+    "q_zipf_fit": "the global rank is bounded: orderBy().limit(K) plans as TakeOrderedAndProject "
+    "(per-partition partial top-K, no full-sort Exchange of the wordcount), and the only Sort is "
+    "the K-row window; the fit tail is the same partial/final gram-sum agg as q_ols_normal",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
