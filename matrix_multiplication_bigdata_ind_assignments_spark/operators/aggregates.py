@@ -430,3 +430,156 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_users"),
         F.count(F.lit(1)).cast("long").alias("n_daily_sketches"),
     )
+
+
+# ------------------------------------------------------- event analytics
+
+# shared IEEE ratio text (both engines): NULL on an empty denominator,
+# floor-based 4-dp half-up otherwise (round() disagrees at .5 boundaries)
+def _ratio4(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(CAST(floor((CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) * 10000 + 0.5) AS DOUBLE) / 10000) END"
+    )
+
+
+_FUNNEL_TAIL = f"""
+SELECT * FROM (
+  SELECT 'view' AS stage, n1 AS n_users,
+         {_ratio4('n1', 'n1')} AS conv_vs_prev, {_ratio4('n1', 'n1')} AS conv_vs_first
+  FROM f
+  UNION ALL
+  SELECT 'click', n2, {_ratio4('n2', 'n1')}, {_ratio4('n2', 'n1')} FROM f
+  UNION ALL
+  SELECT 'purchase', n3, {_ratio4('n3', 'n2')}, {_ratio4('n3', 'n1')} FROM f
+)
+"""
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+f AS (
+  SELECT (SELECT count(*) FROM v) AS n1,
+         (SELECT count(*) FROM c) AS n2,
+         (SELECT count(*) FROM p) AS n3
+)
+{_FUNNEL_TAIL}
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at each stage only if the stage event happens STRICTLY AFTER their
+    entry into the previous stage (first view, then first click after
+    that view, then first purchase after that click) — the temporal
+    ordering that separates funnel analysis from three independent
+    counts.  Shape at scale: three chained per-user min-aggregations,
+    all keyed on user_id — after the first exchange the join and the
+    following aggs reuse the same hash partitioning, so the funnel
+    depth adds map-side work, not shuffles; the three stage totals are
+    1-row frames whose joins broadcast."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    f = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    f.createOrReplaceTempView("f")
+    return spark.sql(_FUNNEL_TAIL)
+
+
+#: week index from the fixture's 2024-01-01 UTC origin (1704067200) —
+#: day-truncated epoch seconds keep the arithmetic integral; the engines
+#: spell epoch extraction differently but produce the same integer
+_WEEK_ORIGIN = 1_704_067_200
+_WEEK_SPARK = "CAST(floor((unix_timestamp(date_trunc('DAY', {ts})) - 1704067200) / 604800) AS BIGINT)"
+_WEEK_DUCK = "CAST(floor((epoch(date_trunc('day', {ts})) - 1704067200) / 604800) AS BIGINT)"
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id, {_WEEK_DUCK.format(ts="first_ts")} AS cohort_week FROM first_ev
+),
+act AS (
+  SELECT c.cohort_week,
+         {_WEEK_DUCK.format(ts="e.ts")} - c.cohort_week AS week_offset,
+         e.user_id
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+),
+ret AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+  FROM act GROUP BY cohort_week, week_offset
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week
+)
+SELECT r.cohort_week, r.week_offset, r.n_users,
+       {{ratio}} AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+""".replace("{ratio}", _ratio4("r.n_users", "s.cohort_size")),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of their
+    first event; each (cohort_week, week_offset) cell counts the
+    distinct cohort members active that many weeks later, with the
+    retention ratio against the cohort size.  Shape at scale: one
+    per-user min-agg (shuffle on user_id), one co-partitioned join back
+    to events (same key — no second exchange of the fact side), one
+    distinct-count agg over (cohort, offset), and a broadcast join
+    against the tiny cohort-size table.  Week bucketing is integral
+    epoch-day arithmetic, so the matrix is exact in both engines."""
+    e = load(spark, sf_dir, "events")
+    first_ev = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first_ev.selectExpr(
+        "user_id", f"{_WEEK_SPARK.format(ts='first_ts')} AS cohort_week"
+    )
+    act = e.join(cohort, "user_id").selectExpr(
+        "cohort_week",
+        f"{_WEEK_SPARK.format(ts='ts')} - cohort_week AS week_offset",
+        "user_id",
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(F.broadcast(sizes), "cohort_week").selectExpr(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        f"{_ratio4('n_users', 'cohort_size')} AS retention",
+    )
