@@ -443,17 +443,20 @@ def _ratio4(num: str, den: str) -> str:
     )
 
 
-_FUNNEL_TAIL = f"""
-SELECT * FROM (
-  SELECT 'view' AS stage, n1 AS n_users,
-         {_ratio4('n1', 'n1')} AS conv_vs_prev, {_ratio4('n1', 'n1')} AS conv_vs_first
-  FROM f
-  UNION ALL
-  SELECT 'click', n2, {_ratio4('n2', 'n1')}, {_ratio4('n2', 'n1')} FROM f
-  UNION ALL
-  SELECT 'purchase', n3, {_ratio4('n3', 'n2')}, {_ratio4('n3', 'n1')} FROM f
+#: per-stage output expressions (stage label, count, ratio texts) — the
+#: ratio arithmetic is shared verbatim; only row construction differs
+#: (Spark unpivots the single aggregated row with one stack() generator
+#: so the chain evaluates ONCE; DuckDB may re-evaluate its cheap CTE)
+_FUNNEL_STAGES = [
+    ("view", "n1", _ratio4("n1", "n1"), _ratio4("n1", "n1")),
+    ("click", "n2", _ratio4("n2", "n1"), _ratio4("n2", "n1")),
+    ("purchase", "n3", _ratio4("n3", "n2"), _ratio4("n3", "n1")),
+]
+
+_FUNNEL_TAIL = "\nUNION ALL\n".join(
+    f"SELECT '{s}' AS stage, {n} AS n_users, {rp} AS conv_vs_prev, {rf} AS conv_vs_first FROM f"
+    for s, n, rp, rf in _FUNNEL_STAGES
 )
-"""
 
 
 @register(
@@ -484,38 +487,48 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry into the previous stage (first view, then first click after
     that view, then first purchase after that click) — the temporal
     ordering that separates funnel analysis from three independent
-    counts.  Shape at scale: three chained per-user min-aggregations,
-    all keyed on user_id — after the first exchange the join and the
-    following aggs reuse the same hash partitioning, so the funnel
-    depth adds map-side work, not shuffles; the three stage totals are
-    1-row frames whose joins broadcast."""
+    counts.  Shape at scale: ONE scan and ONE shuffle — events group
+    once on user_id (min view-ts plus the user's click/purchase
+    timestamp lists), the stage-entry chain is per-user array logic
+    (filter + array_min, JVM higher-order functions; no previous stage
+    → null comparison → empty filter → null entry), and the three stage
+    totals close with a single combinable count agg.  The textbook
+    form (three chained filter→join→agg passes) plans 6 event scans
+    and 13 exchanges — this is the rewrite of it.  Per-user state is
+    bounded by that user's own event count (a pathological hot user
+    wants the span-split treatment, not a different algorithm)."""
     e = load(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    staged = per_user.select(
+        "t1",
+        F.array_min(F.filter("clicks", lambda c: c > F.col("t1"))).alias("t2"),
+        "purchases",
+    ).select(
+        "t1",
+        "t2",
+        F.array_min(F.filter("purchases", lambda p: p > F.col("t2"))).alias("t3"),
     )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    f = staged.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
-    f = (
-        v.agg(F.count(F.lit(1)).alias("n1"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    stack_args = ", ".join(
+        f"'{s}', {n}, {rp}, {rf}" for s, n, rp, rf in _FUNNEL_STAGES
     )
-    f.createOrReplaceTempView("f")
-    return spark.sql(_FUNNEL_TAIL)
+    return f.select(
+        F.expr(f"stack(3, {stack_args})").alias(
+            "stage", "n_users", "conv_vs_prev", "conv_vs_first"
+        )
+    )
 
 
 #: week index from the fixture's 2024-01-01 UTC origin (1704067200) —

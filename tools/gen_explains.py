@@ -72,6 +72,11 @@ AUDIT = {
     "checkpoints truncate lineage, the PageRank property); per round the |V|-row label side is "
     "broadcast against the symmetrized edges and both aggs (vote count, argmax) are map-side-"
     "combinable hash aggs over integers — no theta joins, no floats",
+    "q_funnel": "ONE parquet scan and ONE data exchange (hashpartitioning on user_id) for the "
+    "whole three-stage funnel: the per-user stage chain is array logic (filter/array_min over "
+    "the collected per-type timestamp lists — JVM higher-order functions), and the stage totals "
+    "close with a single combinable count agg; the textbook chained filter→join→agg form plans "
+    "6 scans / 13 exchanges and was rewritten away",
     "q_ols_normal": "the whole multivariate fit is ONE partial/final HashAggregate pair over "
     "exact integer gram sums (the shuffle carries d²=10 numbers, not rows) followed by a "
     "constant-size Cramer-solve projection on the single aggregated row — no second scan, no "
