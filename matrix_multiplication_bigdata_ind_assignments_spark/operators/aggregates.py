@@ -596,3 +596,130 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         f"{_ratio4('n_users', 'cohort_size')} AS retention",
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       {{ratio}} AS prob
+FROM (SELECT *, sum(n) OVER (PARTITION BY from_type) AS tot FROM pairs)
+""".replace("{ratio}", _ratio4("n", "tot")),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag each user's (ts, event_id)-ordered stream by one,
+    count (from_type → to_type) pairs, row-normalize into transition
+    probabilities — the behavioral model behind next-event prediction
+    and anomalous-session scoring.  Shape at scale: the sequence window
+    partitions on user_id (per-user sort of that user's OWN events —
+    parallel, no global order), the pair count is one combinable agg to
+    |types|² rows, and the normalizing sum is a window over that tiny
+    matrix.  Determinism: (ts, event_id) is a total order, counts are
+    integers, probabilities are the shared floor-rounded ratio text."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(seq_w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(tot_w).alias("tot"),
+    ).selectExpr("from_type", "to_type", "n", f"{_ratio4('n', 'tot')} AS prob")
+
+
+#: fixed recency anchor: the day after the fixture horizon
+#: (2024-02-01T00:00Z) — integral epoch-day arithmetic as in the cohort op
+_RFM_ANCHOR = 1_706_745_600
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(floor(({_RFM_ANCHOR} - epoch(date_trunc('day', max(ts)))) / 86400) AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS monetary_micro
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_micro DESC, user_id) AS INTEGER) AS m_score,
+         monetary_micro
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       (CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, Recency (days from last event to the
+    fixed fixture-horizon anchor), Frequency (event count) and Monetary
+    (exact fixed-point purchase-value sum), each scored into quintiles
+    by ntile(5) with a user_id tie-break (total order → deterministic
+    cut points), then aggregated into the segment matrix.  Shape at
+    scale: events collapse to the user dimension FIRST (one combinable
+    agg), so the global ntile sorts |users| rows, not |events| — and
+    past the point where even that sort hurts, the quintile boundaries
+    come from approx_percentile + a bucket join instead (the
+    q_approx_percentiles path); the ntile form is the exact-semantics
+    operator.  Monetary sums are exact µunit longs (the
+    functions.numeric route)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(floor(({_RFM_ANCHOR} - unix_timestamp(date_trunc('DAY', max(ts)))) / 86400) AS BIGINT)"
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("monetary_micro"),
+    )
+    scored = per_user.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_micro"), F.asc("user_id")))
+        .alias("m_score"),
+        "monetary_micro",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr(
+            "(CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100)"
+        ).alias("total_monetary"),
+    )

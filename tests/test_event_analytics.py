@@ -69,3 +69,48 @@ def test_event_analytics_partition_invariant(spark, sf_dir):
         assert rows_set(q_cohort_retention(spark, sf_dir)) == c_base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_markov_rows_normalize_to_one(spark, sf_dir):
+    """Each from_type's outgoing probabilities must sum to ~1 (4-dp
+    rounding slack), counts must be positive, and the pair count must
+    equal the lag-pair total recomputed independently."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_markov_transitions,
+    )
+
+    rows = q_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from: dict = {}
+    total_pairs = 0
+    for r in rows:
+        assert r["n"] > 0
+        by_from.setdefault(r["from_type"], []).append(r["prob"])
+        total_pairs += r["n"]
+    for ft, probs in by_from.items():
+        assert abs(sum(probs) - 1.0) < 5e-4 * len(probs), ft
+    con = duckdb.connect()
+    (expect,) = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+              FROM '{SF_DIR}/events.parquet') WHERE p IS NOT NULL"""
+    ).fetchone()
+    assert total_pairs == expect
+
+
+def test_rfm_segments_cover_all_users(spark, sf_dir):
+    """Segment cells must partition the user base (sum of n_users =
+    distinct users) and every score must be a 1..5 quintile."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_rfm_segments,
+    )
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    con = duckdb.connect()
+    (n_users,) = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        for s in (r["r_score"], r["f_score"], r["m_score"]):
+            assert 1 <= s <= 5
