@@ -459,9 +459,9 @@ _FUNNEL_TAIL = "\nUNION ALL\n".join(
 )
 
 
-@register(
-    "q_funnel",
-    oracle=f"""
+#: the funnel oracle — shared with q_stream_funnel (streaming/queries.py),
+#: whose availableNow replay must land on the identical 3-row table
+FUNNEL_ORACLE = f"""
 WITH v AS (
   SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
 ),
@@ -479,8 +479,10 @@ f AS (
          (SELECT count(*) FROM p) AS n3
 )
 {_FUNNEL_TAIL}
-""",
-)
+"""
+
+
+@register("q_funnel", oracle=FUNNEL_ORACLE)
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user counts
     at each stage only if the stage event happens STRICTLY AFTER their

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, sql_dec_sum
+from ..operators import aggregates as _AGG
 from ..operators.dedup import _SQL_MINHASH_BANDS_CTES
 from ..registry import register
 from ..sources.io import normalize_event_ts
@@ -811,3 +812,79 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(name)
+
+
+@register("q_stream_funnel", oracle=_AGG.FUNNEL_ORACLE)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel: a per-user stage machine in
+    applyInPandasWithState — state is three epoch-µs longs (first view,
+    first later click, first later purchase), each event can only
+    advance the machine, and the final emissions aggregate into the
+    SAME 3-row table as the batch q_funnel, which is the oracle
+    (hash-equal, not rows-only).  Ordering contract: rows are sorted
+    (ts, event_id) within each state invocation, so the replay —
+    one availableNow batch for the single-file fixture — reproduces
+    batch semantics exactly; across micro-batches the machine is
+    monotone, the production assumption of roughly-ordered ingestion
+    (a regression would surface as an oracle mismatch here).  State is
+    O(1) per user (24 bytes), the streaming-safe funnel shape."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("stage", LongType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1", LongType()),
+            StructField("t2", LongType()),
+            StructField("t3", LongType()),
+        ]
+    )
+
+    def advance(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for et, ts in zip(rows["event_type"], rows["ts"]):
+                us = int(ts.value // 1000)
+                if t1 == 0:
+                    if et == "view":
+                        t1 = us
+                elif t2 == 0:
+                    if et == "click" and us > t1:
+                        t2 = us
+                elif t3 == 0:
+                    if et == "purchase" and us > t2:
+                        t3 = us
+        state.update((t1, t2, t3))
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    s = _stream_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    staged = s.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(staged, "update")
+    # stage is monotone, so a user's final state is their max emission
+    final = res.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    f = final.agg(
+        F.count(F.when(F.col("stage") >= 1, 1)).alias("n1"),
+        F.count(F.when(F.col("stage") >= 2, 1)).alias("n2"),
+        F.count(F.when(F.col("stage") >= 3, 1)).alias("n3"),
+    )
+    stack_args = ", ".join(
+        f"'{s_}', {n}, {rp}, {rf}" for s_, n, rp, rf in _AGG._FUNNEL_STAGES
+    )
+    return f.select(
+        F.expr(f"stack(3, {stack_args})").alias(
+            "stage", "n_users", "conv_vs_prev", "conv_vs_first"
+        )
+    )

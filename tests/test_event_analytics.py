@@ -114,3 +114,16 @@ def test_rfm_segments_cover_all_users(spark, sf_dir):
     for r in rows:
         for s in (r["r_score"], r["f_score"], r["m_score"]):
             assert 1 <= s <= 5
+
+
+def test_stream_funnel_equals_batch_and_reruns(spark, sf_dir):
+    """The availableNow streaming funnel must land on the identical
+    3-row table as the batch operator, and calling it twice in one
+    session must work (uniquely-named memory sinks)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        q_stream_funnel,
+    )
+
+    batch = rows_set(q_funnel(spark, sf_dir))
+    assert rows_set(q_stream_funnel(spark, sf_dir)) == batch
+    assert rows_set(q_stream_funnel(spark, sf_dir)) == batch
