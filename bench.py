@@ -325,11 +325,15 @@ def main() -> int:
         "q_kcore",
         "q_label_prop",
         # r9 additions: quality-argmax keeper dedup (components over the
-        # MinHash candidate graph + one argmin agg) and the gram+Cramer
+        # MinHash candidate graph + one argmin agg), the gram+Cramer
         # normal-equations OLS (the regression family's scale
-        # representative — one combinable pass, d² shuffle rows)
+        # representative — one combinable pass, d² shuffle rows), the
+        # per-user Markov transition window, and the stateful streaming
+        # funnel (applyInPandasWithState stage machine, availableNow)
         "q_dedup_keep_best",
         "q_ols_normal",
+        "q_markov_transitions",
+        "q_stream_funnel",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
