@@ -72,6 +72,14 @@ AUDIT = {
     "checkpoints truncate lineage, the PageRank property); per round the |V|-row label side is "
     "broadcast against the symmetrized edges and both aggs (vote count, argmax) are map-side-"
     "combinable hash aggs over integers — no theta joins, no floats",
+    "q_markov_transitions": "the sequence lag window partitions on user_id (per-user sort only — "
+    "no global Sort/Exchange of the event stream beyond the one hash partitioning), the pair "
+    "count is a partial/final HashAggregate to |types|² rows, and the row-normalizing sum is a "
+    "window over that tiny matrix — nothing downstream of the first exchange scales with N",
+    "q_rfm_segments": "events collapse to the user dimension FIRST (one partial/final "
+    "HashAggregate), so the three global ntile windows sort |users| rows, not |events| — the "
+    "single-partition window is the stated exact-semantics cost, with the approx_percentile "
+    "bucket-join fallback in the contract; the segment rollup is one more combinable agg",
     "q_funnel": "ONE parquet scan and ONE data exchange (hashpartitioning on user_id) for the "
     "whole three-stage funnel: the per-user stage chain is array logic (filter/array_min over "
     "the collected per-type timestamp lists — JVM higher-order functions), and the stage totals "
