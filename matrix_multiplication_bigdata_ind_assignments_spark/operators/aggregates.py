@@ -459,6 +459,35 @@ _FUNNEL_TAIL = "\nUNION ALL\n".join(
 )
 
 
+def funnel_user_stages(e: DataFrame) -> DataFrame:
+    """Per-user funnel stage entries (user_id, t1, t2, t3) in one scan +
+    one user_id shuffle: min view-ts plus the user's click/purchase
+    timestamp lists, chained with filter/array_min higher-order
+    expressions (null-propagating: no previous stage → null comparison
+    → empty filter → null entry).  Shared by q_funnel and
+    q_funnel_latency."""
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
+    )
+    return per_user.select(
+        "user_id",
+        "t1",
+        F.array_min(F.filter("clicks", lambda c: c > F.col("t1"))).alias("t2"),
+        "purchases",
+    ).select(
+        "user_id",
+        "t1",
+        "t2",
+        F.array_min(F.filter("purchases", lambda p: p > F.col("t2"))).alias("t3"),
+    )
+
+
 #: the funnel oracle — shared with q_stream_funnel (streaming/queries.py),
 #: whose availableNow replay must land on the identical 3-row table
 FUNNEL_ORACLE = f"""
@@ -499,25 +528,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 13 exchanges — this is the rewrite of it.  Per-user state is
     bounded by that user's own event count (a pathological hot user
     wants the span-split treatment, not a different algorithm)."""
-    e = load(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).alias("clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("purchases"),
-    )
-    staged = per_user.select(
-        "t1",
-        F.array_min(F.filter("clicks", lambda c: c > F.col("t1"))).alias("t2"),
-        "purchases",
-    ).select(
-        "t1",
-        "t2",
-        F.array_min(F.filter("purchases", lambda p: p > F.col("t2"))).alias("t3"),
-    )
+    staged = funnel_user_stages(load(spark, sf_dir, "events"))
     f = staged.agg(
         F.count("t1").alias("n1"),
         F.count("t2").alias("n2"),
@@ -724,4 +735,63 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100)"
         ).alias("total_monetary"),
+    )
+
+
+#: exact-sum mean in ms grain, identical text both engines (sum of µs
+#: longs is exact; the division tree is shared)
+_LAT_AVG = (
+    "(CAST(floor(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1000000 * 1000 + 0.5) AS DOUBLE) / 1000)"
+)
+#: interpolated percentiles floor-rounded to WHOLE seconds: the
+#: quantile is a midpoint of exact integral µs values (exactly
+#: representable doubles), so the shared floor text is deterministic
+_LAT_P = "CAST(floor({q} / 1000000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+lat AS (
+  SELECT epoch_us(p.t3) - epoch_us(v.t1) AS lat_us
+  FROM p JOIN v ON p.user_id = v.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       {_LAT_AVG} AS avg_s,
+       {_LAT_P.format(q="quantile_cont(lat_us, 0.5)")} AS p50_s,
+       {_LAT_P.format(q="quantile_cont(lat_us, 0.9)")} AS p90_s
+FROM lat
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the completed funnel: per
+    converted user, the µs span from first view to the funnel-completing
+    purchase; reported as count, exact-sum mean (ms grain), and
+    interpolated p50/p90 (whole seconds — Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the q_percentiles equivalence; the quantile is a
+    midpoint of exactly-representable integral µs doubles, so the
+    shared floor-rounding text is deterministic, not grain-lucky).
+    Same one-scan one-shuffle shape as q_funnel (shared
+    funnel_user_stages helper); the latency agg collapses the converted
+    cohort to a single row."""
+    staged = funnel_user_stages(load(spark, sf_dir, "events"))
+    lat = staged.where(F.col("t3").isNotNull()).select(
+        (F.unix_micros("t3") - F.unix_micros("t1")).alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr(f"{_LAT_AVG}").alias("avg_s"),
+        F.expr(_LAT_P.format(q="percentile(lat_us, 0.5)")).alias("p50_s"),
+        F.expr(_LAT_P.format(q="percentile(lat_us, 0.9)")).alias("p90_s"),
     )

@@ -833,3 +833,61 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = pairs.agg(F.percentile("shared", F.lit(_TRI_Q)).alias("m"))
     return pairs.crossJoin(F.broadcast(thr)).where(F.col("shared") >= F.col("m")).select("u", "v")
+
+
+def _sql_degree_powerlaw() -> str:
+    """Degree-histogram power-law fit oracle over the trade graph
+    (trade_edges' CTE text) + the shared regression tail from
+    operators.regression."""
+    from .regression import _GUARD, _POWERLAW_SELECTS, _SUMS, _micro_ln
+
+    sums = ", ".join(f"{t} AS {k}" for k, t in _SUMS.items())
+    return f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node
+),
+hist AS (SELECT d, count(*) AS cnt FROM deg GROUP BY d),
+pts AS (SELECT {_micro_ln("CAST(d AS DOUBLE)")} AS x,
+               {_micro_ln("CAST(cnt AS DOUBLE)")} AS y FROM hist),
+g AS (SELECT {sums} FROM pts)
+SELECT {", ".join(_POWERLAW_SELECTS)} FROM g WHERE {_GUARD}
+"""
+
+
+@register("q_degree_powerlaw", oracle=_sql_degree_powerlaw())
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit over the supplier↔customer
+    trade graph (trade_edges — the co-supply graph is thresholded into
+    near-regularity, degree-degenerate at small SFs): the degree
+    histogram (degree d → node count) in log-log space, OLS slope =
+    the scale-free exponent −γ — the standard 'is this graph
+    heavy-tailed' diagnostic that decides whether skew remedies
+    (hot-key salting, degree orientation) are needed before the graph
+    algorithms run.  Composition: the graph family's edge derivation +
+    the regression family's shared-text fit (operators/regression.py)
+    — two combinable aggs (degree, histogram) then the O(1) fit tail;
+    nothing after the first exchange scales with |E|.  The TPC-H-ish
+    trade graph is not scale-free (r² is the diagnostic, as with
+    q_zipf_fit's fixture-honest slope); the fit reports what the
+    histogram says."""
+    from .regression import _POWERLAW_SELECTS, _fit, _micro_ln
+
+    edges = trade_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    points = hist.selectExpr(
+        f"{_micro_ln('CAST(d AS DOUBLE)')} AS x",
+        f"{_micro_ln('CAST(cnt AS DOUBLE)')} AS y",
+    )
+    return _fit(points, [], _POWERLAW_SELECTS)

@@ -387,3 +387,13 @@ def q_ols_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = points.groupBy().agg(*(F.expr(t).alias(k) for k, t in _OLS_SUMS.items()))
     return g.where(F.expr(_OLS_GUARD)).selectExpr(*_OLS_SELECTS)
+
+
+#: selects for the graph-degree power-law fit (q_degree_powerlaw,
+#: operators/graph.py) — same tail, graph-facing names
+_POWERLAW_SELECTS = [
+    "CAST(n AS BIGINT) AS n_points",
+    f"{_rnd(_SLOPE_U, 4)} AS powerlaw_exponent",
+    f"{_rnd(f'({_ICEPT_U} / CAST(1000000 AS DOUBLE))', 4)} AS ln_coef",
+    f"{_rnd(_R2, 4)} AS r2",
+]

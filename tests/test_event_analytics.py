@@ -127,3 +127,50 @@ def test_stream_funnel_equals_batch_and_reruns(spark, sf_dir):
     batch = rows_set(q_funnel(spark, sf_dir))
     assert rows_set(q_stream_funnel(spark, sf_dir)) == batch
     assert rows_set(q_stream_funnel(spark, sf_dir)) == batch
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """n_converted must equal the funnel's purchase-stage count, and the
+    latency stats must be ordered (0 < p50 <= p90, avg within range)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_funnel_latency,
+    )
+
+    (lat,) = q_funnel_latency(spark, sf_dir).collect()
+    purchase = {r["stage"]: r["n_users"] for r in q_funnel(spark, sf_dir).collect()}[
+        "purchase"
+    ]
+    assert lat["n_converted"] == purchase
+    if lat["n_converted"]:
+        assert 0 < lat["p50_s"] <= lat["p90_s"]
+        assert 0 < lat["avg_s"]
+
+
+def test_degree_powerlaw_matches_numpy(spark, sf_dir):
+    """The fitted slope must agree with numpy polyfit over the same
+    micro-nat histogram points (guard: the sf0.001 trade graph has 12
+    distinct degrees, so the fit is live at test scale)."""
+    import numpy as np
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import (
+        q_degree_powerlaw,
+    )
+
+    (row,) = q_degree_powerlaw(spark, sf_dir).collect()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    pts = con.execute(
+        """WITH e AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           deg AS (SELECT node, count(*) AS d
+                   FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY node)
+           SELECT d, count(*) AS cnt FROM deg GROUP BY d"""
+    ).df()
+    x = np.floor(np.log(pts["d"].to_numpy(dtype=float)) * 1e6 + 0.5)
+    y = np.floor(np.log(pts["cnt"].to_numpy(dtype=float)) * 1e6 + 0.5)
+    slope, _ = np.polyfit(x, y, 1)
+    assert row["n_points"] == len(pts)
+    assert abs(row["powerlaw_exponent"] - slope) < 1e-3
