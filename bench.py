@@ -31,10 +31,24 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 _NOISE_FLAG_SCALE = 1.5  # sentinel ratio past which a record is untrustworthy
+# Characterized quiet band for this box (AB_N4096.md: 16 interleaved reps,
+# genuine-quiet sentinel 0.15-0.21 s).  No credible sentinel can be below
+# the band's floor — a committed value under it is a measurement artifact
+# (the r9 record carried 0.077 s captured while loadavg fell 10.9→quiet,
+# which ratcheted the reference so low every genuinely-quiet future run
+# computed scale ≈ 2-2.7 and was diverted to BENCH_local_noisy.json —
+# VERDICT r9 defect 1).
+_QUIET_FLOOR_SEC = 0.15
+# A sentinel measured while loadavg exceeded this is not a credible
+# quiet-box reference either way — under CPU steal it reads high, and
+# mid-transition (load collapsing during the 0.5 s GEMM window) it can
+# read anomalously LOW, which is exactly the ratchet case above.
+_SENTINEL_CRED_LOADAVG = 4.0
 
 
 def noise_policy(committed: dict | None, sentinel_now: float) -> dict:
-    """Sentinel-based noise accounting (VERDICT r8 items 2 & 8).
+    """Sentinel-based noise accounting (VERDICT r8 items 2 & 8; ratchet
+    fix per VERDICT r9 defect 1 / ADVICE r9).
 
     ``committed`` is the parsed BENCH_local.json already in the tree (the
     quiet-box record committed last round), ``sentinel_now`` this run's
@@ -53,29 +67,54 @@ def noise_policy(committed: dict | None, sentinel_now: float) -> dict:
       committed one); it goes to BENCH_local_noisy.json instead.
       SPARK_GRAFT_BENCH_FORCE=1 overrides (e.g. after a hardware change
       that legitimately moved the sentinel).
+
+    Reference credibility (the r9 ratchet fix): a committed sentinel is
+    only trusted if its PAIRED loadavg (start sentinel ↔ loadavg_start,
+    end ↔ loadavg_end) was ≤ 4.0 — a value captured mid-load-transition
+    can be anomalously low and would otherwise lock every future quiet
+    run out of the main record.  Whatever survives is clamped to the
+    characterized 0.15 s quiet floor, so even a credibly-paired artifact
+    can't ratchet the reference below physics.
     """
     ref = None
     if committed:
         s = committed.get("noise_sentinel") or {}
+        pairs = [
+            (s.get("sentinel_start_sec"), s.get("loadavg_start")),
+            (s.get("sentinel_end_sec"), s.get("loadavg_end")),
+        ]
         vals = [
             v
-            for v in (s.get("sentinel_start_sec"), s.get("sentinel_end_sec"))
+            for v, _ in pairs
             if isinstance(v, (int, float)) and v > 0
         ]
-        if vals:
-            # the committed record's quietest observation is the reference
+        credible = [
+            v
+            for v, load in pairs
+            if isinstance(v, (int, float))
+            and v > 0
+            and (not isinstance(load, (int, float)) or load <= _SENTINEL_CRED_LOADAVG)
+        ]
+        if credible:
+            # the committed record's quietest CREDIBLE observation
+            ref = min(credible)
+        elif vals:
+            # both sentinels were captured under load: they are biased
+            # high, so min(vals) under-flags — acceptable, and the next
+            # quiet commit self-heals the reference downward
             ref = min(vals)
     if not ref:
         return {"noise_scale": None, "flagged": False, "write_main": True, "quiet_ref_sec": None}
     # The reference is the QUIETEST credible measurement — including this
     # run's own sentinel.  This makes scale ≥ 1 always (a fast box means
     # the timings are MORE trustworthy, never something to inflate away),
-    # and it self-heals a contaminated committed reference: the r8 driver
-    # round-commit overwrote the quiet-box record with a 0.50 s-sentinel
-    # one; the first quiet run afterwards reads scale 1.0 and, once
-    # committed, carries the honest lower reference forward.
-    ref = min(ref, sentinel_now)
-    scale = sentinel_now / ref
+    # and it self-heals a contaminated-HIGH committed reference: the r8
+    # driver round-commit overwrote the quiet-box record with a
+    # 0.50 s-sentinel one; the first quiet run afterwards reads scale 1.0
+    # and, once committed, carries the honest lower reference forward.
+    # The floor clamp is the contaminated-LOW counterpart (r9 defect 1).
+    ref = max(min(ref, sentinel_now), _QUIET_FLOOR_SEC)
+    scale = max(1.0, sentinel_now / ref)
     flagged = scale > _NOISE_FLAG_SCALE
     force = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
     return {

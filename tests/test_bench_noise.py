@@ -5,13 +5,13 @@ record overwrite guard.  Pure-python — no SparkSession."""
 import bench
 
 
-def _committed(start=0.2, end=0.16):
+def _committed(start=0.2, end=0.16, load_start=1.0, load_end=1.0):
     return {
         "noise_sentinel": {
             "sentinel_start_sec": start,
             "sentinel_end_sec": end,
-            "loadavg_start": 1.0,
-            "loadavg_end": 1.0,
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
         }
     }
 
@@ -68,3 +68,41 @@ def test_force_env_overrides_guard(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     p = bench.noise_policy(_committed(), 0.5)
     assert p["flagged"] and p["write_main"]
+
+
+def test_ratchet_regression_anomalous_low_sentinel_under_load():
+    """The r9 self-lock (VERDICT r9 defect 1): the committed record
+    carried sentinel_end 0.077 s captured while loadavg fell 10.9→quiet.
+    Its paired loadavg disqualifies it; the surviving start sentinel
+    (0.326 at loadavg 0.9) is the reference, so a genuinely-quiet run at
+    0.2 s reads scale 1.0 (self-heal, new low) and may write main —
+    before the fix it computed 0.2/0.077 = 2.6 and was diverted."""
+    p = bench.noise_policy(_committed(start=0.326, end=0.077, load_start=0.9, load_end=10.9), 0.2)
+    assert p["quiet_ref_sec"] == 0.2
+    assert p["noise_scale"] == 1.0
+    assert not p["flagged"] and p["write_main"]
+
+
+def test_floor_clamps_credibly_paired_artifact():
+    """Even a sub-floor sentinel with a quiet paired loadavg can't
+    ratchet the reference below the characterized 0.15 s quiet band."""
+    p = bench.noise_policy(_committed(start=0.05, end=0.06, load_start=0.5, load_end=0.5), 0.2)
+    assert p["quiet_ref_sec"] == bench._QUIET_FLOOR_SEC
+    assert p["noise_scale"] == round(0.2 / bench._QUIET_FLOOR_SEC, 3)
+    assert not p["flagged"] and p["write_main"]
+
+
+def test_scale_never_below_one_when_run_beats_floor():
+    """A run whose own sentinel lands under the floor is clamped to
+    scale 1.0 — trustworthy timings are never inflated."""
+    p = bench.noise_policy(_committed(), 0.1)
+    assert p["noise_scale"] == 1.0
+    assert not p["flagged"] and p["write_main"]
+
+
+def test_both_sentinels_under_load_fall_back_to_min():
+    """Both committed sentinels captured under load: biased HIGH, so
+    min(vals) under-flags — acceptable, self-heals on next quiet commit."""
+    p = bench.noise_policy(_committed(start=0.6, end=0.5, load_start=8.0, load_end=9.0), 0.5)
+    assert p["quiet_ref_sec"] == 0.5
+    assert p["noise_scale"] == 1.0 and p["write_main"]
