@@ -49,6 +49,26 @@ _KM_ITERS = 4  # fixed Lloyd iterations (assignment count; 3 centroid updates)
 _KM_DIMS = 64  # embedding dimensionality (all fixtures; oracle constant)
 
 
+def _half_up(col, dp: int):
+    """Half-up rounding as pure IEEE arithmetic — the repo's shared
+    numeric policy (regression.py `_rnd`): never engine-native
+    ``round()``, whose .5 behavior differs between Spark (HALF_UP on
+    the decimal repr) and DuckDB (banker's on doubles); a value landing
+    on a representable .5 boundary would flip one assignment and
+    cascade through every later Lloyd iteration (ADVICE r9).  Operand
+    magnitudes here (unit-norm coords ≤ 1, squared dists ≤ 4) keep
+    x·10^dp ≤ 4e12 ≪ 2^53, so the floor text is exact in both engines."""
+    s = float(10**dp)
+    return F.floor(col * F.lit(s) + F.lit(0.5)).cast("double") / F.lit(s)
+
+
+def _half_up_sql(expr: str, dp: int) -> str:
+    """The identical half-up text for the DuckDB oracle (same IEEE ops,
+    same literals — bit-identical by construction)."""
+    s = 10**dp
+    return f"(CAST(floor(({expr}) * {s}.0 + 0.5) AS DOUBLE) / {s}.0)"
+
+
 def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
     """Fixed-iteration deterministic Lloyd over ``points`` (vec_id,
     v: array<double>) → (vec_id, cluster, dist) after ``iters``
@@ -60,7 +80,7 @@ def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
             F.pmod("vec_id", F.lit(k)).alias("cl"), F.posexplode("v").alias("d", "x")
         )
         .groupBy("cl", "d")
-        .agg(F.round(F.avg("x"), 12).alias("cx"))
+        .agg(_half_up(F.avg("x"), 12).alias("cx"))
         .localCheckpoint(eager=True)
     )
     assigned = None
@@ -80,7 +100,7 @@ def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
             F.transform(
                 F.col("cents"),
                 lambda c: F.struct(
-                    F.round(
+                    _half_up(
                         F.aggregate(
                             F.zip_with(F.col("v"), c["cv"], lambda x, cc: (x - cc) * (x - cc)),
                             F.lit(0.0),
@@ -103,14 +123,14 @@ def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
             ncents = (
                 assigned.select(F.col("cluster").alias("cl"), F.posexplode("v").alias("d", "x"))
                 .groupBy("cl", "d")
-                .agg(F.round(F.avg("x"), 12).alias("ncx"))
+                .agg(_half_up(F.avg("x"), 12).alias("ncx"))
             )
             cents = (
                 cents.join(ncents, ["cl", "d"], "left")
                 .select("cl", "d", F.coalesce("ncx", "cx").alias("cx"))
                 .localCheckpoint(eager=True)
             )
-    return assigned.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+    return assigned.select("vec_id", "cluster", _half_up(F.col("dist"), 6).alias("dist"))
 
 
 def kmeans_centroids_frame(points: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -147,7 +167,7 @@ def kmeans_centroids_frame(points: DataFrame, k: int, rounds: int) -> DataFrame:
 
     pts = points.select("v").localCheckpoint(eager=True)
     cents = (
-        pts.select(F.transform("v", lambda x: F.round(x, 9)).alias("cv"))
+        pts.select(F.transform("v", lambda x: _half_up(x, 9)).alias("cv"))
         .dropDuplicates(["cv"])
         .orderBy("cv")
         .limit(k)
@@ -164,7 +184,7 @@ def kmeans_centroids_frame(points: DataFrame, k: int, rounds: int) -> DataFrame:
                 F.lit(0.0),
                 lambda a, x: a + x,
             )
-            return F.round(cn2 - 2.0 * dot, 12)
+            return _half_up(cn2 - 2.0 * dot, 12)
 
         best = F.array_min(
             F.transform(F.col("cents"), lambda c: F.struct(d2(c).alias("d"), c["cl"].alias("cl")))
@@ -174,7 +194,7 @@ def kmeans_centroids_frame(points: DataFrame, k: int, rounds: int) -> DataFrame:
             .select(best["cl"].alias("cl"), "v")
             .select("cl", F.posexplode("v").alias("d", "x"))
             .groupBy("cl", "d")
-            .agg(F.round(F.avg("x"), 12).alias("cx"))
+            .agg(_half_up(F.avg("x"), 12).alias("cx"))
             .groupBy("cl")
             .agg(
                 F.transform(
@@ -194,14 +214,17 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
     """The identical fixed-iteration Lloyd unrolled into DuckDB CTEs.
     Multi-referenced CTEs are AS MATERIALIZED (the q_triangle_count
     lesson: DuckDB re-inlines by default and can mis-plan the repeated
-    subtrees)."""
+    subtrees).  All rounding is the shared half-up floor-text
+    (_half_up_sql), never engine-native round() — ADVICE r9."""
     sq = f"(p.v[t+1] - c.cv[t+1]) * (p.v[t+1] - c.cv[t+1])"
+    cx12 = _half_up_sql("avg(p.v[g.d + 1])", 12)
+    dist12 = _half_up_sql(f"list_sum(list_transform(range({dims}), t -> {sq}))", 12)
     ctes = [
         """p AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS v FROM embeddings
 )""",
         f"""c0 AS MATERIALIZED (
-  SELECT vec_id % {k} AS cl, g.d, round(avg(p.v[g.d + 1]), 12) AS cx
+  SELECT vec_id % {k} AS cl, g.d, {cx12} AS cx
   FROM p, (SELECT unnest(range({dims})) AS d) g
   GROUP BY cl, g.d
 )""",
@@ -213,7 +236,7 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
         ctes.append(
             f"""a{i} AS MATERIALIZED (
   SELECT p.vec_id, c.cl,
-         round(list_sum(list_transform(range({dims}), t -> {sq})), 12) AS dist
+         {dist12} AS dist
   FROM p, l{i} c
   QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cl) = 1
 )"""
@@ -221,7 +244,7 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
         if i < iters:
             ctes.append(
                 f"""n{i} AS (
-  SELECT a.cl, g.d, round(avg(p.v[g.d + 1]), 12) AS cx
+  SELECT a.cl, g.d, {cx12} AS cx
   FROM a{i} a JOIN p ON a.vec_id = p.vec_id, (SELECT unnest(range({dims})) AS d) g
   GROUP BY a.cl, g.d
 )""",
@@ -236,7 +259,7 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT vec_id, cl AS cluster, round(dist, 6) AS dist FROM a{iters}
+SELECT vec_id, cl AS cluster, {_half_up_sql("dist", 6)} AS dist FROM a{iters}
 """
     )
 

@@ -800,7 +800,29 @@ GROUP BY node
     )
 
 
-@register("q_kcore", oracle=_sql_kcore())
+def _kcore_post_check(rows: list, cols: list) -> str | None:
+    """Fixpoint certificate for the gate SFs (ADVICE r9): a k-core is
+    valid iff every surviving vertex has degree ≥ k INSIDE the surviving
+    subgraph — exactly min(core_deg) ≥ k over the result.  If the fixed
+    {r}-round unroll ever stops short of fixpoint (e.g. a regenerated
+    fixture needing deeper peeling), Spark and the identically-unrolled
+    oracle would be wrong TOGETHER and still hash-match; this invariant
+    is engine-independent and fails the sweep loudly instead.  Empty
+    result (no {k}-core at this SF) is valid.""".replace(
+        "{r}", str(_KCORE_ROUNDS)
+    ).replace("{k}", str(_KCORE_K))
+    i = cols.index("core_deg")
+    bad = [r for r in rows if r[i] < _KCORE_K]
+    if bad:
+        return (
+            f"{len(bad)} vertices below the core bound (min core_deg "
+            f"{min(r[i] for r in bad)} < k={_KCORE_K}) — the fixed "
+            f"{_KCORE_ROUNDS}-round unroll did not reach fixpoint; raise _KCORE_ROUNDS"
+        )
+    return None
+
+
+@register("q_kcore", oracle=_sql_kcore(), post_check=_kcore_post_check)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The {k}-core of the supplier co-supply graph (kcore over
     cosupply_edges — the graph q_triangle_count counts on): suppliers

@@ -525,11 +525,20 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
 
         sample = _pq_train_sample_df(unit, n_sample).select(F.col("u").alias("v"))
         rows = kmeans_centroids_frame(sample, cells, _PQ_ROUNDS).orderBy("cl").collect()
+        if not rows:
+            # empty training sample: cents[...] below would IndexError
+            # (ADVICE r9) — surface the degenerate input as the same
+            # clear contract error the numpy path's np.unique-of-empty
+            # would eventually raise, instead of a modulo crash
+            raise ValueError(
+                "IVF centroid training got an EMPTY sample (no embedding rows) — "
+                "cannot train a coarse quantizer; check the embeddings input"
+            )
         cents = [[float(x) for x in r["cv"]] for r in rows]
         # < cells distinct training vectors → pad cyclically (the
         # degenerate-input contract _kmeans_fit implements via np.resize)
         while len(cents) < cells:
-            cents.append(cents[len(cents) % max(1, len(rows))])
+            cents.append(cents[len(cents) % len(rows)])
         return cents
     X = np.array([r["u"] for r in _pq_train_sample(unit, n_sample)])
     return [[float(x) for x in row] for row in _kmeans_fit(X, cells)]

@@ -33,6 +33,16 @@ class Query:
     fn: QueryFn
     oracle: Optional[object]  # see OracleSpec
     doc: str = ""
+    #: Optional semantic invariant over the COLLECTED Spark result,
+    #: ``(rows: list[tuple], cols: list[str]) -> str | None`` returning
+    #: an error message on violation.  Runs in the oracle sweep at the
+    #: gate SFs — for fixed-unroll iterative queries whose Spark result
+    #: and identically-unrolled oracle could be wrong TOGETHER if the
+    #: unroll stopped short of fixpoint (ADVICE r9 on q_kcore: a
+    #: regenerated fixture needing >6 peel rounds would hash green with
+    #: vertices below the core bound).  The invariant is the
+    #: engine-independent certificate the hash compare can't provide.
+    post_check: Optional[Callable[[list, list], Optional[str]]] = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -42,13 +52,16 @@ REGISTRY: dict[str, Query] = {}
 DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
 
 
-def register(name: str, oracle=None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn`` as query ``name`` with optional oracle SQL."""
+def register(name: str, oracle=None, post_check=None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as query ``name`` with optional oracle SQL
+    and optional post_check invariant (see Query.post_check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", post_check=post_check
+        )
         return fn
 
     return deco

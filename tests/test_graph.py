@@ -249,3 +249,18 @@ def test_label_prop_deterministic(spark, sf_dir):
 
     e = G.cosupply_edges(spark, sf_dir)
     assert rows_set(G.label_prop(e)) == rows_set(G.label_prop(e))
+
+
+def test_kcore_post_check_certificate():
+    """The sweep-level fixpoint certificate (ADVICE r9): valid cores
+    pass, a vertex below the bound fails loudly, empty result is valid."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import (
+        _KCORE_K,
+        _kcore_post_check,
+    )
+
+    cols = ["s_suppkey", "core_deg"]
+    assert _kcore_post_check([], cols) is None
+    assert _kcore_post_check([(1, _KCORE_K), (2, _KCORE_K + 3)], cols) is None
+    msg = _kcore_post_check([(1, _KCORE_K), (2, _KCORE_K - 1)], cols)
+    assert msg and "fixpoint" in msg

@@ -103,3 +103,21 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     # k-means codebook + ADC-shortlist exact re-rank: measured 0.98 at
     # sf0.001/sf0.01, 0.88 at sf0.1 (ANN_RECALL.md) — floor well below
     assert recall > 0.6
+
+
+def test_ivf_distributed_trainer_empty_sample_raises(spark, monkeypatch):
+    """Degenerate-input contract (ADVICE r9): an empty training sample
+    must raise a clear ValueError, not IndexError from the cyclic-pad
+    modulo."""
+    import pytest
+    from pyspark.sql import types as T
+
+    monkeypatch.setenv("MMBD_IVF_DIST_TRAIN", "1")
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("u", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    with pytest.raises(ValueError, match="EMPTY sample"):
+        S._ivf_train_centroids(empty, cells=4)

@@ -95,6 +95,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        # semantic invariant (registry post_check): catches the
+        # wrong-together failure mode of fixed-unroll iterative queries,
+        # where Spark and the identically-unrolled oracle would both stop
+        # short of fixpoint and still hash-match (ADVICE r9, q_kcore)
+        pc = registry.REGISTRY[name].post_check
+        if pc is not None:
+            msg = pc(spark_rows, list(spark_cols))
+            if msg:
+                print(f"FAIL  {name}: post_check: {msg}")
+                failures.append(name)
+                continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_rows)} rows (rows-only) [{time.time()-t0:.1f}s]")
             continue
