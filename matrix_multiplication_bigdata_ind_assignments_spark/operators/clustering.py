@@ -69,11 +69,57 @@ def _half_up_sql(expr: str, dp: int) -> str:
     return f"(CAST(floor(({expr}) * {s}.0 + 0.5) AS DOUBLE) / {s}.0)"
 
 
-def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
-    """Fixed-iteration deterministic Lloyd over ``points`` (vec_id,
-    v: array<double>) → (vec_id, cluster, dist) after ``iters``
-    assignment rounds.  See the module docstring for the determinism
-    contract and the per-iteration plan shape."""
+def _allc(cents: DataFrame) -> DataFrame:
+    """k·d centroid rows → k rows of (cl, cv array) → ONE broadcast row
+    (array<struct<cl, cv>> sorted by cl)."""
+    return (
+        cents.groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
+            ).alias("cv")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cl", "cv"))).alias("cents"))
+    )
+
+
+def _euclid_best():
+    """Narrow argmin over the broadcast centroid row: struct ordering =
+    (dist asc, cl asc) tie-break, dist = half-up-12dp Σ(x−c)²."""
+    return F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _half_up(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c["cv"], lambda x, cc: (x - cc) * (x - cc)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    12,
+                ).alias("dist"),
+                c["cl"].alias("cl"),
+            ),
+        )
+    )
+
+
+def _assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """One shuffle-free assignment pass: (vec_id, v, cluster, dist)."""
+    return (
+        points.crossJoin(F.broadcast(_allc(cents)))
+        .select("vec_id", "v", _euclid_best().alias("m"))
+        .select("vec_id", "v", F.col("m.cl").alias("cluster"), F.col("m.dist").alias("dist"))
+    )
+
+
+def lloyd_cents(points: DataFrame, k: int, updates: int) -> DataFrame:
+    """The ORACLE-CHECKABLE centroid evolution (shared by q_kmeans and
+    q_ann_ivf_assign): deterministic vec_id%k-mean init, then ``updates``
+    Lloyd update rounds, each = one shuffle-free Euclid-argmin assignment
+    + one map-side-combinable (cl, dim) avg with half-up-12dp rounding;
+    empty clusters keep their previous centroid.  Returns the (cl, d,
+    cx) centroid state — k·d rows, localCheckpoint'ed per round."""
     # init: centroid c = per-dim mean of the vec_id % k == c points
     cents = (
         points.select(
@@ -83,53 +129,28 @@ def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
         .agg(_half_up(F.avg("x"), 12).alias("cx"))
         .localCheckpoint(eager=True)
     )
-    assigned = None
-    for it in range(iters):
-        # k·d rows → k rows of (cl, cv array) → ONE broadcast row
-        allc = (
-            cents.groupBy("cl")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cx"))), lambda s: s["cx"]
-                ).alias("cv")
-            )
-            .agg(F.array_sort(F.collect_list(F.struct("cl", "cv"))).alias("cents"))
+    for _ in range(updates):
+        assigned = _assign(points, cents)
+        ncents = (
+            assigned.select(F.col("cluster").alias("cl"), F.posexplode("v").alias("d", "x"))
+            .groupBy("cl", "d")
+            .agg(_half_up(F.avg("x"), 12).alias("ncx"))
         )
-        # narrow argmin: struct ordering = (dist asc, cl asc) tie-break
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _half_up(
-                        F.aggregate(
-                            F.zip_with(F.col("v"), c["cv"], lambda x, cc: (x - cc) * (x - cc)),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        ),
-                        12,
-                    ).alias("dist"),
-                    c["cl"].alias("cl"),
-                ),
-            )
+        cents = (
+            cents.join(ncents, ["cl", "d"], "left")
+            .select("cl", "d", F.coalesce("ncx", "cx").alias("cx"))
+            .localCheckpoint(eager=True)
         )
-        assigned = (
-            points.crossJoin(F.broadcast(allc))
-            .select("vec_id", "v", best.alias("m"))
-            .select(
-                "vec_id", "v", F.col("m.cl").alias("cluster"), F.col("m.dist").alias("dist")
-            )
-        )
-        if it < iters - 1:
-            ncents = (
-                assigned.select(F.col("cluster").alias("cl"), F.posexplode("v").alias("d", "x"))
-                .groupBy("cl", "d")
-                .agg(_half_up(F.avg("x"), 12).alias("ncx"))
-            )
-            cents = (
-                cents.join(ncents, ["cl", "d"], "left")
-                .select("cl", "d", F.coalesce("ncx", "cx").alias("cx"))
-                .localCheckpoint(eager=True)
-            )
+    return cents
+
+
+def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+    """Fixed-iteration deterministic Lloyd over ``points`` (vec_id,
+    v: array<double>) → (vec_id, cluster, dist) after ``iters``
+    assignment rounds (= iters−1 centroid updates + one final
+    assignment).  See the module docstring for the determinism contract
+    and the per-iteration plan shape."""
+    assigned = _assign(points, lloyd_cents(points, k, iters - 1))
     return assigned.select("vec_id", "cluster", _half_up(F.col("dist"), 6).alias("dist"))
 
 
@@ -210,12 +231,17 @@ def kmeans_centroids_frame(points: DataFrame, k: int, rounds: int) -> DataFrame:
     return cents
 
 
-def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) -> str:
-    """The identical fixed-iteration Lloyd unrolled into DuckDB CTEs.
+def _sql_lloyd_ctes(k: int, updates: int, dims: int = _KM_DIMS) -> list[str]:
+    """The oracle-checkable Lloyd centroid evolution as DuckDB CTEs
+    (mirrors ``lloyd_cents``): p (points), c0 (vec_id%k-mean init), then
+    per update round l{i} (centroid lists), a{i} (Euclid argmin
+    assignment), n{i} (new means), c{i} (coalesce carry for empty
+    clusters) — ending with l{updates+1}, the final centroid lists.
     Multi-referenced CTEs are AS MATERIALIZED (the q_triangle_count
     lesson: DuckDB re-inlines by default and can mis-plan the repeated
     subtrees).  All rounding is the shared half-up floor-text
-    (_half_up_sql), never engine-native round() — ADVICE r9."""
+    (_half_up_sql), never engine-native round() — ADVICE r9.  Shared by
+    q_kmeans and q_ann_ivf_assign's oracles."""
     sq = f"(p.v[t+1] - c.cv[t+1]) * (p.v[t+1] - c.cv[t+1])"
     cx12 = _half_up_sql("avg(p.v[g.d + 1])", 12)
     dist12 = _half_up_sql(f"list_sum(list_transform(range({dims}), t -> {sq}))", 12)
@@ -229,10 +255,12 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
   GROUP BY cl, g.d
 )""",
     ]
-    for i in range(1, iters + 1):
+    for i in range(1, updates + 2):
         ctes.append(
             f"""l{i} AS (SELECT cl, list(cx ORDER BY d) AS cv FROM c{i - 1} GROUP BY cl)"""
         )
+        if i > updates:
+            break
         ctes.append(
             f"""a{i} AS MATERIALIZED (
   SELECT p.vec_id, c.cl,
@@ -241,20 +269,37 @@ def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) ->
   QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cl) = 1
 )"""
         )
-        if i < iters:
-            ctes.append(
-                f"""n{i} AS (
+        ctes.append(
+            f"""n{i} AS (
   SELECT a.cl, g.d, {cx12} AS cx
   FROM a{i} a JOIN p ON a.vec_id = p.vec_id, (SELECT unnest(range({dims})) AS d) g
   GROUP BY a.cl, g.d
 )""",
-            )
-            ctes.append(
-                f"""c{i} AS MATERIALIZED (
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
   SELECT o.cl, o.d, coalesce(n.cx, o.cx) AS cx
   FROM c{i - 1} o LEFT JOIN n{i} n ON o.cl = n.cl AND o.d = n.d
 )"""
-            )
+        )
+    return ctes
+
+
+def _sql_kmeans(k: int = _KM_K, iters: int = _KM_ITERS, dims: int = _KM_DIMS) -> str:
+    """q_kmeans oracle: the Lloyd chain (iters−1 updates) plus one final
+    Euclid-argmin assignment — identical text per round to the pre-split
+    form (the chain builder emits the same CTEs)."""
+    sq = f"(p.v[t+1] - c.cv[t+1]) * (p.v[t+1] - c.cv[t+1])"
+    dist12 = _half_up_sql(f"list_sum(list_transform(range({dims}), t -> {sq}))", 12)
+    ctes = _sql_lloyd_ctes(k, iters - 1, dims)
+    ctes.append(
+        f"""a{iters} AS MATERIALIZED (
+  SELECT p.vec_id, c.cl,
+         {dist12} AS dist
+  FROM p, l{iters} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cl) = 1
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)

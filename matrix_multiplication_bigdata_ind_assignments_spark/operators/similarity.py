@@ -1130,3 +1130,154 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked deterministic STAGES of the approximate indexes
+# (VERDICT r9 items 2-3: the q_dedup_simhash_pairs / q_phash_pairs
+# stage-split — the sketch/ANN *queries* are approximate by construction
+# and stay rows-only, but their candidate-generation / coarse-assignment
+# stages are pure deterministic algebra and earn full hash checks,
+# shrinking the declared rows-only set 10 → 8).
+
+_IVFA_K = 16  # coarse cells for the assignment query (≠ q_kmeans's k=8)
+_IVFA_UPDATES = 2  # Lloyd update rounds (≠ q_kmeans's 3)
+_IVFA_NPROBE = 2  # probes emitted per vector — the IVF serving fan-out
+
+
+def _sql_ivf_assign(
+    k: int = _IVFA_K, updates: int = _IVFA_UPDATES, nprobe: int = _IVFA_NPROBE, dims: int = 64
+) -> str:
+    """DuckDB oracle for q_ann_ivf_assign: the shared Lloyd CTE chain
+    (clustering._sql_lloyd_ctes — identical text to q_kmeans's oracle per
+    round) followed by the norm-invariant probe ranking."""
+    from .clustering import _half_up_sql, _sql_lloyd_ctes
+
+    cn2 = "list_sum(list_transform(c.cv, t -> t * t))"
+    dot = f"list_sum(list_transform(range({dims}), t -> p.v[t+1] * c.cv[t+1]))"
+    d2_12 = _half_up_sql(f"{cn2} - 2.0 * {dot}", 12)
+    ctes = _sql_lloyd_ctes(k, updates, dims)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, CAST(probe AS BIGINT) AS probe, cell, {_half_up_sql("d2_12", 6)} AS d2
+FROM (
+  SELECT vec_id, cell, d2_12,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2_12, cell) AS probe
+  FROM (SELECT p.vec_id, c.cl AS cell, {d2_12} AS d2_12 FROM p, l{updates + 1} c)
+) WHERE probe <= {nprobe}
+"""
+    )
+
+
+@register("q_ann_ivf_assign", oracle=_sql_ivf_assign())
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment as an ORACLE-CHECKED query (VERDICT r9
+    item 2): centroids from the oracle-green Lloyd recipe
+    (clustering.lloyd_cents — deterministic vec_id%k init, fixed update
+    rounds, half-up-12dp quantization), then every corpus vector ranks
+    its _IVFA_NPROBE (=2) nearest cells by the norm-invariant IVF
+    serving metric ‖c‖² − 2x·c (the same BLAS identity
+    similarity._kmeans_fit assigns with) with a total (d2, cell)
+    tie-break → (vec_id, probe, cell, d2).  This is the deterministic
+    stage the rows-only q_ann_ivf buries inside its index build — split
+    out, it hash-checks against the identical chain + ranking unrolled
+    in DuckDB.
+
+    Scale shape: the ranking pass is SHUFFLE-FREE — the k centroids
+    collapse to one broadcast row and each vector sorts k structs
+    narrowly (array_sort + slice + posexplode, all JVM higher-order
+    functions); this is the operator that labels 100 TB of vectors with
+    their IVF probe lists in one linear pass.  The training loop's
+    per-round exchange is O(k·d·partitions), corpus-independent
+    (clustering.lloyd_cents docstring)."""
+    from .clustering import _allc, _half_up, lloyd_cents
+
+    pts = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("v")
+    )
+    allc = _allc(lloyd_cents(pts, _IVFA_K, _IVFA_UPDATES))
+
+    def d2(c):
+        cn2 = F.aggregate(c["cv"], F.lit(0.0), lambda a, x: a + x * x)
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), c["cv"], lambda x, cc: x * cc),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return _half_up(cn2 - F.lit(2.0) * dot, 12)
+
+    scored = F.array_sort(
+        F.transform(F.col("cents"), lambda c: F.struct(d2(c).alias("d2"), c["cl"].alias("cell")))
+    )
+    return (
+        pts.crossJoin(F.broadcast(allc))
+        .select("vec_id", F.posexplode(F.slice(scored, 1, _IVFA_NPROBE)).alias("pos", "s"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("probe"),
+            F.col("s.cell").alias("cell"),
+            _half_up(F.col("s.d2"), 6).alias("d2"),
+        )
+    )
+
+
+def _sql_lsh_candidates() -> str:
+    """DuckDB oracle for q_lsh_candidates: rebuild the md5-derived
+    hyperplanes bit-identically in SQL (hex-nibble fold / 2^32 − 0.5 —
+    the same IEEE ops as the driver's int(md5[:8],16)/2**32 − 0.5),
+    project, sign, pack per-table buckets, expand the query side by the
+    full Hamming-1 flip list, and equi-join on (table, bucket)."""
+    nplanes = _N_TABLES * _BITS_PER_TABLE
+    nibble = (
+        "(strpos('0123456789abcdef', substr(md5('plane:' || pp.p || ':' || d), i+1, 1)) - 1)"
+        " * 16.0**(7-i)"
+    )
+    planeval = f"(list_sum(list_transform(range(8), i -> {nibble})) / 4294967296.0 - 0.5)"
+    flips = ", ".join(["0"] + [str(1 << b) for b in range(_BITS_PER_TABLE)])
+    return f"""
+WITH pl AS MATERIALIZED (
+  SELECT pp.p AS p, list_transform(range(64), d -> {planeval}) AS vl
+  FROM (SELECT unnest(range({nplanes})) AS p) pp
+),
+n AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, e -> e::DOUBLE) AS emb FROM embeddings
+),
+buck AS MATERIALIZED (
+  SELECT n.vec_id, pl.p // {_BITS_PER_TABLE} AS tbl,
+         SUM(CASE WHEN list_dot_product(n.emb, pl.vl) > 0
+                  THEN 1::BIGINT << (pl.p % {_BITS_PER_TABLE}) ELSE 0 END)::BIGINT AS bucket
+  FROM n, pl
+  GROUP BY n.vec_id, pl.p // {_BITS_PER_TABLE}
+),
+probes AS (
+  SELECT vec_id AS query_id, tbl, xor(bucket, f.fl::BIGINT) AS bucket
+  FROM buck, (SELECT unnest([{flips}]) AS fl) f
+  WHERE vec_id < {_N_QUERIES}
+)
+SELECT DISTINCT p.query_id, b.vec_id AS cand_id
+FROM probes p JOIN buck b ON p.tbl = b.tbl AND p.bucket = b.bucket
+WHERE b.vec_id <> p.query_id
+"""
+
+
+@register("q_lsh_candidates", oracle=_sql_lsh_candidates())
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate GENERATION as an ORACLE-CHECKED query (VERDICT r9
+    item 3): given the fixed md5-derived hyperplanes, the (query_id,
+    cand_id) candidate set of the multi-table index — 40 tables × 10-bit
+    sign signatures, query side expanded by the full Hamming-1 ball —
+    is pure deterministic algebra (integer buckets from float-sign
+    projections), so the PRODUCTION candidate stage (_lsh_candidates,
+    exactly what q_ann_lsh consumes) hash-checks against the same
+    construction in DuckDB.  Only the cosine re-rank downstream keeps
+    q_ann_lsh itself rows-only.
+
+    Cross-engine fp note: the sign bits compare numpy-GEMM projections
+    against DuckDB list_dot_product folds — different summation orders,
+    so a projection within ~1e-13 of zero could in principle flip a bit.
+    The fixture margins sit far from the boundary (the whole sweep
+    hash-matches); a quantize-before-sign would be the fix if a future
+    fixture ever lands on it."""
+    return _lsh_candidates(_normed(load(spark, sf_dir, "embeddings")))

@@ -300,3 +300,24 @@ def test_kmeans_assignment_shuffle_free(spark, sf_dir, qs):
     # the per-iteration state is checkpointed, so the final plan is the
     # LAST assignment only: one broadcast of the single centroid row
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_ivf_assign_ranking_shuffle_free(spark, sf_dir, qs):
+    """q_ann_ivf_assign's probe-ranking pass must stay NARROW: the k
+    centroids reach each vector as ONE broadcast row (a benign 1-row
+    BroadcastNestedLoopJoin) and the per-vector top-nprobe is
+    array_sort/slice/posexplode — no n×k join materialization, no
+    window exchange over the corpus."""
+    plan = plan_of(qs["q_ann_ivf_assign"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Window" not in plan  # ranking is in-array, not a window sort
+
+
+def test_lsh_candidates_equi_join_only(spark, sf_dir, qs):
+    """q_lsh_candidates must pair ONLY through the (table, bucket)
+    equi-join against the broadcast probe list — never all-pairs."""
+    plan = plan_of(qs["q_lsh_candidates"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -121,3 +121,38 @@ def test_ivf_distributed_trainer_empty_sample_raises(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="EMPTY sample"):
         S._ivf_train_centroids(empty, cells=4)
+
+
+def test_lsh_candidates_is_the_production_stage(spark, sf_dir):
+    """q_lsh_candidates must emit EXACTLY the candidate set q_ann_lsh
+    consumes (same _lsh_candidates call — the oracle-checked stage is
+    the production stage, not a parallel reimplementation), and every
+    ANN result pair must come from it."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.similarity import (
+        q_ann_lsh,
+        q_lsh_candidates,
+    )
+
+    cands = {(r["query_id"], r["cand_id"]) for r in q_lsh_candidates(spark, sf_dir).collect()}
+    topk = _pairs(q_ann_lsh(spark, sf_dir))
+    assert topk <= cands
+    assert all(q != c for q, c in cands)
+
+
+def test_ivf_assign_probe_contract(spark, sf_dir):
+    """Every vector gets exactly nprobe probes, rank-ordered by (d2,
+    cell), probe 1 strictly the argmin."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.similarity import (
+        _IVFA_NPROBE,
+        q_ann_ivf_assign,
+    )
+
+    rows = q_ann_ivf_assign(spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append((r["probe"], r["d2"], r["cell"]))
+    assert all(len(v) == _IVFA_NPROBE for v in by_vec.values())
+    for v in by_vec.values():
+        v.sort()
+        assert [p for p, _, _ in v] == list(range(1, _IVFA_NPROBE + 1))
+        assert (v[0][1], v[0][2]) <= (v[1][1], v[1][2])  # rank order respected
