@@ -383,3 +383,179 @@ def q_corpus_clean_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_dropped").cast("long").alias("tokens_dropped"),
         )
     )
+
+
+# -- strict clean v2 (VERDICT r9 item 4): the industry-standard curation
+# stack with the domain-blocklist and lexicon-toxicity gates composed in,
+# reporting per-stage kept/dropped docs AND tokens.
+
+_SQL_STRICT2_STAGES = ("quality", "domain", "toxicity", "exact_dedup", "span_dedup")
+
+
+def _sql_strict2() -> str:
+    from .text import (
+        _DOMAIN_RULES,
+        _SQL_HOST_CHAIN,
+        _SQL_SEEDED_HOST,
+        _SQL_TOX_SCORE,
+        _TOX_THRESH,
+    )
+
+    exacts = ", ".join(f"'{r}'" for r, k in _DOMAIN_RULES if k == "exact")
+    suffixes = ", ".join(f"'{r}'" for r, k in _DOMAIN_RULES if k == "suffix")
+    chain = _SQL_HOST_CHAIN.format(h=f"({_SQL_SEEDED_HOST})")
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks,
+         (0.4 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+        + 0.3 * (1 - len(regexp_extract_all(text, '[^a-z0-9 ]')) / greatest(n_chars, 1))
+        + 0.3 * (len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                 / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)))
+           >= {_CLEAN_QUALITY_MIN} AS q_ok,
+         (({_SQL_SEEDED_HOST}) IN ({exacts})
+          OR len(list_filter({chain}, el -> el IN ({suffixes}))) > 0) AS dom_blocked,
+         ({_SQL_TOX_SCORE}) >= {_TOX_THRESH} AS tox_blocked
+  FROM documents
+),
+s3 AS (
+  SELECT doc_id, text, n_toks,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored WHERE q_ok AND NOT dom_blocked AND NOT tox_blocked
+),
+s4 AS MATERIALIZED (SELECT doc_id, text, n_toks FROM s3 WHERE rn = 1),
+{sql_span_rolling_ctes("s4")},
+agg AS MATERIALIZED (
+  SELECT
+    (SELECT count(*) FROM scored) AS n_total,
+    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM scored) AS t_total,
+    (SELECT count(*) FROM scored WHERE q_ok) AS k1,
+    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM scored WHERE q_ok) AS t1,
+    (SELECT count(*) FROM scored WHERE q_ok AND NOT dom_blocked) AS k2,
+    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM scored
+      WHERE q_ok AND NOT dom_blocked) AS t2,
+    (SELECT count(*) FROM scored
+      WHERE q_ok AND NOT dom_blocked AND NOT tox_blocked) AS k3,
+    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM scored
+      WHERE q_ok AND NOT dom_blocked AND NOT tox_blocked) AS t3,
+    (SELECT count(*) FROM s4) AS k4,
+    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM s4) AS t4,
+    (SELECT CAST(coalesce(sum(n_kept), 0) AS BIGINT) FROM span_out) AS sk,
+    (SELECT CAST(coalesce(sum(n_dropped), 0) AS BIGINT) FROM span_out) AS sd
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_ord, 'quality' AS stage,
+         n_total AS docs_in, k1 AS docs_kept, n_total - k1 AS docs_dropped,
+         t1 AS tokens_kept, t_total - t1 AS tokens_dropped FROM agg
+  UNION ALL SELECT 2, 'domain', k1, k2, k1 - k2, t2, t1 - t2 FROM agg
+  UNION ALL SELECT 3, 'toxicity', k2, k3, k2 - k3, t3, t2 - t3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup', k3, k4, k3 - k4, t4, t3 - t4 FROM agg
+  UNION ALL SELECT 5, 'span_dedup', k4, k4, CAST(0 AS BIGINT), sk, sd FROM agg
+)
+"""
+
+
+@register("q_corpus_clean_strict2", oracle=_sql_strict2())
+def q_corpus_clean_strict2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict clean v2 — the full industry-standard curation stack in
+    ONE DAG (VERDICT r9 item 4): quality filter → domain/URL-blocklist
+    gate → lexicon toxicity gate → exact dedup keep-first → rolling-span
+    dedup, reporting per-stage (docs_in, docs_kept, docs_dropped,
+    tokens_kept, tokens_dropped) — the kept/dropped ledger a 100 TB
+    curation run is judged by (CCNet/RefinedWeb publish exactly this
+    table).
+
+    Physical shape: ALL three gate expressions (quality heuristic,
+    host-suffix-chain blocklist match against the literal rule set,
+    lexicon score) fuse into the ONE scan projection — no joins, no
+    UDFs; the exact dedup is the single md5(text) window shuffle; the
+    span kernel adds its one 20-gram-hash shuffle over the survivors;
+    the stage ledger is a handful of one-row aggregates stack()ed at
+    the end (the funnel lesson: never UNION ALL over a re-evaluated
+    upstream).  At a 1M-rule real blocklist the in-expression rule set
+    swaps for domain_gate's broadcast equi-join; at a 100k-term lexicon
+    the CASE swaps for the q_lm_perplexity vocab-join — both documented
+    swaps keep the stage ledger identical.  Fully oracle-checked."""
+    from .dedup import span_dedup_rolling as _span
+    from .text import (
+        _DOMAIN_RULES,
+        _TOX_THRESH,
+        _host_suffix_chain,
+        _seeded_host,
+        tox_score_expr,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_toks = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))).cast("double")
+    punct_ratio = n_punct / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    stop_ratio = sw / F.greatest(n_toks, F.lit(1.0))
+    quality = (
+        0.4 * F.least(n_toks / 100.0, F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    )
+    host = _seeded_host()
+    exacts = [r for r, k in _DOMAIN_RULES if k == "exact"]
+    suffixes = [r for r, k in _DOMAIN_RULES if k == "suffix"]
+    dom_blocked = host.isin(*exacts) | F.exists(
+        _host_suffix_chain(host), lambda el: el.isin(*suffixes)
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_toks"),
+        (quality >= _CLEAN_QUALITY_MIN).alias("q_ok"),
+        dom_blocked.alias("dom_blocked"),
+        (tox_score_expr(toks) >= F.lit(_TOX_THRESH)).alias("tox_blocked"),
+    ).localCheckpoint(eager=True)  # consumed by the ledger agg AND the survivor chain
+
+    def ksum(cond):
+        return F.sum(F.when(cond, F.col("n_toks")).otherwise(F.lit(0))).cast("long")
+
+    def kcnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    c_q = F.col("q_ok")
+    c_dom = c_q & ~F.col("dom_blocked")
+    c_tox = c_dom & ~F.col("tox_blocked")
+    agg_full = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("n_toks").cast("long").alias("t_total"),
+        kcnt(c_q).alias("k1"),
+        ksum(c_q).alias("t1"),
+        kcnt(c_dom).alias("k2"),
+        ksum(c_dom).alias("t2"),
+        kcnt(c_tox).alias("k3"),
+        ksum(c_tox).alias("t3"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s4 = (
+        scored.where(c_tox)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "n_toks")
+        .localCheckpoint(eager=True)  # ledger agg + span kernel
+    )
+    agg4 = s4.agg(
+        F.count(F.lit(1)).cast("long").alias("k4"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t4"),
+    )
+    agg_span = _span(s4.select("doc_id", "text")).agg(
+        F.coalesce(F.sum("n_kept"), F.lit(0)).cast("long").alias("sk"),
+        F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("long").alias("sd"),
+    )
+    return (
+        agg_full.crossJoin(agg4)
+        .crossJoin(agg_span)
+        .selectExpr(
+            """stack(5,
+  CAST(1 AS BIGINT), 'quality',     n_total, k1, n_total - k1, t1, t_total - t1,
+  CAST(2 AS BIGINT), 'domain',      k1,      k2, k1 - k2,      t2, t1 - t2,
+  CAST(3 AS BIGINT), 'toxicity',    k2,      k3, k2 - k3,      t3, t2 - t3,
+  CAST(4 AS BIGINT), 'exact_dedup', k3,      k4, k3 - k4,      t4, t3 - t4,
+  CAST(5 AS BIGINT), 'span_dedup',  k4,      k4, CAST(0 AS BIGINT), sk, sd
+) AS (stage_ord, stage, docs_in, docs_kept, docs_dropped, tokens_kept, tokens_dropped)"""
+        )
+    )

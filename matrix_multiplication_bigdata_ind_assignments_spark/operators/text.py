@@ -966,3 +966,199 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (odds > 0).alias("pred_keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation gates (VERDICT r9 item 4): the two standard CCNet/RefinedWeb
+# stages the strict-clean stack was missing — a domain/URL blocklist and
+# a lexicon toxicity gate.  Both pure relational, fully oracle-checked.
+# The fixtures carry no URLs (synthetic word-soup text), so a
+# deterministic URL is seeded per (source, doc_id) first — the q_pii_scrub
+# convention: both engines seed identically, the gate logic is real.
+
+#: blocklist stand-in (a real deployment reads ~1M rules from a table):
+#: exact rules match the full host; suffix rules match any registrable
+#: suffix of it (RFC-style: 'src11.example.com' blocks every subdomain).
+_DOMAIN_RULES: tuple[tuple[str, str], ...] = (
+    ("www.src3.example.com", "exact"),
+    ("www.src7.example.org", "exact"),
+    ("src11.example.com", "suffix"),
+    ("src15.example.net", "suffix"),
+)
+
+
+def _seeded_host():
+    """Deterministic host per document: www.<source>.example.<tld> with
+    the tld cycling by doc_id — 60 distinct hosts over the fixtures."""
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    return F.concat(F.lit("www."), F.col("source"), F.lit(".example."), tld)
+
+
+_SQL_SEEDED_HOST = (
+    "'www.' || source || '.example.' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END)"
+)
+
+
+def _host_suffix_chain(host):
+    """host → its dot-suffix chain, most-specific first:
+    www.a.example.com → [www.a.example.com, a.example.com, example.com,
+    com].  The chain is what makes suffix rules an EQUI-join: explode it
+    and match rules by equality instead of scanning every rule with
+    endswith — at 1M rules × 100 TB of docs that is the difference
+    between a broadcast hash join and an all-pairs predicate."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+_SQL_HOST_CHAIN = (
+    "list_transform(range(len(string_split({h}, '.'))), "
+    "i -> array_to_string(list_slice(string_split({h}, '.'), i + 1, "
+    "len(string_split({h}, '.'))), '.'))"
+)
+
+
+def domain_gate(docs: DataFrame, rules: DataFrame) -> DataFrame:
+    """Domain/URL-blocklist gate (CCNet/RefinedWeb stage): ``docs`` must
+    carry a ``host`` column; ``rules`` is (rule, kind) with kind
+    'exact' (full-host match) or 'suffix' (any dot-suffix match).
+    Returns docs + a ``blocked`` boolean.
+
+    Scale shape: the host's suffix chain (≤ label-count elements, ~4)
+    explodes per doc and equi-joins the BROADCAST rule table; an exact
+    rule only matches chain position 0 (the full host).  One narrow
+    explode + one broadcast hash join + one doc_id dedup — never an
+    endswith scan over the rule list."""
+    hits = (
+        docs.select("doc_id", F.posexplode(_host_suffix_chain(F.col("host"))).alias("i", "el"))
+        .join(F.broadcast(rules), F.col("el") == F.col("rule"))
+        .where((F.col("kind") == "suffix") | (F.col("i") == 0))
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return docs.join(hits, "doc_id", "left").withColumn(
+        "blocked", F.coalesce("blocked", F.lit(False))
+    )
+
+
+def _sql_domain_rules_values() -> str:
+    return ", ".join(f"('{r}', '{k}')" for r, k in _DOMAIN_RULES)
+
+
+@register(
+    "q_domain_filter",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {_SQL_SEEDED_HOST} AS host FROM documents
+),
+chain AS (
+  SELECT doc_id, unnest(ch) AS el, unnest(range(len(ch))) AS i
+  FROM (SELECT doc_id, {_SQL_HOST_CHAIN.format(h="host")} AS ch FROM d)
+),
+rules(rule, kind) AS (VALUES {_sql_domain_rules_values()}),
+hits AS (
+  SELECT DISTINCT c.doc_id
+  FROM chain c JOIN rules r ON c.el = r.rule
+  WHERE r.kind = 'suffix' OR c.i = 0
+)
+SELECT d.host AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (count(*) FILTER (WHERE h.doc_id IS NOT NULL) = count(*)) AS blocked
+FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.host
+""",
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/URL-blocklist gate as a query: seed the deterministic host
+    per document (the fixtures carry no URLs — q_pii_scrub convention),
+    run domain_gate against the 4-rule stand-in blocklist (2 exact-host
+    rules + 2 registrable-suffix rules), and report per-host doc counts
+    with the gate decision.  Every doc of a host shares its fate, so
+    ``blocked`` is constant per group — asserted by the all-or-nothing
+    aggregate.  ORACLE-CHECKED; the gate itself is one narrow
+    suffix-chain explode + one broadcast equi-join (domain_gate
+    docstring for the 100 TB posture)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", _seeded_host().alias("host"))
+    rules = spark.createDataFrame(list(_DOMAIN_RULES), "rule string, kind string")
+    gated = domain_gate(d, rules)
+    return gated.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("blocked").cast("int")) == F.count(F.lit(1))).alias("blocked"),
+    )
+
+
+#: lexicon toxicity stand-in (a real deployment reads a weighted term
+#: list — e.g. the Jigsaw/badwords lexicons): term → severity weight.
+#: Weights are exact binary fractions (multiples of 0.25) so the score
+#: sum is EXACT in doubles — no summation-order divergence is possible
+#: before the final division (cross-engine fp note).
+_TOX_LEXICON: tuple[tuple[str, float], ...] = (
+    ("slow", 1.0),
+    ("big", 0.5),
+    ("filter", 0.75),
+)
+_TOX_THRESH = 0.09  # score ≥ τ blocks; ~p80 of the fixture distribution
+
+
+def tox_score_expr(toks):
+    """Per-doc lexicon toxicity score: Σ weight(token) / n_tokens — a
+    pure higher-order expression (transform + aggregate over the token
+    array), JVM-side, fused into the scan.  For a 100k-term real
+    lexicon swap the literal CASE for a token-explode + broadcast join
+    (the q_lm_perplexity vocab pattern); the per-doc normalization is
+    identical."""
+    def weight(t):
+        expr = F.lit(0.0)
+        for term, wt in _TOX_LEXICON:
+            expr = F.when(t == term, F.lit(wt)).otherwise(expr)
+        return expr
+
+    total = F.aggregate(F.transform(toks, weight), F.lit(0.0), lambda a, x: a + x)
+    return total / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+_SQL_TOX_CASE = (
+    "CASE t WHEN 'slow' THEN CAST(1.0 AS DOUBLE) WHEN 'big' THEN CAST(0.5 AS DOUBLE) "
+    "WHEN 'filter' THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+)
+_SQL_TOX_SCORE = (
+    "list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), "
+    f"t -> {_SQL_TOX_CASE})) "
+    "/ greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)"
+)
+
+
+@register(
+    "q_toxicity_filter",
+    oracle=f"""
+SELECT doc_id,
+       (CAST(floor(({_SQL_TOX_SCORE}) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS tox_score,
+       ({_SQL_TOX_SCORE}) >= {_TOX_THRESH} AS blocked
+FROM documents
+""",
+)
+def q_toxicity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon toxicity gate (the Jigsaw-style curation stage): per-doc
+    score = Σ lexicon-weight(token) / n_tokens over the 3-term weighted
+    stand-in lexicon, gate at τ={t}.  Pure projection — the score fuses
+    into the scan (no shuffle, no UDF); exact-binary weights make the
+    sum engine-order-proof (see _TOX_LEXICON note).  ORACLE-CHECKED:
+    6-dp half-up score + the gate decision per document.""".replace(
+        "{t}", str(_TOX_THRESH)
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    score = tox_score_expr(toks)
+    six = F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+    return d.select(
+        "doc_id", six.alias("tox_score"), (score >= F.lit(_TOX_THRESH)).alias("blocked")
+    )

@@ -170,3 +170,44 @@ def test_snapshot_diff_classification(spark, sf_dir):
             assert r["op"] == "update"
             assert k % 7 == 0 or k % 13 == 0
             assert (r["old_status"] != r["new_status"]) or (r["old_price"] != r["new_price"])
+
+
+def test_strict2_ledger_invariants(spark, sf_dir):
+    """The per-stage kept/dropped ledger must CHAIN: stage i+1's docs_in
+    equals stage i's docs_kept, drops are non-negative everywhere, every
+    gate stage drops docs on the fixtures, and the span stage conserves
+    tokens (kept + dropped = stage-4 survivor tokens)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        q_corpus_clean_strict2,
+    )
+
+    rows = sorted(q_corpus_clean_strict2(spark, sf_dir).collect(), key=lambda r: r["stage_ord"])
+    assert [r["stage"] for r in rows] == [
+        "quality", "domain", "toxicity", "exact_dedup", "span_dedup"
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_in"] == a["docs_kept"]
+    for r in rows:
+        assert r["docs_dropped"] >= 0 and r["tokens_dropped"] >= 0
+        assert r["docs_in"] == r["docs_kept"] + r["docs_dropped"]
+    s4, sp = rows[3], rows[4]
+    assert sp["tokens_kept"] + sp["tokens_dropped"] == s4["tokens_kept"]
+    # the fixtures exercise every gate: each of the first three stages drops
+    assert all(r["docs_dropped"] > 0 for r in rows[:3])
+
+
+def test_domain_gate_blocks_expected_hosts(spark, sf_dir):
+    """Exact rules block only the full host; suffix rules block the whole
+    registrable domain (here: its www. subdomain in the matching tld)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import (
+        q_domain_filter,
+    )
+
+    rows = {r["host"]: r["blocked"] for r in q_domain_filter(spark, sf_dir).collect()}
+    assert rows["www.src3.example.com"] is True  # exact
+    assert rows["www.src7.example.org"] is True  # exact
+    assert rows["www.src11.example.com"] is True  # suffix
+    assert rows["www.src15.example.net"] is True  # suffix
+    assert rows["www.src3.example.org"] is False  # exact rule ≠ other tld
+    assert rows["www.src11.example.net"] is False  # suffix rule pins the tld
+    assert sum(rows.values()) == 4

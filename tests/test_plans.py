@@ -321,3 +321,22 @@ def test_lsh_candidates_equi_join_only(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_toxicity_filter_is_pure_projection(spark, sf_dir, qs):
+    """The lexicon gate must fuse into the scan: no Exchange, no join,
+    no Python — one narrow whole-stage-codegen projection."""
+    plan = plan_of(qs["q_toxicity_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_domain_filter_broadcast_equi_only(spark, sf_dir, qs):
+    """The blocklist gate must pair through the suffix-chain equi-join
+    against the BROADCAST rule table — never an endswith scan
+    (theta/nested-loop) over the rules."""
+    plan = plan_of(qs["q_domain_filter"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
