@@ -340,3 +340,35 @@ def test_domain_filter_broadcast_equi_only(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_latency_single_data_exchange(spark, sf_dir, qs):
+    """q_funnel_latency shares q_funnel's one-scan one-data-exchange
+    contract; the percentile tail is a 1-row agg, never a global sort of
+    the stream."""
+    plan = plan_of(qs["q_funnel_latency"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # user_id hashpartition + final 1-row agg
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_dedup_keep_best_no_corpus_window(spark, sf_dir, qs):
+    """Keeper selection must be the min(struct) hash agg — no Window
+    over the corpus, label join is a broadcast."""
+    plan = plan_of(qs["q_dedup_keep_best"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_powerlaw_shrinks_before_fit(spark, sf_dir, qs):
+    """The fit tail must be aggs, not joins: no Window, no cartesian;
+    the only joins are the edge-derivation equi-joins."""
+    plan = plan_of(qs["q_degree_powerlaw"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_fact_never_exchanged_for_join(spark, sf_dir, qs):
+    """The cohort join back to events must build on the |users|-row
+    side (broadcast at gate SFs) — no cartesian, no window."""
+    plan = plan_of(qs["q_cohort_retention"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "Window" not in plan

@@ -92,6 +92,39 @@ AUDIT = {
     "q_zipf_fit": "the global rank is bounded: orderBy().limit(K) plans as TakeOrderedAndProject "
     "(per-partition partial top-K, no full-sort Exchange of the wordcount), and the only Sort is "
     "the K-row window; the fit tail is the same partial/final gram-sum agg as q_ols_normal",
+    "q_funnel_latency": "same ONE-scan ONE-exchange contract as q_funnel (shared "
+    "funnel_user_stages: per-user stage chain is array logic after a single hashpartitioning "
+    "on user_id); the latency tail collapses the converted cohort to ONE row — the percentile "
+    "agg is a partial/final pair over that cohort, never a global sort of the event stream",
+    "q_cohort_retention": "the per-user first-event cohort table joins BACK to the fact as "
+    "a BroadcastHashJoin (BuildRight — the |users|-row side; past the broadcast threshold it "
+    "degrades to an SMJ reusing the min-agg's user_id partitioning), so the fact side is "
+    "never exchanged for the join; the distinct-count is a two-level partial/final expand and "
+    "the cohort-size side is a tiny broadcast — nothing downstream scales with |events|",
+    "q_degree_powerlaw": "graph × regression composition: two map-side-combinable hash aggs "
+    "(degree, then histogram) shrink |E| rows to |distinct degrees|, and the fit tail is the "
+    "shared gram-sum agg — ONE partial/final pair carrying 5 numbers — plus an O(1) "
+    "shared-text projection; nothing after the first exchange scales with |E|",
+    "q_dedup_keep_best": "keeper selection is ONE min(struct(-quality, doc_id)) hash agg keyed "
+    "on comp — map-side combinable, NO window over the corpus; the label fixpoint runs on the "
+    "candidate graph only, and the corpus joins the label table via broadcast left join",
+    "q_ann_ivf_assign": "the probe ranking is SHUFFLE-FREE: centroids collapse to ONE broadcast "
+    "row (the only nested-loop join, 1-row build side) and each vector's top-nprobe is "
+    "array_sort/slice/posexplode — JVM higher-order functions, no n×k join materialization, no "
+    "Window over the corpus; training exchanges are the k·d-row Lloyd update aggs",
+    "q_lsh_candidates": "candidates pair ONLY through the (table, bucket) equi-join against the "
+    "broadcast probe list — one Arrow GEMM kernel per batch builds the 40-bucket index column, "
+    "posexplode fans it out, and the distinct dedupes 2-long rows (payload joins happen "
+    "downstream in q_ann_lsh, never on the candidate stream)",
+    "q_domain_filter": "the blocklist gate is a narrow suffix-chain explode (≤4 elements/host) "
+    "+ ONE BroadcastHashJoin against the rule table — never an endswith/theta scan over the "
+    "rules; the per-host rollup is a partial/final hash agg",
+    "q_toxicity_filter": "pure projection: the lexicon score is a transform/aggregate fold "
+    "fused into the parquet scan — NO Exchange, NO join, NO Python anywhere in the plan",
+    "q_corpus_clean_strict2": "all three gates (quality, domain suffix-chain, lexicon score) "
+    "fuse into ONE scan projection ahead of the checkpoint; the only corpus-scale exchanges are "
+    "the md5(text) dedup window and the span kernel's 20-gram shuffle; the 5-stage ledger is "
+    "stack() over a single crossJoin of three 1-row aggregates — no re-evaluated branches",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
