@@ -103,6 +103,22 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+#: stateOperators metrics of the most recently drained stream (VERDICT r9
+#: item 7): the final progress event carrying state metrics, so callers
+#: (tests/test_streaming.py envelopes, tools/stream_state_probe.py) can
+#: pin numRowsTotal/memoryUsedBytes the way batch writers pin shuffle
+#: bytes.  Capture-only — no behavior change to the drain itself.
+_LAST_STATE: dict = {"sink": None, "ops": []}
+
+
+def last_state_metrics() -> list[dict]:
+    """The ``stateOperators`` list from the most recent `_run_to_memory`
+    drain's final state-bearing progress event (empty for stateless
+    streams).  Each entry carries the Structured Streaming state-store
+    accounting: ``numRowsTotal``, ``memoryUsedBytes``, operator name."""
+    return _LAST_STATE["ops"]
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain an availableNow trigger into a uniquely-named memory sink and
     return the materialized result."""
@@ -117,6 +133,13 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    _LAST_STATE["sink"] = name
+    _LAST_STATE["ops"] = []
+    for p in reversed(q.recentProgress):
+        ops = (p or {}).get("stateOperators") or []
+        if ops:
+            _LAST_STATE["ops"] = ops
+            break
     return spark.table(name)
 
 

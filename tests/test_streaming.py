@@ -261,3 +261,44 @@ def test_stream_dedup_near_flags_planted_duplicate(spark, tmp_path):
     assert got == {2}
     got2 = {r["doc_id"] for r in q_stream_dedup_near(spark, str(tmp_path)).collect()}
     assert got2 == {2}
+
+
+def test_stateful_stream_state_envelopes(spark, sf_dir):
+    """State-size envelopes (VERDICT r9 item 7 — the streaming twin of
+    the batch shuffle-byte envelopes): the state-store accounting from
+    the final progress event must track each operator's KEY cardinality,
+    never raw event count.  sf0.001: 15 users, 1000 events."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming import queries as SQ
+
+    def state_after(name):
+        getattr(SQ, name)(spark, sf_dir).count()
+        ops = SQ.last_state_metrics()
+        assert ops, f"{name}: no stateOperators captured"
+        return (
+            sum(o.get("numRowsTotal", 0) for o in ops),
+            sum(o.get("memoryUsedBytes", 0) for o in ops),
+        )
+
+    n_users = 15
+    n_events = 1000
+
+    # funnel machine: EXACTLY one state row per user; 24-byte payload →
+    # loose 4 KB/user ceiling including store overhead
+    rows, mem = state_after("q_stream_funnel")
+    assert rows == n_users
+    assert mem <= n_users * 4096
+
+    # session windows: bounded by sessions (≤ events), never a multiple
+    # of the stream
+    rows, mem = state_after("q_stream_session")
+    assert rows <= n_events
+    assert mem <= 2 * n_events * 4096
+
+    # interval join: only the in-window buffer survives the watermark —
+    # a tiny fraction of the stream
+    rows, _ = state_after("q_stream_stream_join")
+    assert rows <= n_events // 10
+
+    # watermarked window agg: one row per OPEN window
+    rows, _ = state_after("q_stream_watermark_late")
+    assert rows <= 10
