@@ -552,9 +552,10 @@ _WEEK_SPARK = "CAST(floor((unix_timestamp(date_trunc('DAY', {ts})) - 1704067200)
 _WEEK_DUCK = "CAST(floor((epoch(date_trunc('day', {ts})) - 1704067200) / 604800) AS BIGINT)"
 
 
-@register(
-    "q_cohort_retention",
-    oracle=f"""
+#: shared by q_cohort_retention and its streaming twin q_stream_cohort
+#: (streaming/queries.py) — batch equivalence IS the streaming oracle,
+#: the q_stream_funnel pattern
+COHORT_ORACLE = f"""
 WITH first_ev AS (
   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
 ),
@@ -577,8 +578,10 @@ sizes AS (
 SELECT r.cohort_week, r.week_offset, r.n_users,
        {{ratio}} AS retention
 FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
-""".replace("{ratio}", _ratio4("r.n_users", "s.cohort_size")),
-)
+""".replace("{ratio}", _ratio4("r.n_users", "s.cohort_size"))
+
+
+@register("q_cohort_retention", oracle=COHORT_ORACLE)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users are cohorted by the week of their
     first event; each (cohort_week, week_offset) cell counts the

@@ -911,3 +911,103 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage", "n_users", "conv_vs_prev", "conv_vs_first"
         )
     )
+
+
+@register("q_stream_cohort", oracle=_AGG.COHORT_ORACLE)
+def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort retention (VERDICT r9 item 8): per-user
+    FIRST-SEEN state in applyInPandasWithState — state is the first-event
+    epoch-µs, a monotone event counter, and the distinct set of absolute
+    event WEEKS (bounded by the calendar span, ~weeks not events) — whose
+    final emissions aggregate into the SAME retention matrix as the
+    batch q_cohort_retention, which is the oracle (hash-equal, the
+    q_stream_funnel batch-equivalence pattern).
+
+    Week bucketing is pure int64 arithmetic on epoch-µs (truncate to the
+    UTC day, then the shared epoch-week formula _WEEK_SPARK encodes), so
+    the pandas kernel and both engines' SQL agree exactly.  Across
+    micro-batches the state is a proper CRDT-ish merge (min of firsts,
+    union of weeks, sum of counts) and the max_by(n_seen) pick takes
+    each user's most-complete emission, so a multi-batch replay
+    converges to the same matrix.  State is O(1)×|users| + O(weeks) —
+    the streaming-safe cohort shape; state-size accounting rides the
+    same last_state_metrics capture as the other stateful streams."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("cohort_week", LongType()),
+            StructField("weeks", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_us", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("weeks", ArrayType(LongType())),
+        ]
+    )
+
+    _EPOCH0 = 1704067200  # the shared week-0 anchor (_WEEK_SPARK/_WEEK_DUCK)
+
+    def advance(key, pdf_iter, state: GroupState):
+        first_us, n_seen, weeks = (
+            state.get if state.exists else (None, 0, [])
+        )
+        wk = set(weeks or [])
+        for pdf in pdf_iter:
+            us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            if len(us):
+                lo = int(us.min())
+                first_us = lo if first_us is None else min(first_us, lo)
+                n_seen += len(us)
+                # truncate to UTC day, then the shared epoch-week formula
+                days = us // 86_400_000_000
+                wk.update(int(w) for w in ((days * 86_400 - _EPOCH0) // 604_800))
+        state.update((first_us, n_seen, sorted(wk)))
+        cohort_week = (first_us // 86_400_000_000 * 86_400 - _EPOCH0) // 604_800
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n_seen],
+                "cohort_week": [int(cohort_week)],
+                "weeks": [sorted(wk)],
+            }
+        )
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts")
+    emitted = s.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(emitted, "update")
+    # most-complete emission per user (n_seen is monotone per user)
+    final = res.groupBy("user_id").agg(
+        F.expr("max_by(struct(cohort_week, weeks), n_seen)").alias("m")
+    ).select("user_id", F.col("m.cohort_week").alias("cohort_week"), F.col("m.weeks").alias("weeks"))
+    act = final.select(
+        "user_id", "cohort_week", F.explode("weeks").alias("week")
+    ).select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    sizes = final.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(F.broadcast(sizes), "cohort_week").selectExpr(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        f"{_AGG._ratio4('n_users', 'cohort_size')} AS retention",
+    )

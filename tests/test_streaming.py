@@ -302,3 +302,18 @@ def test_stateful_stream_state_envelopes(spark, sf_dir):
     # watermarked window agg: one row per OPEN window
     rows, _ = state_after("q_stream_watermark_late")
     assert rows <= 10
+
+
+def test_stream_cohort_equals_batch(spark, sf_dir):
+    """The first-seen state machine must reproduce the batch retention
+    matrix exactly (the q_stream_funnel batch-equivalence contract),
+    and its state must stay one row per user."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_cohort_retention,
+    )
+
+    stream_res = sq.q_stream_cohort(spark, sf_dir)
+    state_rows = sum(o.get("numRowsTotal", 0) for o in sq.last_state_metrics())
+    batch = q_cohort_retention(spark, sf_dir)
+    assert rows_set(stream_res) == rows_set(batch)
+    assert state_rows == 15  # one state row per user at sf0.001
