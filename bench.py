@@ -373,6 +373,16 @@ def main() -> int:
         "q_ols_normal",
         "q_markov_transitions",
         "q_stream_funnel",
+        # r10 additions: the 5-stage curation ledger (strict2 runs the
+        # full gate stack + both dedups in one DAG — the heaviest new
+        # composite), the oracle-checked IVF coarse assignment (Lloyd
+        # training loop + shuffle-free probe ranking), the LSH candidate
+        # stage (Arrow GEMM index + probe equi-join), and the stateful
+        # streaming cohort (first-seen state machine + retention rollup)
+        "q_corpus_clean_strict2",
+        "q_ann_ivf_assign",
+        "q_lsh_candidates",
+        "q_stream_cohort",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
