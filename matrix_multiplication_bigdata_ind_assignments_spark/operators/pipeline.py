@@ -559,3 +559,166 @@ def q_corpus_clean_strict2(spark: SparkSession, sf_dir: str) -> DataFrame:
 ) AS (stage_ord, stage, docs_in, docs_kept, docs_dropped, tokens_kept, tokens_dropped)"""
         )
     )
+
+
+# -- r10 extension tail: semantic decontamination and token-budget
+# selection — two curation stages a modern pretraining pipeline runs
+# that the n-gram/quality stack above doesn't cover.
+
+_SEMDECON_TAU = 0.38  # 6-dp cosine threshold (fixture neighbors sit 0.35-0.5)
+
+
+def _sql_semdecon(tau: float = _SEMDECON_TAU) -> str:
+    cos6 = (
+        "(CAST(floor((list_dot_product(t.emb, e.emb) / (t.nrm * e.nrm)) * 1000000 + 0.5) "
+        "AS DOUBLE) / 1000000)"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+         sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                               list_transform(embedding, x -> x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+e AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+t AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+hits AS (
+  SELECT t.vec_id, {cos6} AS cos6
+  FROM t, e
+  WHERE {cos6} >= {tau}
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos6) AS max_cos
+FROM hits GROUP BY vec_id
+"""
+
+
+@register("q_decontaminate_semantic", oracle=_sql_semdecon())
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: training vectors whose embedding cosine
+    against ANY eval vector (vec_id % 50 == 0 stands in for the
+    benchmark, the q_decontaminate convention) clears τ={tau} — the
+    stage that catches PARAPHRASED benchmark leakage the n-gram scan
+    (q_decontaminate) is blind to.  Output: per contaminated training
+    vector, the hit count and the worst (max) 6-dp cosine.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    thousands of rows, ~2% here), so it collapses to ONE broadcast row
+    (array of (emb, nrm) structs — the kmeans allc pattern) and every
+    training vector scores it NARROWLY with transform/filter/aggregate
+    higher-order functions: no shuffle, no n_train×n_eval row
+    materialization, corpus-linear — the same posture as
+    q_decontaminate's broadcast shingle set.  Past a broadcast-sized
+    eval set, swap for the tiled cogrouped-GEMM bipartite join
+    (q_dedup_embedding's kernel); the threshold semantics are
+    unchanged.  Cosine is 6-dp half-up floor-text in both engines; the
+    ≥ τ compare runs on the quantized value so both engines gate
+    identically.""".replace("{tau}", str(_SEMDECON_TAU))
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    n = e.select("vec_id", "emb", nrm.alias("nrm"))
+    ev = (
+        n.where(F.col("vec_id") % 50 == 0)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("evs"))
+    )
+    tr = n.where(F.col("vec_id") % 50 != 0)
+
+    def cos6(s):
+        dot = F.aggregate(
+            F.zip_with(F.col("emb"), s["emb"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        c = dot / (F.col("nrm") * s["nrm"])
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+
+    hits = F.filter(
+        F.transform(F.col("evs"), cos6), lambda c: c >= F.lit(_SEMDECON_TAU)
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", hits.alias("hits"))
+        .where(F.size("hits") > 0)
+        .select(
+            "vec_id",
+            F.size("hits").cast("long").alias("n_hits"),
+            F.array_max("hits").alias("max_cos"),
+        )
+    )
+
+
+_TOKEN_BUDGET = 10_000  # tokens; ~55% of the sf0.01 corpus
+
+
+@register(
+    "q_token_budget_select",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+             + 0.3 * (1 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) / greatest(n_chars, 1))
+             + 0.3 * (len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)), 6) AS quality,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the maximal QUALITY-ORDERED
+    prefix of the corpus whose running token total fits the training
+    budget ({b} tokens here) — the 'we can afford N tokens, take the
+    best ones' stage that follows cleaning in a budgeted pretraining
+    run.  Output: the selected docs with their quality, token count,
+    and inclusive running total.
+
+    The global ordered cumsum is the scale hazard: a bare
+    ``sum() over (order by ...)`` plans a SinglePartition window over
+    the corpus.  This reuses q_sequence_pack's two-pass distributed
+    scan — range-partition on the (quality DESC, doc_id) sort key,
+    per-partition local cumsum keyed by partition id, per-partition
+    totals (one tiny row each) exclusive-scanned on the driver and
+    broadcast-joined back — so the only corpus-wide movement is the
+    range exchange the ordering requires.  Quality is the 6-dp portable
+    composite (quality_expr_6dp), so the DESC order ties break
+    identically in both engines via doc_id.""".replace("{b}", str(_TOKEN_BUDGET))
+    from .text import quality_expr_6dp
+
+    n_parts = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    base = (
+        d.select("doc_id", quality_expr_6dp().alias("quality"), toks.alias("n_tokens"))
+        .repartitionByRange(n_parts, F.col("quality").desc(), F.col("doc_id"))
+        .sortWithinPartitions(F.col("quality").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in base.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    running, bases = 0, []
+    for pid in sorted(totals):
+        bases.append((pid, running))
+        running += totals[pid]
+    offsets = spark.createDataFrame(bases or [(0, 0)], "pid int, base_off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w) + F.col("base_off")
+    return (
+        base.join(F.broadcast(offsets), "pid")
+        .select("doc_id", "quality", "n_tokens", cum.cast("long").alias("cum_tokens"))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+    )

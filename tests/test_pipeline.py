@@ -211,3 +211,57 @@ def test_domain_gate_blocks_expected_hosts(spark, sf_dir):
     assert rows["www.src3.example.org"] is False  # exact rule ≠ other tld
     assert rows["www.src11.example.net"] is False  # suffix rule pins the tld
     assert sum(rows.values()) == 4
+
+
+def test_token_budget_select_semantics(spark, sf_dir):
+    """Selected set = the maximal quality-ordered prefix within budget:
+    every selected cum_tokens <= budget, totals consistent, and every
+    EXCLUDED doc has (quality, -doc_id) strictly below the worst
+    selected one (prefix property)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        _TOKEN_BUDGET,
+        q_token_budget_select,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import (
+        quality_expr_6dp,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    sel = q_token_budget_select(spark, sf_dir).collect()
+    assert sel and max(r["cum_tokens"] for r in sel) <= _TOKEN_BUDGET
+    assert sum(r["n_tokens"] for r in sel) == max(r["cum_tokens"] for r in sel)
+    worst = min((r["quality"], -r["doc_id"]) for r in sel)
+    picked = {r["doc_id"] for r in sel}
+    alld = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_expr_6dp().alias("q")
+    ).collect()
+    for r in alld:
+        if r["doc_id"] not in picked:
+            assert (r["q"], -r["doc_id"]) < worst
+
+
+def test_semantic_decontamination_matches_exact_cosine(spark, sf_dir):
+    """Every flagged (train, hit-count) must agree with a brute-force
+    driver-side recomputation at the same 6-dp threshold."""
+    import numpy as np
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.pipeline import (
+        _SEMDECON_TAU,
+        q_decontaminate_semantic,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    ev = ids % 50 == 0
+    cos = (M[~ev] @ M[ev].T) / np.outer(nrm[~ev], nrm[ev])
+    cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+    expected = {
+        int(i): int(n) for i, n in zip(ids[~ev], (cos6 >= _SEMDECON_TAU).sum(axis=1)) if n
+    }
+    got = {
+        r["vec_id"]: r["n_hits"] for r in q_decontaminate_semantic(spark, sf_dir).collect()
+    }
+    assert got == expected

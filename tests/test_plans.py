@@ -372,3 +372,21 @@ def test_cohort_retention_fact_never_exchanged_for_join(spark, sf_dir, qs):
     side (broadcast at gate SFs) — no cartesian, no window."""
     plan = plan_of(qs["q_cohort_retention"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_token_budget_select_never_single_partitions(spark, sf_dir, qs):
+    """The quality-ordered cumsum must ride the two-pass distributed
+    scan (sequence_pack's kernel), never a single-partition global
+    window."""
+    plan = plan_of(qs["q_token_budget_select"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_semantic_decontamination_is_narrow(spark, sf_dir, qs):
+    """The eval set reaches each training vector as ONE broadcast row
+    (benign 1-row nested-loop); no shuffle of the training side, no
+    window, no n_train x n_eval materialization."""
+    plan = plan_of(qs["q_decontaminate_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Window" not in plan

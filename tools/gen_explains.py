@@ -125,6 +125,14 @@ AUDIT = {
     "fuse into ONE scan projection ahead of the checkpoint; the only corpus-scale exchanges are "
     "the md5(text) dedup window and the span kernel's 20-gram shuffle; the 5-stage ledger is "
     "stack() over a single crossJoin of three 1-row aggregates — no re-evaluated branches",
+    "q_decontaminate_semantic": "the eval set collapses to ONE broadcast row (array of "
+    "(emb, nrm) structs — the only nested-loop join, 1-row build side) and every training "
+    "vector scores it narrowly via transform/filter/aggregate — no shuffle of the training "
+    "side, no Window, no n_train×n_eval row materialization",
+    "q_token_budget_select": "the quality-ordered cumsum is the two-pass distributed scan "
+    "(sequence_pack's kernel): one RangePartitioning exchange on the sort key, a pid-local "
+    "window, and the per-partition base offsets return via BroadcastHashJoin — NO "
+    "SinglePartition window anywhere",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
