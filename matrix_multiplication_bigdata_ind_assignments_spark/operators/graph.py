@@ -913,3 +913,137 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_micro_ln('CAST(cnt AS DOUBLE)')} AS y",
     )
     return _fit(points, [], _POWERLAW_SELECTS)
+
+
+_BFS_ROUNDS = 6  # fixed unroll; the trade graph settles in ≤3 (dense bipartite)
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list
+    ``(src, dst)`` from a ``(node)`` seed set: returns (node, dist) for
+    every vertex reachable within ``rounds`` hops, dist = exact shortest
+    hop count (unit weights, so first-reach == minimal).
+
+    Scale shape (the delta/frontier form, NOT whole-vector relaxation):
+    each round joins the edge list against ONLY the newly-settled
+    frontier — per-round shuffle is O(|frontier| · avg-degree), not
+    O(|V|) — then anti-joins the visited set to keep first reaches.
+    Frontier and visited state are localCheckpoint'ed per round (swap
+    for .checkpoint() cadence on a real cluster, the graph.pagerank
+    discipline), so iteration k never re-plans k-1 predecessors.  At
+    100 TB this is the standard Pregel BFS: O(diameter) passes, each
+    linear in the edges actually touched.
+
+    Determinism/oracle contract: all-integer, monotone (a settled dist
+    never changes), fixed round count ≥ the measured fixpoint — the
+    identically-unrolled DuckDB min-relaxation CTEs agree exactly
+    (min-over-union relaxation and frontier first-reach compute the
+    same BFS levels).  The caller certifies fixpoint (q_bfs_hops runs
+    one extra expansion and fails loudly on any improvement) so a
+    regenerated fixture needing deeper search cannot hash green
+    wrong-together (the q_kcore / ADVICE-r9 lesson)."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for _ in range(rounds):
+        reached = (
+            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = reached.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist
+
+
+def _sql_bfs_hops(rounds: int = _BFS_ROUNDS) -> str:
+    """The identical BFS as unrolled min-relaxation CTEs over the trade
+    graph (monotone integer relaxation: min-over-union per round equals
+    the frontier algorithm's first-reach levels)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ed AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM ed WHERE src % 20 = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT ed.dst AS node, d.dist + 1 AS dist
+    FROM ed JOIN d{i - 1} d ON ed.src = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(dist AS BIGINT) AS dist
+FROM d{rounds}
+"""
+    )
+
+
+@register("q_bfs_hops", oracle=_sql_bfs_hops())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the supplier↔customer trade
+    graph (bfs_hops over trade_edges): every vertex's exact shortest
+    hop count from the seed set (suppliers with suppkey % 10 == 0) —
+    the graph-distance primitive beside q_pagerank's centrality and
+    q_kcore's density (reachability tiers, blast-radius analysis,
+    influence hops).  ORACLE-CHECKED via identically-unrolled
+    min-relaxation CTEs (all-integer, monotone, fixed unroll — see
+    bfs_hops' contract).  Fixpoint is CERTIFIED in-query: one extra
+    frontier expansion after the fixed rounds must reach nothing new,
+    else the query raises instead of letting Spark and the
+    identically-truncated oracle hash green wrong-together."""
+    edges = trade_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 20 == 0)
+        .distinct()
+    )
+    dist = bfs_hops(edges, seeds)
+    # fixpoint certificate: expanding the full settled set once more
+    # must improve nothing (monotone relaxation => this proves ALL
+    # shortest paths within the unroll are final)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    relaxed = (
+        sym.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+        .groupBy("node")
+        .agg(F.min("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(dist, "node", "left_outer")
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_bfs_hops: {improved} vertices still improvable after "
+            f"{_BFS_ROUNDS} rounds — raise _BFS_ROUNDS for this fixture"
+        )
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        (F.col("node") / 2).cast("long").alias("key"),
+        F.col("dist").cast("long").alias("dist"),
+    )

@@ -264,3 +264,48 @@ def test_kcore_post_check_certificate():
     assert _kcore_post_check([(1, _KCORE_K), (2, _KCORE_K + 3)], cols) is None
     msg = _kcore_post_check([(1, _KCORE_K), (2, _KCORE_K - 1)], cols)
     assert msg and "fixpoint" in msg
+
+
+def test_bfs_hops_known_graph(spark):
+    """Hand-checkable path 1-2-3-4-5 seeded at 1: dist = position."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    """Two seeds at the ends of a 5-path: middle vertex is 2 hops from
+    both; neighbors settle at 1 via their nearer seed."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_hops_unreachable_omitted(spark):
+    """Disconnected component never appears in the result."""
+    edges = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_hops_fixture_properties(spark, sf_dir):
+    """Gate-SF invariants: seeds at 0; every dist step is witnessed by
+    an edge (spot: all dists in [0, _BFS_ROUNDS]); suppliers sit on even
+    hops and customers on odd hops from an all-supplier seed set in a
+    bipartite graph."""
+    rows = G.q_bfs_hops(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dist"] <= G._BFS_ROUNDS
+        if r["kind"] == "supplier":
+            assert r["dist"] % 2 == 0
+        else:
+            assert r["dist"] % 2 == 1
+    assert all(r["dist"] == 0 for r in rows if r["kind"] == "supplier" and r["key"] % 10 == 0)
