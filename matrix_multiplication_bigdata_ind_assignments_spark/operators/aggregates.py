@@ -798,3 +798,99 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LAT_P.format(q="percentile(lat_us, 0.5)")).alias("p50_s"),
         F.expr(_LAT_P.format(q="percentile(lat_us, 0.9)")).alias("p90_s"),
     )
+
+
+#: 7-day attribution lookback, in µs (the frame bound is integral epoch
+#: micros in BOTH engines — unix_micros ≡ epoch_us, the q_funnel_latency
+#: equivalence)
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+#: a touch is packed into ONE sortable long — µs·4 + channel code
+#: (1=view, 2=click) — so min/max over a RANGE frame is a deterministic
+#: argmin/argmax in both engines (no struct-ordering divergence; µs·4
+#: tops out ≈ 7e15, far inside int64)
+_ATTR_KEY_SPARK = (
+    "CASE WHEN event_type = 'view'  THEN unix_micros(ts) * 4 + 1 "
+    "     WHEN event_type = 'click' THEN unix_micros(ts) * 4 + 2 END"
+)
+_ATTR_KEY_DUCK = (
+    "CASE WHEN event_type = 'view'  THEN epoch_us(ts) * 4 + 1 "
+    "     WHEN event_type = 'click' THEN epoch_us(ts) * 4 + 2 END"
+)
+
+ATTRIBUTION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us,
+         {_ATTR_KEY_DUCK} AS tkey
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_type, value,
+         max(tkey) OVER w AS last_key,
+         min(tkey) OVER w AS first_key
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING AND 1 PRECEDING)
+),
+pur AS (SELECT * FROM scored WHERE event_type = 'purchase'),
+long AS (
+  SELECT 'first_touch' AS model, first_key AS key, value FROM pur
+  UNION ALL
+  SELECT 'last_touch' AS model, last_key AS key, value FROM pur
+)
+SELECT model,
+       CASE WHEN key IS NULL THEN 'none'
+            WHEN key % 4 = 1 THEN 'view' ELSE 'click' END AS channel,
+       CAST(count(*) AS BIGINT) AS purchases,
+       {_sql_dec_sum('value', 6)} AS revenue
+FROM long GROUP BY model, channel
+"""
+
+
+@register("q_attribution", oracle=ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: each purchase's
+    value is credited to the user's FIRST and LAST touch (view/click)
+    inside a 7-day lookback strictly before the purchase, reported as
+    (model, channel) → purchase count + revenue — the first-touch /
+    last-touch pair every growth team reconciles.  Shape at scale: ONE
+    scan and ONE user_id shuffle — the preceding-touch argmin/argmax is
+    a RANGE-frame window over packed (µs·4+code) longs, NOT a per-
+    purchase×touch pairwise join (per-user quadratic; the difference
+    between O(events) and O(events·touches) at 100 TB), and both models
+    fall out of the same frame (max = last, min = first).  The closing
+    rollup is a combinable agg on a 6-key result.  Revenue sums take
+    the fixed-point route (functions/numeric.py) so the hash is
+    partition-order-proof."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.expr(_ATTR_KEY_SPARK).alias("tkey"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    pur = (
+        ev.withColumn("last_key", F.max("tkey").over(w))
+        .withColumn("first_key", F.min("tkey").over(w))
+        .where(F.col("event_type") == "purchase")
+    )
+    long = pur.select(
+        F.expr(
+            "stack(2, 'first_touch', first_key, 'last_touch', last_key)"
+        ).alias("model", "key"),
+        "value",
+    )
+    channel = (
+        F.when(F.col("key").isNull(), F.lit("none"))
+        .when(F.col("key") % 4 == 1, F.lit("view"))
+        .otherwise(F.lit("click"))
+    )
+    return long.groupBy("model", channel.alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("purchases"),
+        dec_sum("value", 6).alias("revenue"),
+    )

@@ -174,3 +174,49 @@ def test_degree_powerlaw_matches_numpy(spark, sf_dir):
     slope, _ = np.polyfit(x, y, 1)
     assert row["n_points"] == len(pts)
     assert abs(row["powerlaw_exponent"] - slope) < 1e-3
+
+
+def test_attribution_hand_fixture(spark):
+    """Hand-checkable timeline, one user:
+    t=0h view, t=1h click, t=2h purchase(10)  -> first=view, last=click
+    t=300h purchase(5)                        -> no touch in 7d window -> none
+    t=400h click, t=400h purchase(2)          -> same-µs touch EXCLUDED
+                                                 (strictly-before) -> none
+    t=500h view, t=500h+1µs purchase(3)       -> 400h click is 100h
+        back (inside 7d=168h) -> first=click; 500h view -> last=view."""
+    import datetime as dt
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import aggregates as A
+
+    base = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, base + 0 * h, 7, "view", 0.0, ""),
+        (2, base + 1 * h, 7, "click", 0.0, ""),
+        (3, base + 2 * h, 7, "purchase", 10.0, ""),
+        (4, base + 300 * h, 7, "purchase", 5.0, ""),
+        (5, base + 400 * h, 7, "click", 0.0, ""),
+        (6, base + 400 * h, 7, "purchase", 2.0, ""),
+        (7, base + 500 * h, 7, "view", 0.0, ""),
+        (8, base + 500 * h + us, 7, "purchase", 3.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["model"], r["channel"]): (r["purchases"], r["revenue"])
+            for r in A.q_attribution(spark, d).collect()
+        }
+    assert got == {
+        ("first_touch", "view"): (1, 10.0),
+        ("first_touch", "click"): (1, 3.0),
+        ("first_touch", "none"): (2, 7.0),
+        ("last_touch", "click"): (1, 10.0),
+        ("last_touch", "view"): (1, 3.0),
+        ("last_touch", "none"): (2, 7.0),
+    }
