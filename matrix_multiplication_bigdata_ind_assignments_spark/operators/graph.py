@@ -918,7 +918,9 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_ROUNDS = 6  # fixed unroll; the trade graph settles in ≤3 (dense bipartite)
 
 
-def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS, truncate: bool = True
+) -> DataFrame:
     """Multi-source BFS hop distance over an undirected edge list
     ``(src, dst)`` from a ``(node)`` seed set: returns (node, dist) for
     every vertex reachable within ``rounds`` hops, dist = exact shortest
@@ -932,7 +934,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> D
     for .checkpoint() cadence on a real cluster, the graph.pagerank
     discipline), so iteration k never re-plans k-1 predecessors.  At
     100 TB this is the standard Pregel BFS: O(diameter) passes, each
-    linear in the edges actually touched.
+    linear in the edges actually touched.  ``truncate=False`` keeps the
+    full lineage (results identical — integer monotone relaxation is
+    cadence-invariant) so plan-shape tests can inspect the per-round
+    join strategy that eager checkpoints otherwise materialize away.
 
     Determinism/oracle contract: all-integer, monotone (a settled dist
     never changes), fixed round count ≥ the measured fixpoint — the
@@ -942,12 +947,13 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> D
     one extra expansion and fails loudly on any improvement) so a
     regenerated fixture needing deeper search cannot hash green
     wrong-together (the q_kcore / ADVICE-r9 lesson)."""
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
-        eager=True
+    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
+    sym = ck(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
+    dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
     for _ in range(rounds):
         reached = (
@@ -956,8 +962,8 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS) -> D
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        new = reached.join(dist, "node", "left_anti").localCheckpoint(eager=True)
-        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        new = ck(reached.join(dist, "node", "left_anti"))
+        dist = ck(dist.unionAll(new))
         frontier = new
     return dist
 

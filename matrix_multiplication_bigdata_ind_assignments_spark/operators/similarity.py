@@ -1281,3 +1281,84 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches); a quantize-before-sign would be the fix if a future
     fixture ever lands on it."""
     return _lsh_candidates(_normed(load(spark, sf_dir, "embeddings")))
+
+
+_RP_OUT = 16  # Johnson-Lindenstrauss target dimensionality (64 → 16)
+
+#: DuckDB-side Rademacher sign: parity of int(md5('rp:k:d')[:8], 16) ==
+#: parity of the 8th hex nibble — the q_lsh_candidates md5-rebuild trick,
+#: one nibble instead of the 8-nibble fold because only the low bit is used
+_RP_SIGN_DUCK = (
+    "CASE WHEN (strpos('0123456789abcdef', "
+    "substr(md5('rp:' || k || ':' || d), 8, 1)) - 1) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+
+def _rp_signs():
+    """The (out × 64) ±1 Rademacher matrix, md5-derived (deterministic,
+    no RNG — SURVEY.md §1.4), shared by the Spark kernel and tests."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"rp:{k}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+                else -1.0
+                for d in range(64)
+            ]
+            for k in range(_RP_OUT)
+        ]
+    )
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+WITH sgn AS (
+  SELECT k, d, {_RP_SIGN_DUCK} AS s
+  FROM (SELECT unnest(range({_RP_OUT})) AS k), (SELECT unnest(range(64)) AS d)
+),
+coo AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xi
+  FROM embeddings, (SELECT unnest(range(64)) AS d) g
+)
+SELECT c.vec_id, CAST(s.k AS BIGINT) AS k,
+       CAST(sum(s.s * c.xi) AS DOUBLE) / 1000000 / 4.0 AS v
+FROM coo c JOIN sgn s ON s.d = c.d
+GROUP BY c.vec_id, s.k
+""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → {out} dims over the
+    embeddings table: y = S·x / √{out} with an md5-derived Rademacher
+    ±1 matrix (Achlioptas 2003's database-friendly JL) — the standard
+    pre-reduction before ANN indexing / clustering at 100 TB, where
+    shrinking every vector 4× shrinks every downstream shuffle 4×.
+    Shape at scale: ZERO exchanges — one vectorized pandas_udf GEMM per
+    Arrow batch (the q_ann_lsh projection pattern) plus a map-side
+    posexplode to (vec_id, k, v) rows; nothing scales beyond the scan.
+    Determinism contract: inputs are quantized to exact 1e-6 fixed
+    point (floor(x·1e6 + 0.5) — functions/numeric.py's fx recipe), so
+    every dot product is EXACT integer arithmetic inside float64's 2^53
+    window (≤ 64 terms × 1e6-scale ≈ 2^26) and the hash is summation-
+    order-proof in both engines; /1e6 and /4 are single exact IEEE
+    ops.""".replace("{out}", str(_RP_OUT))
+    import numpy as np
+
+    signs = _rp_signs()
+
+    @F.pandas_udf("array<double>")
+    def project(emb_s: pd.Series) -> pd.Series:
+        M = np.stack(emb_s.to_numpy()).astype(np.float64)  # (batch, 64)
+        Mi = np.floor(M * 1e6 + 0.5)  # exact integers as doubles
+        return pd.Series(list(Mi @ signs.T / 1e6 / 4.0))
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(project(F.col("embedding"))).alias("k", "v")
+    ).select("vec_id", F.col("k").cast("long").alias("k"), "v")

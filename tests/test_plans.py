@@ -390,3 +390,21 @@ def test_semantic_decontamination_is_narrow(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "Window" not in plan
+
+
+def test_random_projection_zero_exchange(spark, sf_dir, qs):
+    """JL projection is a map-only kernel: scan → pandas_udf GEMM →
+    posexplode.  Any Exchange means someone rewrote it as a COO join."""
+    plan = plan_of(qs["q_random_projection"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_bfs_frontier_joins_broadcast(spark, sf_dir, qs):
+    """Each BFS round joins edges against the (small) frontier — the
+    frontier side must broadcast, never shuffle the edge list."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import graph as G
+
+    edges = G.trade_edges(spark, sf_dir)
+    seeds = edges.select(edges.src.alias("node")).where("node % 20 = 0").distinct()
+    plan = plan_of(G.bfs_hops(edges, seeds, rounds=1, truncate=False))
+    assert "BroadcastHashJoin" in plan
