@@ -333,3 +333,126 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem.l_quantity in [1,50]", qty))
         .unionByName(row("lineitem.l_orderkey fk orders", fk))
     )
+
+
+#: winsorization bounds — the standard 5%/95% trim
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, {_WINS_LO}), 6) AS lo,
+         round(quantile_cont(value, {_WINS_HI}), 6) AS hi
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, b.lo, b.hi,
+         least(greatest(e.value, b.lo), b.hi) AS w,
+         CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS is_hi
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type, any_value(lo) AS lo, any_value(hi) AS hi,
+       CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+       round(CAST(sum({sql_fx('w')}) AS DOUBLE) / 1000000 / count(*), 6) AS win_avg
+FROM c GROUP BY event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: values clipped to the exact
+    [p05, p95] interpolated percentiles (the robust-mean preprocessing
+    every metrics pipeline applies before averaging heavy-tailed
+    measures), reporting the bounds, clip counts, and winsorized mean.
+    Shape at scale: one percentile agg per group (the only sort-bearing
+    stage, over groups not the stream), bounds broadcast back onto the
+    scan, then one combinable agg — the fact stream never shuffles.
+    Determinism: bounds are 6-dp-rounded doubles shared by both engines
+    (the q_percentiles Spark-percentile ≡ DuckDB-quantile_cont
+    equivalence); the clipped value is either a raw input double or a
+    shared bound, so the fixed-point mean is order-proof."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr(f"round(percentile(value, {_WINS_LO}), 6)").alias("lo"),
+        F.expr(f"round(percentile(value, {_WINS_HI}), 6)").alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        fx(w).alias("wfx"),
+        (F.col("value") < F.col("lo")).cast("long").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("long").alias("is_hi"),
+    )
+    return c.groupBy("event_type").agg(
+        F.any_value("lo").alias("lo"),
+        F.any_value("hi").alias("hi"),
+        F.sum("is_lo").alias("n_clipped_lo"),
+        F.sum("is_hi").alias("n_clipped_hi"),
+        F.round(F.sum("wfx").cast("double") / 1e6 / F.count(F.lit(1)), 6).alias("win_avg"),
+    )
+
+
+#: MAD outlier threshold: |x - med| > 3 · 1.4826 · MAD (the consistency
+#: constant that makes MAD estimate sigma under normality)
+_MAD_K = 3 * 1.4826
+
+
+@register(
+    "q_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med,
+         round(quantile_cont(ad, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       floor(abs(e.value - m.med) / (m.mad * {_MAD_K}) * 10000 + 0.5) / 10000 AS score
+FROM events e JOIN mad m ON e.event_type = m.event_type
+WHERE abs(e.value - m.med) > m.mad * {_MAD_K}
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection (|x − med| >
+    3·1.4826·MAD): the ROBUST twin of q_zscore_outliers — a single
+    pathological value can drag a mean/stddev gate arbitrarily far,
+    but breaks median/MAD only past 50% contamination, which is why
+    curation pipelines gate on MAD.  Two percentile aggs (median, then
+    median of absolute deviations) with the tiny per-group stats
+    broadcast back between them — the fact stream never shuffles.
+    Determinism: both medians are 6-dp-rounded shared doubles
+    (q_percentiles equivalence); the score and threshold compare are
+    identical IEEE expressions in both engines."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.5), 6)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.expr("round(percentile(ad, 0.5), 6)").alias("mad"),
+    )
+    score = F.abs(F.col("value") - F.col("med")) / (F.col("mad") * _MAD_K)
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > F.col("mad") * _MAD_K)
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(score * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
+        )
+    )

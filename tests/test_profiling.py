@@ -86,3 +86,47 @@ def test_hll_union_tracks_exact_distinct(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_winsorize_bounds_and_clip_counts(spark, sf_dir):
+    """Clip fractions sit near the nominal 5% tails and the winsorized
+    mean is inside [lo, hi] for every group."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_winsorize
+
+    rows = q_winsorize(spark, sf_dir).collect()
+    assert rows
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    n_by_type = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events").groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    for r in rows:
+        assert r["lo"] <= r["win_avg"] <= r["hi"]
+        n = n_by_type[r["event_type"]]
+        # interpolated percentiles put <= 5% strictly outside each bound
+        assert r["n_clipped_lo"] <= 0.06 * n + 1
+        assert r["n_clipped_hi"] <= 0.06 * n + 1
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """One pathological value must NOT move the MAD gate (the zscore
+    gate it twins would be dragged): 100 unit-spaced values + one 1e9
+    spike -> only the spike is flagged."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_mad_outliers
+
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, i % 7, "a", float(i % 100), "") for i in range(100)
+    ] + [(999, base, 1, "a", 1e9, "")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = q_mad_outliers(spark, d).collect()
+    assert [r["event_id"] for r in got] == [999]
