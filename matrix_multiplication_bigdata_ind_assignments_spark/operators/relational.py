@@ -804,3 +804,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price",
         "new_price",
     )
+
+
+#: TPC-H Q3 parameters adapted to the fixture's 1995-2001 date span
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-15"
+_Q3_TOPN = 10
+
+
+@register(
+    "q_ship_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT {_Q3_TOPN}
+""",
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped-at-cutoff revenue for one
+    market segment, top-{n} orders — THE canonical selective star-join
+    benchmark shape (two date filters + a segment filter feeding a
+    3-way join, grouped per order, global top-k).  Scale posture: both
+    date predicates and the segment filter PUSH DOWN to their parquet
+    scans (plan guard in tests/test_plans.py), the filtered customer
+    side broadcasts, orders⋈lineitem stays a co-keyed shuffle join, and
+    the top-k is TakeOrderedAndProject (per-partition heap + tiny
+    driver merge — the q_top_orders property), never a global sort.
+    Ordering is total ((revenue DESC, o_orderdate, l_orderkey)) so the
+    LIMIT cut is deterministic in both engines; revenue takes the
+    fixed-point route.""".replace("{n}", str(_Q3_TOPN))
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == _Q3_SEGMENT)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < _Q3_DATE)
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _Q3_DATE)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(_Q3_TOPN)
+    )

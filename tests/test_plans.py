@@ -408,3 +408,14 @@ def test_bfs_frontier_joins_broadcast(spark, sf_dir, qs):
     seeds = edges.select(edges.src.alias("node")).where("node % 20 = 0").distinct()
     plan = plan_of(G.bfs_hops(edges, seeds, rounds=1, truncate=False))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ship_priority_pushdown_and_topk(spark, sf_dir, qs):
+    """TPC-H Q3: all three filters reach their scans; top-k plans
+    TakeOrderedAndProject (never a global Sort+Limit); the filtered
+    customer side broadcasts."""
+    plan = plan_of(qs["q_ship_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 3
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
