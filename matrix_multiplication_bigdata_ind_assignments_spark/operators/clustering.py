@@ -320,3 +320,141 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("v")
     )
     return kmeans_assignments(pts)
+
+
+_PCA_ITERS = 8  # fixed power-iteration unroll (fixture settles in <=6)
+_PCA_DIMS = 64
+_V_SCALE = 1_000_000_000_000  # iterate at 1e-12 max-norm fixed point
+_G_DIV = 1_000_000  # gram re-scale: 1e12-scale exact sums -> 1e6 scale
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Python's // floors, but
+    Spark's `div` and DuckDB's `//` both truncate; the driver-side
+    iteration must match them on negative numerators."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _pca_sql(iters: int = _PCA_ITERS) -> str:
+    """The identical fixed-point power iteration unrolled into DuckDB
+    CTEs: exact-integer gram (quantized inputs), max-norm re-scaling by
+    truncating division each round — no doubles anywhere inside the
+    loop, so there is NOTHING to drift (HUGEINT headroom: |y|·1e12 ≈
+    N·1e6·1e12·64·... tops out ~1e36 at 4M vectors vs 1.7e38)."""
+    ctes = [
+        f"""coo AS MATERIALIZED (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xi
+  FROM embeddings, (SELECT unnest(range({_PCA_DIMS})) AS d) g
+),
+gq AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.xi * b.xi) // {_G_DIV} AS g
+  FROM coo a JOIN coo b ON a.vec_id = b.vec_id
+  GROUP BY a.d, b.d
+),
+v0 AS (SELECT d AS i, CAST({_V_SCALE // 8} AS HUGEINT) AS v
+       FROM (SELECT unnest(range({_PCA_DIMS})) AS d))"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""y{t} AS MATERIALIZED (
+  SELECT gq.i, sum(gq.g * v{t - 1}.v) AS y
+  FROM gq JOIN v{t - 1} ON gq.j = v{t - 1}.i GROUP BY gq.i
+),
+v{t} AS MATERIALIZED (
+  SELECT i, (y * {_V_SCALE}) // (SELECT max(abs(y)) FROM y{t}) AS v FROM y{t}
+)"""
+        )
+    last = f"v{iters}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sgn AS (
+  SELECT CASE WHEN (SELECT v FROM {last}
+                    WHERE abs(v) = (SELECT max(abs(v)) FROM {last})
+                    ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+),
+vq AS (SELECT i, v // {_G_DIV} AS q FROM {last}),
+lam AS (
+  SELECT (SELECT sum(gq.g * a.q * b.q)
+          FROM gq JOIN vq a ON gq.i = a.i JOIN vq b ON gq.j = b.i)
+         // (SELECT sum(q * q) FROM vq) AS l
+)
+SELECT CAST({last}.i AS BIGINT) AS d,
+       CAST({last}.v * sgn.s AS DOUBLE) / {_V_SCALE} AS loading,
+       CAST(lam.l AS DOUBLE) / {_G_DIV} AS eigval
+FROM {last}, sgn, lam
+"""
+    )
+
+
+@register("q_pca_power", oracle=_pca_sql())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embeddings via power iteration on
+    the gram matrix — the whitening / dominant-axis primitive a 100 TB
+    embedding pipeline runs before indexing (variance diagnostics,
+    mean-centering checks, spectral pre-conditioning).  Two-phase, the
+    distributed-Lloyd pattern: (1) the DATA-scale work — G = ΣxxᵀDone —
+    runs as one mapInPandas pass emitting per-Arrow-batch partial outer
+    products (d² rows per batch, exact integer entries from 1e-6-
+    quantized inputs) + one combinable (i,j) agg, so the shuffle is
+    O(batches·d²), never O(N·d²) COO-join rows and never an N×N
+    anything; (2) the O(d²) power loop on the collected 64×64 gram runs
+    driver-side in EXACT INTEGER arithmetic (max-norm re-scaling by
+    truncate-division each round — matching Spark `div` / DuckDB `//`
+    semantics on negatives), so the unrolled-CTE oracle reproduces it
+    bit-for-bit with no fp anywhere inside the loop.  Sign is
+    canonicalized (the max-|loading| component made positive, lowest
+    index breaking ties); the Rayleigh eigenvalue closes the result.
+    Returns (d, loading, eigval) — 64 rows.
+
+    Convergence honesty: power iteration converges at (λ2/λ1)^t, and
+    the fixture spectrum is near-flat (λ1/λ2 ≈ 1.02–1.07), so 8 rounds
+    land INSIDE the dominant subspace rather than on the exact top
+    eigenvector — the deliverable is the refined axis + its Rayleigh
+    variance, measured ≥ 0.90·λ1 at every SF (tests pin it against
+    numpy eigh).  Exact top-eigvec on a gap-free spectrum needs a
+    different algorithm class (block Krylov / shift-invert), not more
+    of these rounds; the ORACLE contract (bit-equality of the fixed
+    budget) is unconditional either way."""
+    import numpy as np
+    import pandas as pd
+
+    def gram_partials(batches):
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mi = np.floor(M * 1e6 + 0.5)  # exact ints as doubles
+            G = Mi.T @ Mi  # (64, 64); entries < 2^53 per batch
+            ii, jj = np.meshgrid(np.arange(_PCA_DIMS), np.arange(_PCA_DIMS), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p": G.ravel().astype(np.int64)}
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    g = (
+        e.mapInPandas(gram_partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+        .selectExpr("i", "j", f"g div {_G_DIV} AS g")
+    )
+    rows = g.collect()  # bounded: d² = 4096 rows, the kmeans-collect pattern
+    G = {}
+    for r in rows:
+        G[(r["i"], r["j"])] = int(r["g"])
+    v = [_V_SCALE // 8] * _PCA_DIMS
+    for _ in range(_PCA_ITERS):
+        y = [sum(G[(i, j)] * v[j] for j in range(_PCA_DIMS)) for i in range(_PCA_DIMS)]
+        m = max(abs(t) for t in y)
+        if m == 0:
+            raise AssertionError("q_pca_power: zero gram — degenerate fixture")
+        v = [_tdiv(t * _V_SCALE, m) for t in y]
+    mx = max(abs(t) for t in v)
+    s = -1 if next(t for t in v if abs(t) == mx) < 0 else 1
+    vq = [_tdiv(t, _G_DIV) for t in v]
+    num = sum(G[(i, j)] * vq[i] * vq[j] for i in range(_PCA_DIMS) for j in range(_PCA_DIMS))
+    den = sum(q * q for q in vq)
+    lam = _tdiv(num, den)
+    out = [(int(i), float(v[i] * s) / _V_SCALE, float(lam) / _G_DIV) for i in range(_PCA_DIMS)]
+    return spark.createDataFrame(out, "d long, loading double, eigval double")
