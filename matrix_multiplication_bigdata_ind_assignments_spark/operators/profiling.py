@@ -456,3 +456,67 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(score * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
         )
     )
+
+
+@register(
+    "q_join_profile",
+    oracle="""
+WITH l AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY o_orderkey),
+r AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT coalesce(l.k, r.k) AS k,
+         coalesce(l.c, 0) AS cl, coalesce(r.c, 0) AS cr
+  FROM l FULL OUTER JOIN r ON l.k = r.k
+)
+SELECT CAST(sum(cl) AS BIGINT) AS n_left_rows,
+       CAST(sum(cr) AS BIGINT) AS n_right_rows,
+       CAST(count(CASE WHEN cl > 0 THEN 1 END) AS BIGINT) AS n_keys_left,
+       CAST(count(CASE WHEN cr > 0 THEN 1 END) AS BIGINT) AS n_keys_right,
+       CAST(count(CASE WHEN cl > 0 AND cr > 0 THEN 1 END) AS BIGINT) AS n_keys_both,
+       CAST(sum(cl * cr) AS BIGINT) AS est_out_rows,
+       CAST(max(cl) AS BIGINT) AS max_left_per_key,
+       CAST(max(cr) AS BIGINT) AS max_right_per_key,
+       CAST(max_by(k, cl * cr * 1000000000000 - k) AS BIGINT) AS top_key,
+       CAST(max(cl * cr) AS BIGINT) AS top_key_out_rows
+FROM j
+""",
+)
+def q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders⋈lineitem — the diagnostic a
+    planner (or q_skew_join_auto's stat pass) reads BEFORE committing a
+    shuffle strategy at 100 TB: per-side key cardinalities, the EXACT
+    join output cardinality (Σ cl·cr — what AQE estimates from sketchy
+    stats, computed here from two combinable count-aggs), per-key
+    fan-out maxima, and the hottest key with its output contribution
+    (deterministic argmax: contribution·1e12 − key, i.e. (contribution
+    DESC, key ASC) packed into one long).  Shape: two
+    map-side-combinable counts + one key-level full-outer join + a
+    one-row closing agg — cost is O(distinct keys), never O(join
+    output), which is the point of estimating before executing."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cl"))
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    j = o.join(l, "k", "full_outer").select(
+        "k",
+        F.coalesce("cl", F.lit(0)).alias("cl"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    return j.agg(
+        F.sum("cl").alias("n_left_rows"),
+        F.sum("cr").alias("n_right_rows"),
+        F.count(F.when(F.col("cl") > 0, 1)).alias("n_keys_left"),
+        F.count(F.when(F.col("cr") > 0, 1)).alias("n_keys_right"),
+        F.count(F.when((F.col("cl") > 0) & (F.col("cr") > 0), 1)).alias("n_keys_both"),
+        F.sum(F.col("cl") * F.col("cr")).alias("est_out_rows"),
+        F.max("cl").alias("max_left_per_key"),
+        F.max("cr").alias("max_right_per_key"),
+        F.expr("max_by(k, cl * cr * 1000000000000 - k)").alias("top_key"),
+        F.max(F.col("cl") * F.col("cr")).alias("top_key_out_rows"),
+    )

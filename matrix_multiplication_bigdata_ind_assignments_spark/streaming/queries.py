@@ -1011,3 +1011,81 @@ def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         f"{_AGG._ratio4('n_users', 'cohort_size')} AS retention",
     )
+
+
+@register(
+    "q_stream_keep_latest",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_stream_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization — keep-latest-per-key as a stream
+    (q_keep_latest's SCD1 compaction, maintained incrementally the way
+    a change-data-capture consumer materializes a table): per-user
+    state is ONE packed argmax key + its payload, updated by an
+    order-INSENSITIVE max over (event-time µs, event_id) — late or
+    re-ordered micro-batches cannot change the final answer, which is
+    why the batch window oracle (shared with q_keep_latest) checks it
+    exactly.  State is O(1) per key (24-ish bytes) — the property that
+    lets the materialization run forever at 100 TB; emissions are
+    update-mode, the sink keeps the last (monotone-max) row per key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("best_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("us", LongType()),
+            StructField("eid", LongType()),
+            StructField("etype", StringType()),
+        ]
+    )
+
+    def latest(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        us, eid, etype = state.get if state.exists else (-1, -1, "")
+        for pdf in pdf_iter:
+            for r_us, r_eid, r_et in zip(
+                (pdf["ts"].astype("int64") // 1000), pdf["event_id"], pdf["event_type"]
+            ):
+                if (int(r_us), int(r_eid)) > (us, eid):
+                    us, eid, etype = int(r_us), int(r_eid), str(r_et)
+        state.update((us, eid, etype))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "best_us": [us],
+                "event_id": [eid],
+                "event_type": [etype],
+            }
+        )
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    emitted = s.groupBy("user_id").applyInPandasWithState(
+        latest,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(emitted, "update")
+    # final materialized row per key: the (best_us, event_id) argmax is
+    # monotone across emissions, so max_by picks the last state
+    return (
+        res.groupBy("user_id")
+        .agg(F.expr("max_by(struct(event_id, event_type), struct(best_us, event_id))").alias("m"))
+        .select("user_id", F.col("m.event_id").alias("event_id"), F.col("m.event_type").alias("event_type"))
+    )

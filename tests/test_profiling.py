@@ -130,3 +130,19 @@ def test_mad_outliers_robust_to_contamination(spark):
         df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
         got = q_mad_outliers(spark, d).collect()
     assert [r["event_id"] for r in got] == [999]
+
+
+def test_join_profile_predicts_actual_join_cardinality(spark, sf_dir):
+    """est_out_rows must equal the REAL join's row count — the estimate
+    is exact by construction, which is the whole value of the
+    diagnostic."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_join_profile
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    r = q_join_profile(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    actual = o.join(l, o.o_orderkey == l.l_orderkey).count()
+    assert r["est_out_rows"] == actual
+    assert r["n_keys_both"] <= min(r["n_keys_left"], r["n_keys_right"])
+    assert r["top_key_out_rows"] <= r["max_left_per_key"] * r["max_right_per_key"]

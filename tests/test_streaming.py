@@ -317,3 +317,14 @@ def test_stream_cohort_equals_batch(spark, sf_dir):
     batch = q_cohort_retention(spark, sf_dir)
     assert rows_set(stream_res) == rows_set(batch)
     assert state_rows == 15  # one state row per user at sf0.001
+
+
+def test_stream_keep_latest_matches_batch(spark, sf_dir):
+    """The streaming CDC materialization equals the batch SCD1 window
+    form row-for-row (order-insensitive argmax state)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import q_keep_latest
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import q_stream_keep_latest
+
+    a = sorted(tuple(r) for r in q_stream_keep_latest(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_keep_latest(spark, sf_dir).collect())
+    assert a == b
