@@ -383,6 +383,16 @@ def main() -> int:
         "q_ann_ivf_assign",
         "q_lsh_candidates",
         "q_stream_cohort",
+        # r10 second wave: frontier BFS (per-round broadcast joins +
+        # anti-join visited set), exact-integer PCA power iteration
+        # (mapInPandas gram + driver loop), TPC-H Q3 (selective star
+        # join + TakeOrdered top-k), attribution (RANGE-frame window),
+        # and the streaming CDC keep-latest state machine
+        "q_bfs_hops",
+        "q_pca_power",
+        "q_ship_priority",
+        "q_attribution",
+        "q_stream_keep_latest",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -133,6 +133,27 @@ AUDIT = {
     "(sequence_pack's kernel): one RangePartitioning exchange on the sort key, a pid-local "
     "window, and the per-partition base offsets return via BroadcastHashJoin — NO "
     "SinglePartition window anywhere",
+    "q_bfs_hops": "frontier-based Pregel BFS: each round joins the edge list against the "
+    "BROADCAST frontier (per-round shuffle O(|frontier|·deg), not O(|V|)) and anti-joins the "
+    "visited set; like q_pagerank the final frame explains as an ExistingRDD scan because "
+    "per-round checkpoints truncate lineage — the round shape is pinned by "
+    "tests/test_plans.py::test_bfs_frontier_joins_broadcast on the truncate=False plan",
+    "q_random_projection": "ZERO Exchange: scan → one vectorized pandas_udf GEMM per Arrow "
+    "batch → map-side posexplode; nothing scales beyond the scan (plan guard asserts no "
+    "Exchange node)",
+    "q_pca_power": "the data-scale stage is ONE mapInPandas pass emitting per-batch partial "
+    "outer products (d² rows/batch) + one combinable (i,j) hash agg — shuffle O(batches·d²), "
+    "never O(N·d²) COO-join rows; the O(d²) power loop runs on the collected 4096-row gram "
+    "(the kmeans-collect bound), exact-integer so there is no fp to drift",
+    "q_attribution": "ONE scan + ONE user_id exchange: the preceding-touch argmin/argmax is a "
+    "RANGE-frame window over packed longs (never a per-purchase×touch pairwise join); the "
+    "closing rollup is a combinable agg on a 6-key result",
+    "q_ship_priority": "all three predicates pushed to their parquet scans, the filtered "
+    "customer side broadcasts, orders⋈lineitem stays the co-keyed shuffle join, and the cut is "
+    "TakeOrderedAndProject (per-partition heap + driver merge) — never a global Sort+Limit",
+    "q_join_profile": "two map-side-combinable count-aggs + a key-level full-outer "
+    "SortMergeJoin + a 1-row closing agg — cost O(distinct keys), the join output itself is "
+    "never materialized",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
