@@ -1053,3 +1053,146 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("long").alias("key"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+_WP_ROUNDS = 8  # fixed unroll; max-min relaxation can improve through
+# longer paths than BFS levels, so it gets headroom over _BFS_ROUNDS
+_WP_SEED_CAP = 1 << 40  # seed sentinel, far above any edge weight
+
+
+def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
+                truncate: bool = True) -> DataFrame:
+    """Maximum-bottleneck (widest-path) capacity from a seed set over a
+    weighted undirected edge list ``(src, dst, w)``: cap(v) = max over
+    paths of the minimum edge weight — the supply-chain robustness /
+    max-flow-lite primitive.  Same delta/frontier shape as bfs_hops
+    (per-round work O(|frontier|·deg)); caps only ever INCREASE, so
+    propagating from improved nodes alone reaches the same monotone
+    fixpoint as whole-vector relaxation (the unrolled oracle's form) —
+    all-integer, so the engines agree exactly."""
+    sym = edges_w.select("src", "dst", "w").unionAll(
+        edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
+    sym = ck(sym)
+    cap = ck(seeds.select("node", F.lit(_WP_SEED_CAP).cast("long").alias("cap")))
+    frontier = cap
+    for _ in range(rounds):
+        reached = (
+            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.least(F.col("cap"), F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.max("cand").alias("cand"))
+        )
+        improved = ck(
+            reached.join(cap, "node", "left_outer")
+            .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
+            .select("node", F.col("cand").alias("cap"))
+        )
+        cap = ck(
+            cap.join(improved.select("node"), "node", "left_anti").unionAll(improved)
+        )
+        frontier = improved
+    return cap
+
+
+def trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trade_edges with the relationship strength kept: w = number of
+    distinct orders linking the (supplier, customer) pair."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count_distinct("l_orderkey").alias("w"))
+    )
+
+
+def _sql_widest_path(rounds: int = _WP_ROUNDS) -> str:
+    """The identical max-min relaxation unrolled into DuckDB CTEs."""
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst,
+         count(DISTINCT l.l_orderkey) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY src, dst
+),
+ed AS MATERIALIZED (
+  SELECT src, dst, w FROM e UNION ALL SELECT dst AS src, src AS dst, w FROM e
+),
+c0 AS (SELECT DISTINCT src AS node, CAST({_WP_SEED_CAP} AS BIGINT) AS cap
+       FROM ed WHERE src % 20 = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT node, max(cap) AS cap FROM (
+    SELECT node, cap FROM c{i - 1}
+    UNION ALL
+    SELECT ed.dst AS node, least(c.cap, ed.w) AS cap
+    FROM ed JOIN c{i - 1} c ON ed.src = c.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(cap AS BIGINT) AS capacity
+FROM c{rounds}
+"""
+    )
+
+
+@register("q_widest_path", oracle=_sql_widest_path())
+def q_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-bottleneck capacity from the seed suppliers (suppkey %
+    10 == 0) over the ORDER-WEIGHTED trade graph: each vertex's widest
+    path back to a seed, where a path's capacity is its weakest link
+    (distinct shared orders) — the supply-chain robustness metric
+    beside q_bfs_hops' hop distance.  ORACLE-CHECKED via identically-
+    unrolled max-min relaxation CTEs (all-integer, monotone); fixpoint
+    CERTIFIED in-query with one extra relaxation, the q_bfs_hops
+    discipline.  Seeds carry the 2^40 sentinel capacity."""
+    ew = trade_edges_weighted(spark, sf_dir)
+    seeds = (
+        ew.select(F.col("src").alias("node"))
+        .unionAll(ew.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 20 == 0)
+        .distinct()
+    )
+    cap = widest_path(ew, seeds)
+    sym = ew.unionAll(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    relaxed = (
+        sym.join(cap.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), F.least(F.col("cap"), F.col("w")).alias("cand"))
+        .groupBy("node")
+        .agg(F.max("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(cap, "node", "left_outer")
+        .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_widest_path: {improved} vertices still improvable after "
+            f"{_WP_ROUNDS} rounds — raise _WP_ROUNDS for this fixture"
+        )
+    return cap.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        (F.col("node") / 2).cast("long").alias("key"),
+        F.col("cap").cast("long").alias("capacity"),
+    )

@@ -309,3 +309,32 @@ def test_bfs_hops_fixture_properties(spark, sf_dir):
         else:
             assert r["dist"] % 2 == 1
     assert all(r["dist"] == 0 for r in rows if r["kind"] == "supplier" and r["key"] % 10 == 0)
+
+
+def test_widest_path_hand_graph(spark):
+    """Two routes 1->4: direct bottleneck 2 vs detour 1-2-3-4 with
+    bottleneck 5 -> the detour wins; node 2's cap is min(seed, 9)."""
+    edges = spark.createDataFrame(
+        [(1, 4, 2), (1, 2, 9), (2, 3, 5), (3, 4, 7)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["cap"] for r in G.widest_path(edges, seeds).collect()}
+    assert got[1] == G._WP_SEED_CAP
+    assert got[2] == 9
+    assert got[3] == 5
+    assert got[4] == 5  # the weakest link of the WIDEST route, not the direct 2
+
+
+def test_widest_path_fixture_invariants(spark, sf_dir):
+    """Capacities: seeds carry the sentinel; every non-seed capacity is
+    a realizable edge weight (<= max w) and >= the best direct edge
+    from a seed (relaxation can only improve on it)."""
+    rows = G.q_widest_path(spark, sf_dir).collect()
+    assert rows
+    ew = G.trade_edges_weighted(spark, sf_dir)
+    wmax = ew.agg(F.max("w")).first()[0]
+    for r in rows:
+        if r["kind"] == "supplier" and r["key"] % 10 == 0:
+            assert r["capacity"] == G._WP_SEED_CAP
+        else:
+            assert 1 <= r["capacity"] <= wmax
