@@ -1162,3 +1162,138 @@ def q_toxicity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", six.alias("tox_score"), (score >= F.lit(_TOX_THRESH)).alias("blocked")
     )
+
+
+_PMI_MIN_COUNT = 5  # collocation support floor — keeps the result set
+# bounded and the estimator out of the ln(0)-adjacent noise regime
+
+#: shared final expression (identical text in Spark SQL and DuckDB — the
+#: repo's shared-SQL-text IEEE-determinism convention): micro-nat PMI =
+#: ln( p(a,b) / (p(a)·p(b)) ) with p(a,b)=cab/m, p(x)=c/n, algebraically
+#: cab·n/m·n/(ca·cb), evaluated in ONE fixed op order
+_PMI_EXPR = (
+    "CAST(floor(ln(CAST(cab AS DOUBLE) * n_tok / m_big * n_tok "
+    "/ (CAST(ca AS DOUBLE) * cb)) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_word_pmi",
+    oracle=f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT toks[i + 1] AS a, toks[i + 2] AS b
+  FROM t, (SELECT unnest(range(len(toks) - 1)) AS i)
+),
+cab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b HAVING count(*) >= {_PMI_MIN_COUNT}),
+uni AS MATERIALIZED (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+j AS (
+  SELECT cab.a, cab.b, cab.cab, ua.c AS ca, ub.c AS cb,
+         (SELECT sum(c) FROM uni) AS n_tok,
+         (SELECT count(*) FROM big) AS m_big
+  FROM cab JOIN uni ua ON cab.a = ua.tok JOIN uni ub ON cab.b = ub.tok
+)
+SELECT a, b, CAST(cab AS BIGINT) AS pair_count, {{expr}} AS pmi_micro
+FROM j
+""".replace("{expr}", _PMI_EXPR),
+)
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent word
+    pairs — the phrase-mining / lexicon-induction stage of a text
+    pipeline (Mikolov-style phrase detection runs exactly this
+    statistic).  Shape at scale: bigrams are PER-DOC ARRAY algebra
+    (transform over the token array — no window shuffle, no per-token
+    rows until the one combinable pair-count agg); unigram counts are a
+    second combinable agg; the vocab-sized count table joins back
+    broadcast (the q_tfidf discipline) and the two corpus scalars ride
+    a 1-row crossJoin.  Determinism: counts are exact integers and the
+    micro-nat PMI is ONE shared expression text, so both engines run
+    the identical IEEE op sequence.  Support floor {mc} bounds the
+    result.""".replace("{mc}", str(_PMI_MIN_COUNT))
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("toks")
+    )
+    big = t.select(
+        F.expr(
+            "explode(transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS a, toks[i + 1] AS b)))"
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cab = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= _PMI_MIN_COUNT)
+    )
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = t.select(F.explode("toks").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    m = big.agg(F.count(F.lit(1)).alias("m_big"))
+    j = (
+        cab.join(F.broadcast(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))), "a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+    )
+    return j.select(
+        "a", "b", F.col("cab").cast("long").alias("pair_count"), F.expr(_PMI_EXPR).alias("pmi_micro")
+    )
+
+
+@register(
+    "q_lang_entropy",
+    oracle="""
+WITH tok AS MATERIALIZED (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+c AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY lang, tok),
+g AS (
+  SELECT lang, sum(c) AS n_tok, count(*) AS vocab,
+         sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS s_clnc
+  FROM c GROUP BY lang
+)
+SELECT lang, CAST(n_tok AS BIGINT) AS n_tok, CAST(vocab AS BIGINT) AS vocab,
+       floor((CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+              - CAST(s_clnc AS DOUBLE) / n_tok) + 0.5) / 1000000 AS entropy_nats
+FROM g
+""",
+)
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the word distribution — the
+    corpus-diversity diagnostic (a collapsing or template-spammed
+    source shows up as an entropy drop long before eyeballing does):
+    H = ln N − (Σ c·ln c)/N over exact integer counts.  One combinable
+    (lang, token) count agg + one per-lang rollup; the per-term ln is
+    micro-nat-quantized (the q_lm_perplexity route) so the Σ c·ln c is
+    an EXACT integer sum — order-proof — and the closing expression is
+    one shared text."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    c = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    g = c.groupBy("lang").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(
+            F.col("c")
+            * F.expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+        ).alias("s_clnc"),
+    )
+    return g.selectExpr(
+        "lang",
+        "CAST(n_tok AS BIGINT) AS n_tok",
+        "CAST(vocab AS BIGINT) AS vocab",
+        "floor((CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        " - CAST(s_clnc AS DOUBLE) / n_tok) + 0.5) / 1000000 AS entropy_nats",
+    )

