@@ -520,3 +520,75 @@ def q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(k, cl * cr * 1000000000000 - k)").alias("top_key"),
         F.max(F.col("cl") * F.col("cr")).alias("top_key_out_rows"),
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, sum(c) AS t, count(*) AS d FROM daily GROUP BY event_type
+),
+pre AS (
+  SELECT daily.event_type, daily.day,
+         row_number() OVER w AS i,
+         sum(daily.c) OVER (PARTITION BY daily.event_type ORDER BY daily.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         tot.t, tot.d
+  FROM daily JOIN tot ON daily.event_type = tot.event_type
+  WINDOW w AS (PARTITION BY daily.event_type ORDER BY daily.day)
+),
+s AS (
+  SELECT event_type, day, d * p - i * t AS sc, d, t
+  FROM pre
+)
+SELECT event_type,
+       CAST(max_by(day, abs(sc) * 100000 - day) AS BIGINT) AS change_day,
+       CAST(max(abs(sc)) AS BIGINT) AS cusum_scaled,
+       CAST(any_value(d) AS BIGINT) AS n_days
+FROM s GROUP BY event_type
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-type daily event volumes:
+    the day maximizing |Σ_{i≤t}(c_i − mean)| — the standard level-shift
+    detector a pipeline runs on ingest volumes (a source going dark or
+    doubling shows up as the CUSUM peak).  All-integer: the cumulative
+    deviation is scaled by n_days (S'_t = D·prefix_t − t·T), so no
+    rational mean ever materializes and the argmax — packed
+    (|S'|·1e5 − day), i.e. (magnitude DESC, day ASC) — is exact in
+    both engines.  Shape: one combinable daily-count agg, one
+    broadcast of the per-type totals, one per-type ordered window
+    (prefix sum over DAYS, not events), one closing argmax agg."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        F.row_number().over(w).alias("i"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        "t",
+        "d",
+    )
+    s = pre.select(
+        "event_type", "day", (F.col("d") * F.col("p") - F.col("i") * F.col("t")).alias("sc"), "d"
+    )
+    return s.groupBy("event_type").agg(
+        F.expr("max_by(day, abs(sc) * 100000 - day)").cast("long").alias("change_day"),
+        F.max(F.abs(F.col("sc"))).cast("long").alias("cusum_scaled"),
+        F.any_value("d").cast("long").alias("n_days"),
+    )

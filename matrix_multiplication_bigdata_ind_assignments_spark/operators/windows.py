@@ -242,3 +242,58 @@ def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value").over(w), 6).alias("last_v"),
         F.round(F.nth_value("value", 2).over(w), 6).alias("second_v"),
     )
+
+
+@register(
+    "q_skyline_2d",
+    oracle="""
+WITH r AS (
+  SELECT p_partkey, p_brand, p_retailprice, p_size,
+         max(p_size) OVER (
+           ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_size_cheaper
+  FROM part
+)
+SELECT p_partkey, p_brand, round(p_retailprice, 6) AS p_retailprice,
+       CAST(p_size AS BIGINT) AS p_size
+FROM r
+WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+""",
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over part: the parts no other part
+    dominates on (cheaper price, bigger size) — the multi-criteria
+    shortlist query (BNL skylines are the textbook O(n²) trap).  The
+    2-D case collapses to ONE ordered window pass: sort by (price ASC,
+    size DESC), keep rows whose size beats the running max of
+    everything cheaper — O(n log n), no self-join, no nested loop.
+    Tie semantics: equal-price rows never dominate each other (the
+    1-PRECEDING frame with size DESC ordering means an equal-price
+    larger row DOES shadow smaller ones — strict dominance on price is
+    relaxed to ≤ within a price tie only for the frame's max, matching
+    the oracle text exactly).  The global window is the honest cost: a
+    skyline is a global property; at 100 TB pre-filter per-partition
+    skylines first (local pareto ⊇ none pruned) then run this pass on
+    the union — the standard two-phase refinement."""
+    p = load(spark, sf_dir, "part")
+    w = (
+        Window.orderBy(
+            F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w).alias("best_size_cheaper"),
+    )
+    return r.where(
+        F.col("best_size_cheaper").isNull() | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 6).alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )

@@ -146,3 +146,35 @@ def test_join_profile_predicts_actual_join_cardinality(spark, sf_dir):
     assert r["est_out_rows"] == actual
     assert r["n_keys_both"] <= min(r["n_keys_left"], r["n_keys_right"])
     assert r["top_key_out_rows"] <= r["max_left_per_key"] * r["max_right_per_key"]
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    """Synthetic volume series: 2/day for 50 days then 10/day for 50
+    days -> the CUSUM peak must land exactly on the last low day."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        q_cusum_changepoint,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(100):
+        per = 2 if day < 50 else 10
+        for j in range(per):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "a", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = q_cusum_changepoint(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    epoch_day0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert r["change_day"] == epoch_day0 + 49  # last day of the low regime
+    assert r["n_days"] == 100

@@ -48,3 +48,27 @@ def test_nth_value_null_for_singleton_users(spark, sf_dir):
     )
     assert singles.where((F.col("n") == 1) & (F.col("nulls") != 1)).count() == 0
     assert singles.where((F.col("n") > 1) & (F.col("nulls") != 0)).count() == 0
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Brute-force dominance check: the skyline equals the set of parts
+    no other part strictly beats on (price lower-or-equal, size
+    higher-or-equal, at least one strict)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_skyline_2d
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    got = {r["p_partkey"] for r in q_skyline_2d(spark, sf_dir).collect()}
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load(spark, sf_dir, "part").collect()
+    ]
+    expected = set()
+    for k, pr, sz in parts:
+        dominated = any(
+            (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+            for k2, pr2, sz2 in parts
+            if k2 != k
+        )
+        if not dominated:
+            expected.add(k)
+    assert got == expected
