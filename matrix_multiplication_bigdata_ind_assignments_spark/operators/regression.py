@@ -397,3 +397,63 @@ _POWERLAW_SELECTS = [
     f"{_rnd(f'({_ICEPT_U} / CAST(1000000 AS DOUBLE))', 4)} AS ln_coef",
     f"{_rnd(_R2, 4)} AS r2",
 ]
+
+
+#: per-row residual in exact µunits — y is already µ-fixed, the
+#: prediction is a shared-text double expression over the (shared,
+#: 6-dp-rounded) coefficients, so the floor-quantized residual is
+#: bit-identical in both engines
+_PRED_RESID = (
+    "CAST(floor((CAST(y AS DOUBLE) / 1000000 - (b0 + b1 * x1 + b2 * x2)) "
+    "* 1000000 + 0.5) AS BIGINT)"
+)
+
+_OLS_POINTS_LANG_SQL = _OLS_POINTS_SQL.replace(
+    "SELECT CAST(len(toks) AS BIGINT) AS x1,", "SELECT lang, CAST(len(toks) AS BIGINT) AS x1,"
+).replace("  SELECT n_chars,", "  SELECT lang, n_chars,")
+
+_OLS_PREDICT_ORACLE = f"""
+WITH pts AS ({_OLS_POINTS_LANG_SQL}),
+g AS (SELECT {", ".join(f"{t} AS {k}" for k, t in _OLS_SUMS.items())} FROM pts),
+b AS (SELECT {", ".join(_OLS_SELECTS[1:4])} FROM g WHERE {_OLS_GUARD}),
+scored AS (SELECT pts.lang, {_PRED_RESID} AS r FROM pts, b)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       {_rnd("CAST(sum(abs(r)) AS DOUBLE) / 1000000 / count(*)", 6)} AS mae,
+       CAST(max(abs(r)) AS BIGINT) AS max_abs_err_micro,
+       {_rnd("CAST(sum(r) AS DOUBLE) / 1000000 / count(*)", 6)} AS bias
+FROM scored GROUP BY lang
+"""
+
+
+@register("q_ols_predict", oracle=_OLS_PREDICT_ORACLE)
+def q_ols_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve in ONE DAG: the q_ols_normal coefficients
+    (gram-sums pass + in-plan Cramer solve) broadcast back onto the
+    corpus, every document scored ŷ = b0 + b1·x1 + b2·x2, and the
+    µ-quantized residuals rolled up per language (n, MAE, max |err|,
+    signed bias) — the calibration-diagnostics shape of a proxy-model
+    deployment (score a cheap heuristic everywhere, report where it
+    drifts).  Two passes over documents (one for the d² training sums,
+    one to score) and a 1-row coefficient broadcast between them — at
+    100 TB the trained row is what you'd persist; the scoring pass is
+    embarrassingly map-side.  The residual is exact µunit integers
+    (shared-text prediction over shared 6-dp coefficients), so every
+    per-lang stat is order-proof."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("long")
+    points = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("x1"),
+        n_stop.alias("x2"),
+        F.floor(quality_expr_6dp() * 1e6 + 0.5).cast("long").alias("y"),
+    ).localCheckpoint(eager=True)  # scanned twice: training sums + scoring
+    g = points.groupBy().agg(*(F.expr(t).alias(k) for k, t in _OLS_SUMS.items()))
+    b = g.where(F.expr(_OLS_GUARD)).selectExpr(*_OLS_SELECTS[1:4])
+    scored = points.crossJoin(F.broadcast(b)).selectExpr("lang", f"{_PRED_RESID} AS r")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(_rnd("CAST(sum(abs(r)) AS DOUBLE) / 1000000 / count(*)", 6)).alias("mae"),
+        F.max(F.abs(F.col("r"))).cast("long").alias("max_abs_err_micro"),
+        F.expr(_rnd("CAST(sum(r) AS DOUBLE) / 1000000 / count(*)", 6)).alias("bias"),
+    )

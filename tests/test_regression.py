@@ -120,3 +120,21 @@ def test_fit_plans_stay_one_pass(spark, sf_dir):
     zipf = plan_of(q_zipf_fit(spark, sf_dir))
     assert "TakeOrderedAndProject" in zipf
     assert zipf.count("Sort ") <= 1  # only the bounded K-row window sort
+
+
+def test_ols_predict_residuals_center_and_bound(spark, sf_dir):
+    """OLS residuals: the global signed bias is ~0 by the normal
+    equations (per-lang biases average out weighted by n), MAE is
+    bounded by the score range, and every lang appears."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import q_ols_predict
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = q_ols_predict(spark, sf_dir).collect()
+    langs = {r["lang"] for r in load(spark, sf_dir, "documents").select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} == langs
+    n = sum(r["n_docs"] for r in rows)
+    global_bias = sum(r["bias"] * r["n_docs"] for r in rows) / n
+    assert abs(global_bias) < 1e-3  # normal equations zero the mean residual
+    for r in rows:
+        assert 0 <= r["mae"] <= 1.0  # quality scores live in [0, 1]
+        assert r["max_abs_err_micro"] >= int(r["mae"] * 1e6) - 1
