@@ -393,6 +393,11 @@ def main() -> int:
         "q_ship_priority",
         "q_attribution",
         "q_stream_keep_latest",
+        # r10 third wave: widest-path (max-min frontier loop over the
+        # weighted graph) and PMI collocations (per-doc bigram algebra +
+        # two vocab-sized broadcast joins)
+        "q_widest_path",
+        "q_word_pmi",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

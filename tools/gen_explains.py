@@ -154,6 +154,22 @@ AUDIT = {
     "q_join_profile": "two map-side-combinable count-aggs + a key-level full-outer "
     "SortMergeJoin + a 1-row closing agg — cost O(distinct keys), the join output itself is "
     "never materialized",
+    "q_widest_path": "same frontier discipline as q_bfs_hops (broadcast improved-set joins, "
+    "visited-set anti-join, per-round checkpoints → final ExistingRDD scan); caps only increase, "
+    "so delta propagation reaches the whole-vector fixpoint the unrolled max-min oracle computes",
+    "q_word_pmi": "bigrams are per-doc ARRAY algebra (transform over the token array — no window "
+    "shuffle, no per-token rows before the one combinable pair-count agg); vocab-sized unigram "
+    "tables join back broadcast; the two corpus scalars are 1-row crossJoins; micro-nat PMI is "
+    "one shared expression text",
+    "q_skyline_2d": "ONE ordered window pass (running max of size over everything cheaper) — "
+    "no BNL self-join, no CartesianProduct; the global window is the honest cost of a global "
+    "property (two-phase local-pareto refinement is the 100 TB pre-filter)",
+    "q_cusum_changepoint": "one combinable daily-count agg, per-type totals broadcast back, one "
+    "per-type window over DAYS (not events), closing argmax agg — all-integer, the scaled "
+    "deviation never materializes a rational mean",
+    "q_ols_predict": "two scans of the checkpointed points frame (d² training sums, then "
+    "map-side scoring) with a 1-row coefficient broadcast between them; residuals are exact "
+    "µunit ints so the per-lang rollup is order-proof",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
