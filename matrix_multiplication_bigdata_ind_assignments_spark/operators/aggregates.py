@@ -894,3 +894,99 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("purchases"),
         dec_sum("value", 6).alias("revenue"),
     )
+
+
+_LIFT_MIN_PAIRS = 2  # co-occurrence support floor
+_LIFT_TOPK = 3
+
+#: shared lift text (both engines, one IEEE op order): lift(a,b) =
+#: P(ab)/(P(a)P(b)) = cab·N/(ca·cb), micro-quantized
+_LIFT_EXPR = (
+    "CAST(floor(CAST(cab AS DOUBLE) * n_ord / ca / cb * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_copurchase_lift",
+    oracle=f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+sup AS MATERIALIZED (SELECT p, count(*) AS c FROM op GROUP BY p),
+n AS (SELECT count(DISTINCT o) AS n_ord FROM op),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_LIFT_MIN_PAIRS}
+),
+sym AS (
+  SELECT pa AS part, pb AS partner, cab FROM pairs
+  UNION ALL
+  SELECT pb AS part, pa AS partner, cab FROM pairs
+),
+scored AS (
+  SELECT s.part, s.partner, s.cab,
+         {_LIFT_EXPR} AS lift_micro
+  FROM (SELECT sym.part, sym.partner, sym.cab, sa.c AS ca, sb.c AS cb, n.n_ord
+        FROM sym JOIN sup sa ON sym.part = sa.p
+                 JOIN sup sb ON sym.partner = sb.p, n) s
+)
+SELECT part, partner, CAST(cab AS BIGINT) AS n_cooccur, lift_micro,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY part
+            ORDER BY lift_micro DESC, partner) AS rk
+  FROM scored
+) WHERE rk <= {_LIFT_TOPK}
+""",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Bought together' recommendations: per part, the top-{k}
+    co-purchased partners ranked by LIFT (P(ab)/(P(a)·P(b)) over order
+    baskets) — the association-rule / market-basket primitive.  Shape
+    at scale: the basket self-join is bounded by basket size (max 17
+    parts/order in the fixture; a hot basket wants the span-split
+    treatment, not a different algorithm), pair counts and supports
+    are combinable aggs, the support table joins back BROADCAST
+    (vocab-sized), and the per-part top-k is a window over the
+    support-floored pair set (≥{m} co-occurrences), never all pairs.
+    Lift is one shared micro-quantized expression text; tie-break
+    (lift DESC, partner ASC) totalizes the cut.""".replace(
+        "{k}", str(_LIFT_TOPK)
+    ).replace("{m}", str(_LIFT_MIN_PAIRS))
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three readers: pairs, supports, N
+    )
+    sup = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    n = op.agg(F.count_distinct("o").alias("n_ord"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= _LIFT_MIN_PAIRS)
+    )
+    sym = pairs.selectExpr("pa AS part", "pb AS partner", "cab").unionAll(
+        pairs.selectExpr("pb AS part", "pa AS partner", "cab")
+    )
+    scored = (
+        sym.join(F.broadcast(sup.selectExpr("p AS part", "c AS ca")), "part")
+        .join(F.broadcast(sup.selectExpr("p AS partner", "c AS cb")), "partner")
+        .crossJoin(F.broadcast(n))
+        .select("part", "partner", "cab", F.expr(_LIFT_EXPR).alias("lift_micro"))
+    )
+    w = Window.partitionBy("part").orderBy(F.col("lift_micro").desc(), F.col("partner"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _LIFT_TOPK)
+        .select(
+            "part",
+            "partner",
+            F.col("cab").cast("long").alias("n_cooccur"),
+            "lift_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources import load
@@ -1195,4 +1196,92 @@ def q_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         (F.col("node") / 2).cast("long").alias("key"),
         F.col("cap").cast("long").alias("capacity"),
+    )
+
+
+_NJ_TOPK = 3
+
+#: shared micro-Jaccard text (exact ints → one double divide, identical
+#: IEEE op in both engines)
+_NJ_EXPR = "CAST(floor(CAST(i AS DOUBLE) * 1000000 / un + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_node_jaccard",
+    oracle=f"""
+WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS MATERIALIZED (SELECT s, count(*) AS d FROM sp GROUP BY s),
+inter AS (
+  SELECT a.s AS u, b.s AS v, count(*) AS i
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+sym AS (
+  SELECT u AS s, v AS partner, i FROM inter
+  UNION ALL
+  SELECT v AS s, u AS partner, i FROM inter
+),
+j AS (
+  SELECT sym.s, sym.partner, sym.i, da.d + db.d - sym.i AS un
+  FROM sym JOIN deg da ON sym.s = da.s JOIN deg db ON sym.partner = db.s
+)
+SELECT s AS s_suppkey, partner, CAST(i AS BIGINT) AS n_shared,
+       CAST(un AS BIGINT) AS n_union, jac_micro, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT s, partner, i, un, {_NJ_EXPR} AS jac_micro,
+         row_number() OVER (PARTITION BY s
+           ORDER BY {_NJ_EXPR} DESC, partner) AS rk
+  FROM j
+) WHERE rk <= {_NJ_TOPK}
+""",
+)
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard: each supplier's top-{k}
+    most-similar suppliers by |parts(u)∩parts(v)| / |parts(u)∪parts(v)|
+    over the bipartite supply graph — the classic who-competes-with-
+    whom / collaborative-filtering-adjacent similarity.  Shape at
+    scale: candidate pairs come from the shared-part INVERTED INDEX
+    (only suppliers that actually co-occur on a part ever pair — the
+    q_triangle_count join shape, work bounded by Σ part-degree², part
+    degrees capped at 52 in the fixture; a web-scale hot part wants
+    the q_dedup_ngram_jaccard drop-hot-then-correct cap), intersection
+    and degree counts are combinable aggs, and the per-node top-k
+    window totalizes with (jac DESC, partner ASC).  The micro-Jaccard
+    is one shared expression text over exact integers.""".replace(
+        "{k}", str(_NJ_TOPK)
+    )
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read by pairs AND degrees
+    )
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sp.alias("a"), sp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sym = inter.selectExpr("u AS s", "v AS partner", "i").unionAll(
+        inter.selectExpr("v AS s", "u AS partner", "i")
+    )
+    j = (
+        sym.join(F.broadcast(deg.selectExpr("s", "d AS da")), "s")
+        .join(F.broadcast(deg.selectExpr("s AS partner", "d AS db")), "partner")
+        .select("s", "partner", "i", (F.col("da") + F.col("db") - F.col("i")).alias("un"))
+    )
+    w = Window.partitionBy("s").orderBy(F.expr(_NJ_EXPR).desc(), F.col("partner"))
+    return (
+        j.withColumn("jac_micro", F.expr(_NJ_EXPR))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _NJ_TOPK)
+        .select(
+            F.col("s").alias("s_suppkey"),
+            "partner",
+            F.col("i").cast("long").alias("n_shared"),
+            F.col("un").cast("long").alias("n_union"),
+            "jac_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
     )

@@ -220,3 +220,33 @@ def test_attribution_hand_fixture(spark):
         ("last_touch", "view"): (1, 3.0),
         ("last_touch", "none"): (2, 7.0),
     }
+
+
+def test_copurchase_lift_symmetric_and_supported(spark, sf_dir):
+    """Every recommendation row has its mirror pair's statistics
+    (lift(a,b) == lift(b,a)), support floors hold, and ranks are a
+    proper per-part prefix."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        _LIFT_MIN_PAIRS,
+        _LIFT_TOPK,
+        q_copurchase_lift,
+    )
+
+    rows = q_copurchase_lift(spark, sf_dir).collect()
+    assert rows
+    lifts = {}
+    for r in rows:
+        assert r["n_cooccur"] >= _LIFT_MIN_PAIRS
+        assert 1 <= r["rk"] <= _LIFT_TOPK
+        lifts[(r["part"], r["partner"])] = r["lift_micro"]
+    mirrored = 0
+    for (a, b), v in lifts.items():
+        if (b, a) in lifts:
+            assert lifts[(b, a)] == v
+            mirrored += 1
+    assert mirrored > 0
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r["rk"])
+    for ranks in by_part.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

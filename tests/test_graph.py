@@ -338,3 +338,44 @@ def test_widest_path_fixture_invariants(spark, sf_dir):
             assert r["capacity"] == G._WP_SEED_CAP
         else:
             assert 1 <= r["capacity"] <= wmax
+
+
+def test_node_jaccard_hand_bipartite(spark, sf_dir):
+    """Jaccard definition check against a brute-force recomputation of
+    one supplier's row set."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = G.q_node_jaccard(spark, sf_dir).collect()
+    assert rows
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    )
+    parts: dict = {}
+    for r in sp:
+        parts.setdefault(r["s"], set()).add(r["p"])
+    import math
+
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["s_suppkey"], []).append(r)
+    s0 = min(by_s)
+    # brute-force this supplier's best partners
+    cand = []
+    for other, ps in parts.items():
+        if other == s0:
+            continue
+        i = len(parts[s0] & ps)
+        if i == 0:
+            continue
+        un = len(parts[s0] | ps)
+        cand.append((math.floor(i * 1e6 / un + 0.5), -other))
+    cand.sort(reverse=True)
+    got = [(r["jac_micro"], -r["partner"]) for r in sorted(by_s[s0], key=lambda r: r["rk"])]
+    assert got == cand[: len(got)]
+    for r in rows:
+        assert 1 <= r["rk"] <= G._NJ_TOPK
+        assert 0 < r["jac_micro"] <= 1_000_000
+        assert r["n_shared"] <= r["n_union"]
