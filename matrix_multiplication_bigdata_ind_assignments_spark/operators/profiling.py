@@ -592,3 +592,201 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("sc"))).cast("long").alias("cusum_scaled"),
         F.any_value("d").cast("long").alias("n_days"),
     )
+
+
+#: drift split point: the fixture's event month cut in half — first
+#: half is the REFERENCE distribution, second half the CURRENT one
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+#: decile bound columns b1..b9 (exact shared 6-dp doubles from the
+#: reference half), bucket = how many bounds the value clears (0..9)
+_PSI_BUCKET = " + ".join(f"CAST(value >= b{i} AS INT)" for i in range(1, 10))
+
+#: Laplace-smoothed PSI term per bucket, nano-quantized so the per-type
+#: sum is an exact integer reduction (10 doubles summed in arbitrary
+#: order would be partition-dependent):
+#: term = (p - q) * ln(p / q), p = (cr+1)/(nr+10), q = (cc+1)/(nc+10)
+#: NOTE the CAST-first shape: Spark parses the literal 1.0 as
+#: DECIMAL(2,1), so `cr + 1.0` over a LONG runs DECIMAL division
+#: (~2e-8 relative error vs IEEE) while DuckDB promotes to DOUBLE —
+#: casting the count to DOUBLE before the +1 keeps both engines on the
+#: same double arithmetic (found by a 45-nano hash mismatch at r10)
+_PSI_TERM = (
+    "CAST(floor((((CAST(cr AS DOUBLE) + 1) / (nr + 10) - (CAST(cc AS DOUBLE) + 1) / (nc + 10)) "
+    "* ln(((CAST(cr AS DOUBLE) + 1) / (nr + 10)) / ((CAST(cc AS DOUBLE) + 1) / (nc + 10)))) "
+    "* 1000000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+WITH ref AS MATERIALIZED (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'
+),
+cur AS MATERIALIZED (
+  SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+),
+b AS MATERIALIZED (
+  SELECT event_type,
+         {", ".join(f"round(quantile_cont(value, 0.{i}), 6) AS b{i}" for i in range(1, 10))}
+  FROM ref GROUP BY event_type
+),
+cnt AS (
+  SELECT s.event_type, s.bucket, sum(s.is_ref) AS cr, sum(1 - s.is_ref) AS cc
+  FROM (
+    SELECT e.event_type, {_PSI_BUCKET} AS bucket, e.is_ref
+    FROM (SELECT event_type, value, 1 AS is_ref FROM ref
+          UNION ALL SELECT event_type, value, 0 FROM cur) e
+    JOIN b ON e.event_type = b.event_type
+  ) s GROUP BY s.event_type, s.bucket
+),
+spine AS (
+  SELECT bg.event_type, bg.bucket, coalesce(cnt.cr, 0) AS cr, coalesce(cnt.cc, 0) AS cc
+  FROM (SELECT b.event_type, g.bucket
+        FROM b, (SELECT unnest(range(10)) AS bucket) g) bg
+  LEFT JOIN cnt ON cnt.event_type = bg.event_type AND cnt.bucket = bg.bucket
+),
+tot AS (
+  SELECT event_type, sum(cr) AS nr, sum(cc) AS nc FROM spine GROUP BY event_type
+),
+j AS (
+  SELECT s.event_type, s.cr, s.cc, t.nr, t.nc
+  FROM spine s JOIN tot t ON s.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(any_value(nr) AS BIGINT) AS n_ref,
+       CAST(any_value(nc) AS BIGINT) AS n_cur,
+       CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000 AS psi
+FROM j GROUP BY event_type
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: events are split at
+    the month's midpoint into reference/current halves, the CURRENT
+    value distribution is binned against the REFERENCE deciles per
+    event_type, and PSI = Σ (p−q)·ln(p/q) (Laplace-smoothed so empty
+    buckets stay finite) — the standard went-my-feature-stale gate an
+    ML pipeline runs on every refresh (PSI > 0.2 ⇒ investigate).
+    Shape at scale: one percentile agg over the reference half (the
+    tiny 9-bound table broadcasts back), ONE scan of both halves with
+    the bucket as a narrow expression, a combinable (type, bucket)
+    count agg over ≤ 10·|types| cells, and a spine join so absent
+    buckets still contribute their smoothed term.  Each bucket's term
+    is nano-quantized to an exact integer, so the per-type sum is
+    order-proof; bounds are shared 6-dp doubles (the q_percentiles
+    equivalence)."""
+    e = load(spark, sf_dir, "events")
+    is_ref = (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).cast("int")
+    ref = e.where(F.col("ts") < _DRIFT_SPLIT)
+    b = ref.groupBy("event_type").agg(
+        *[
+            F.expr(f"round(percentile(value, 0.{i}), 6)").alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    ).localCheckpoint(eager=True)  # read twice: bucketing join + spine
+    cnt = (
+        e.select("event_type", "value", is_ref.alias("is_ref"))
+        .join(F.broadcast(b), "event_type")
+        .select("event_type", F.expr(_PSI_BUCKET).alias("bucket"), "is_ref")
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("is_ref").alias("cr"), F.sum(1 - F.col("is_ref")).alias("cc"))
+    )
+    spine = (
+        b.select("event_type")
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+        .join(cnt, ["event_type", "bucket"], "left_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    scored = spine.select(
+        "event_type",
+        "cr",
+        "cc",
+        F.sum("cr").over(w).alias("nr"),
+        F.sum("cc").over(w).alias("nc"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.any_value("nr").cast("long").alias("n_ref"),
+        F.any_value("nc").cast("long").alias("n_cur"),
+        (F.sum(F.expr(_PSI_TERM)).cast("double") / 1e9).alias("psi"),
+    )
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+v AS (
+  SELECT event_type, value, sum(is_ref) AS cr, sum(1 - is_ref) AS cc
+  FROM e GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, value,
+         sum(cr) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+         sum(cc) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM v
+),
+t AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc FROM v GROUP BY event_type)
+SELECT c.event_type,
+       CAST(any_value(t.nr) AS BIGINT) AS n_ref,
+       CAST(any_value(t.nc) AS BIGINT) AS n_cur,
+       CAST(max(abs(t.nc * c.cumr - t.nr * c.cumc)) AS BIGINT) AS d_scaled,
+       floor(CAST(max(abs(t.nc * c.cumr - t.nr * c.cumc)) AS DOUBLE)
+             / (any_value(t.nr) * any_value(t.nc)) * 1000000 + 0.5) / 1000000 AS d_stat
+FROM c JOIN t ON c.event_type = t.event_type
+GROUP BY c.event_type
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event_type
+    (same reference/current halves as q_psi_drift): D = max_x
+    |F_ref(x) − F_cur(x)|, computed EXACTLY in integers as
+    max |nc·cumref(x) − nr·cumcur(x)| over the merged value grid —
+    no binning approximation, the nonparametric companion to PSI's
+    binned view.  Shape: one (type, value) combinable count agg, one
+    per-type ordered window over DISTINCT values (not events), one
+    closing max agg; products stay ≤ nr·nc ≈ 2.5e7 at sf0.1, exact in
+    longs.  d_stat = D/(nr·nc) is a single shared floor-text."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).cast("long").alias("is_ref"),
+    )
+    v = e.groupBy("event_type", "value").agg(
+        F.sum("is_ref").alias("cr"), F.sum(1 - F.col("is_ref")).alias("cc")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = v.select(
+        "event_type",
+        "value",
+        F.sum("cr").over(w).alias("cumr"),
+        F.sum("cc").over(w).alias("cumc"),
+        F.sum("cr").over(Window.partitionBy("event_type")).alias("nr"),
+        F.sum("cc").over(Window.partitionBy("event_type")).alias("nc"),
+    )
+    d = F.abs(F.col("nc") * F.col("cumr") - F.col("nr") * F.col("cumc"))
+    return c.groupBy("event_type").agg(
+        F.any_value("nr").cast("long").alias("n_ref"),
+        F.any_value("nc").cast("long").alias("n_cur"),
+        F.max(d).cast("long").alias("d_scaled"),
+        F.expr(
+            "floor(CAST(max(abs(nc * cumr - nr * cumc)) AS DOUBLE)"
+            " / (any_value(nr) * any_value(nc)) * 1000000 + 0.5) / 1000000"
+        ).alias("d_stat"),
+    )

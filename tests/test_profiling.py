@@ -178,3 +178,65 @@ def test_cusum_finds_injected_level_shift(spark):
     epoch_day0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
     assert r["change_day"] == epoch_day0 + 49  # last day of the low regime
     assert r["n_days"] == 100
+
+
+def test_psi_detects_injected_shift_and_null_case(spark):
+    """Identical halves -> PSI ~ 0 (only Laplace noise); a shifted
+    second half -> PSI over the 0.2 alert threshold."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_psi_drift
+
+    base = dt.datetime(2024, 1, 1)
+    late = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for i in range(400):
+        rows.append((eid, base, 1, "stable", float(i % 100), "")); eid += 1
+        rows.append((eid, late, 1, "stable", float(i % 100), "")); eid += 1
+        rows.append((eid, base, 1, "shifted", float(i % 100), "")); eid += 1
+        rows.append((eid, late, 1, "shifted", float(i % 100) + 80.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_type"]: r for r in q_psi_drift(spark, d).collect()}
+    assert got["stable"]["psi"] < 0.01
+    assert got["shifted"]["psi"] > 0.2
+    assert got["stable"]["n_ref"] == got["stable"]["n_cur"] == 400
+
+
+def test_ks_matches_scipy_style_bruteforce(spark, sf_dir):
+    """d_scaled must equal the brute-force max |nc*F_ref - nr*F_cur|
+    over the merged grid, recomputed in Python."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        _DRIFT_SPLIT,
+        q_ks_drift,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    import datetime as dt
+
+    split = dt.datetime.fromisoformat(_DRIFT_SPLIT)
+    rows = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    got = {r["event_type"]: r for r in q_ks_drift(spark, sf_dir).collect()}
+    by_type: dict = {}
+    for r in rows:
+        ref = r["ts"].replace(tzinfo=None) < split
+        by_type.setdefault(r["event_type"], ([], []))[0 if ref else 1].append(r["value"])
+    for et, (a, b) in by_type.items():
+        a.sort(); b.sort()
+        nr, nc = len(a), len(b)
+        import bisect
+
+        best = 0
+        for x in sorted(set(a) | set(b)):
+            cumr = bisect.bisect_right(a, x)
+            cumc = bisect.bisect_right(b, x)
+            best = max(best, abs(nc * cumr - nr * cumc))
+        r = got[et]
+        assert (r["n_ref"], r["n_cur"]) == (nr, nc)
+        assert r["d_scaled"] == best, et

@@ -170,6 +170,12 @@ AUDIT = {
     "q_ols_predict": "two scans of the checkpointed points frame (d² training sums, then "
     "map-side scoring) with a 1-row coefficient broadcast between them; residuals are exact "
     "µunit ints so the per-lang rollup is order-proof",
+    "q_copurchase_lift": "the basket self-join is bounded by basket size; pair counts and "
+    "supports are combinable hash aggs; support tables join back BroadcastHashJoin; the "
+    "support-floored pair set (never all pairs) feeds the per-part top-k window",
+    "q_node_jaccard": "candidate pairs from the shared-part inverted-index equi-join (the "
+    "triangle shape — only co-occurring suppliers pair); degree tables broadcast; no "
+    "CartesianProduct anywhere",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
