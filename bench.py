@@ -398,6 +398,12 @@ def main() -> int:
         # two vocab-sized broadcast joins)
         "q_widest_path",
         "q_word_pmi",
+        # r10 fourth wave: basket-pair lift, inverted-index node
+        # similarity, and the PSI drift monitor (reference-decile agg +
+        # bucket spine)
+        "q_copurchase_lift",
+        "q_node_jaccard",
+        "q_psi_drift",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

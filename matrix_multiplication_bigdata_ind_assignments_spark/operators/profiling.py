@@ -790,3 +790,56 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (any_value(nr) * any_value(nc)) * 1000000 + 0.5) / 1000000"
         ).alias("d_stat"),
     )
+
+
+_EQD_BUCKETS = 8
+
+
+@register(
+    "q_equidepth_hist",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         {", ".join(f"round(quantile_cont(value, {i}.0 / {_EQD_BUCKETS}), 6) AS b{i}" for i in range(1, _EQD_BUCKETS))}
+  FROM events GROUP BY event_type
+),
+assigned AS (
+  SELECT e.event_type,
+         {" + ".join(f"CAST(e.value >= b.b{i} AS INT)" for i in range(1, _EQD_BUCKETS))} AS bucket,
+         e.value
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM assigned GROUP BY event_type, bucket
+""",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram per event_type ({b} buckets cut at the
+    exact {b}-quantiles) — the statistics a cost-based optimizer and a
+    range partitioner actually collect (equal-WIDTH histograms lie
+    under skew; equal-DEPTH buckets bound every range-scan estimate by
+    1/{b}).  One percentile agg per type (the only sort-bearing stage,
+    over groups), bounds broadcast back, bucket id as a narrow
+    sum-of-compares expression, one combinable closing agg with
+    min/max bucket envelopes.  Counts per bucket are ~n/{b} by
+    construction — the test pins that balance.""".replace(
+        "{b}", str(_EQD_BUCKETS)
+    )
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        *[
+            F.expr(f"round(percentile(value, {i}.0 / {_EQD_BUCKETS}), 6)").alias(f"b{i}")
+            for i in range(1, _EQD_BUCKETS)
+        ]
+    )
+    bucket = " + ".join(f"CAST(value >= b{i} AS INT)" for i in range(1, _EQD_BUCKETS))
+    assigned = e.join(F.broadcast(b), "event_type").select(
+        "event_type", F.expr(bucket).alias("bucket"), "value"
+    )
+    return assigned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    ).select("event_type", F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")

@@ -240,3 +240,32 @@ def test_ks_matches_scipy_style_bruteforce(spark, sf_dir):
         r = got[et]
         assert (r["n_ref"], r["n_cur"]) == (nr, nc)
         assert r["d_scaled"] == best, et
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    """Equal-depth property: every bucket holds n_type/8 rows within
+    the tie-induced slack, buckets tile [min, max] in order, and
+    counts sum back to the type totals."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        _EQD_BUCKETS,
+        q_equidepth_hist,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = q_equidepth_hist(spark, sf_dir).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events").groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, bs in by_type.items():
+        bs.sort(key=lambda r: r["bucket"])
+        assert sum(r["n"] for r in bs) == totals[et]
+        target = totals[et] / _EQD_BUCKETS
+        for r in bs:
+            assert r["n"] <= 2 * target + 1  # depth balance (values are near-continuous)
+            assert r["lo"] <= r["hi"]
+        for a, b in zip(bs, bs[1:]):
+            assert a["hi"] <= b["lo"] + 1e-9  # buckets tile in value order

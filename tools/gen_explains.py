@@ -176,6 +176,12 @@ AUDIT = {
     "q_node_jaccard": "candidate pairs from the shared-part inverted-index equi-join (the "
     "triangle shape — only co-occurring suppliers pair); degree tables broadcast; no "
     "CartesianProduct anywhere",
+    "q_psi_drift": "one percentile agg over the reference half (9-bound table broadcasts "
+    "back), ONE scan of both halves with the bucket as a narrow sum-of-compares expression, "
+    "a combinable (type, bucket) agg over ≤10·|types| cells, spine join for absent buckets; "
+    "per-bucket terms nano-quantized so the closing sum is an exact integer reduction",
+    "q_ks_drift": "one combinable (type, value) count agg + per-type ordered window over "
+    "DISTINCT values (not events) + closing max agg — all-integer, no binning",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
