@@ -154,6 +154,9 @@ _CANARIES: tuple[str, ...] = (
     "q_dedup_simhash_pairs",
     "q_fuzzy_match",
     "q_pagerank",
+    # r10: the frontier-relaxation family (BFS/widest-path share the
+    # delta-propagation plan shape; one canary covers it)
+    "q_bfs_hops",
 )
 
 
