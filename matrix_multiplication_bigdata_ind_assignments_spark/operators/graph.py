@@ -1056,8 +1056,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WP_ROUNDS = 8  # fixed unroll; max-min relaxation can improve through
-# longer paths than BFS levels, so it gets headroom over _BFS_ROUNDS
+_WP_ROUNDS = 8  # fixed unroll; max-min relaxation improves through longer
+# paths than BFS levels — measured fixpoint: 5 rounds at sf0.001/0.01,
+# 7 at sf0.1 (post-fixpoint rounds cost ~nothing: the frontier is empty);
+# the in-query certificate fails loudly if a fixture ever needs >8
 _WP_SEED_CAP = 1 << 40  # seed sentinel, far above any edge weight
 
 
