@@ -618,9 +618,10 @@ _PSI_TERM = (
 )
 
 
-@register(
-    "q_psi_drift",
-    oracle=f"""
+#: shared by q_psi_drift and its streaming twin q_stream_psi
+#: (streaming/queries.py) — batch equivalence IS the streaming oracle,
+#: the q_stream_funnel / q_stream_cohort pattern
+PSI_ORACLE = f"""
 WITH ref AS MATERIALIZED (
   SELECT event_type, value FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'
 ),
@@ -659,8 +660,10 @@ SELECT event_type,
        CAST(any_value(nc) AS BIGINT) AS n_cur,
        CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000 AS psi
 FROM j GROUP BY event_type
-""",
-)
+"""
+
+
+@register("q_psi_drift", oracle=PSI_ORACLE)
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor: events are split at
     the month's midpoint into reference/current halves, the CURRENT

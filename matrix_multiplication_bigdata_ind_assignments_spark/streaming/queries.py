@@ -1089,3 +1089,74 @@ def q_stream_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("max_by(struct(event_id, event_type), struct(best_us, event_id))").alias("m"))
         .select("user_id", F.col("m.event_id").alias("event_id"), F.col("m.event_type").alias("event_type"))
     )
+
+
+from ..operators.profiling import PSI_ORACLE as _PSI_ORACLE  # noqa: E402
+
+
+@register("q_stream_psi", oracle=_PSI_ORACLE)
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor — q_psi_drift with the CURRENT half
+    arriving as a stream: the reference deciles are computed batch-side
+    (the deployed monitor trains its bounds offline), broadcast into
+    the stream, and the per-(type, bucket) current counts accumulate in
+    streaming state (complete mode; counts are commutative, so arrival
+    order is irrelevant — the property that makes this hash-checkable).
+    The closing PSI assembly (reference counts, bucket spine, exact
+    nano-quantized terms) runs batch-side on the drained state, the
+    q_stream_cohort pattern.  Oracle = the batch PSI_ORACLE, shared
+    verbatim."""
+    from ..operators import profiling as _P
+    from ..sources import load as _load
+
+    e = _load(spark, sf_dir, "events")
+    ref = e.where(F.col("ts") < _P._DRIFT_SPLIT)
+    b = ref.groupBy("event_type").agg(
+        *[
+            F.expr(f"round(percentile(value, 0.{i}), 6)").alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    ).localCheckpoint(eager=True)
+    s = _stream_events(spark, sf_dir).where(
+        F.col("ts") >= F.lit(_P._DRIFT_SPLIT).cast("timestamp")
+    )
+    cur_counts = (
+        s.join(F.broadcast(b), "event_type")
+        .select("event_type", F.expr(_P._PSI_BUCKET).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    cur = _run_to_memory(cur_counts, "complete")
+    ref_counts = (
+        ref.join(F.broadcast(b), "event_type")
+        .select("event_type", F.expr(_P._PSI_BUCKET).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    spine = (
+        b.select("event_type")
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+        .join(ref_counts, ["event_type", "bucket"], "left_outer")
+        .join(cur, ["event_type", "bucket"], "left_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("event_type")
+    scored = spine.select(
+        "event_type",
+        "cr",
+        "cc",
+        F.sum("cr").over(w).alias("nr"),
+        F.sum("cc").over(w).alias("nc"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.any_value("nr").cast("long").alias("n_ref"),
+        F.any_value("nc").cast("long").alias("n_cur"),
+        (F.sum(F.expr(_P._PSI_TERM)).cast("double") / 1e9).alias("psi"),
+    )

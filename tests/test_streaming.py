@@ -328,3 +328,15 @@ def test_stream_keep_latest_matches_batch(spark, sf_dir):
     a = sorted(tuple(r) for r in q_stream_keep_latest(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in q_keep_latest(spark, sf_dir).collect())
     assert a == b
+
+
+def test_stream_psi_equals_batch_and_reruns(spark, sf_dir):
+    """The streamed-current PSI must equal the batch monitor exactly
+    (counts are commutative, so replay order is irrelevant), and a
+    second call in the same session must work."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_psi_drift
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import q_stream_psi
+
+    batch = sorted(tuple(r) for r in q_psi_drift(spark, sf_dir).collect())
+    assert sorted(tuple(r) for r in q_stream_psi(spark, sf_dir).collect()) == batch
+    assert sorted(tuple(r) for r in q_stream_psi(spark, sf_dir).collect()) == batch
