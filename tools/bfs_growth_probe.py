@@ -70,11 +70,15 @@ def main() -> int:
             .distinct()
         )
 
-    graphs = [
-        ("base 1x", base),
-        ("disjoint 10x", disjoint(10)),
-        ("rotated 10x", rotated(10)),
-    ]
+    import os
+
+    ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["10"])]
+    graphs = [("base 1x", base)]
+    for k in ks:
+        graphs.append((f"disjoint {k}x", disjoint(k)))
+    if ks == [10]:
+        graphs.append(("rotated 10x", rotated(10)))
+    del os
 
     print("### q_bfs_hops loop (6 fixed rounds, frontier form)")
     print("| graph | edges m | seeds | reached | shuffle write (MB) | wall (s) |")
