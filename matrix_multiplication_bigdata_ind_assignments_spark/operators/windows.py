@@ -297,3 +297,115 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 6).alias("p_retailprice"),
         F.col("p_size").cast("long").alias("p_size"),
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS DECIMAL(38,0))
+             * (nxt - us)) AS wsum,
+         sum(nxt - us) AS span
+  FROM seg WHERE nxt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(span AS BIGINT) AS span_us,
+       floor(CAST(wsum AS DOUBLE) / span / 1000000 * 1000000 + 0.5) / 1000000 AS twap
+FROM w
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the telemetry /
+    finance standard where a value HOLDS until the next observation,
+    so a reading that stood for an hour must outweigh one that stood
+    for a second): each event's value is weighted by its holding
+    interval (lead(ts) − ts), last observation carries no weight (no
+    successor to bound it).  One window pass for the intervals (the
+    q_scd2_intervals shape) + one combinable agg; the weighted sum is
+    EXACT integer arithmetic through DECIMAL(38,0) (µunit value × µs
+    interval overflows int64 for multi-day gaps — the regression-family
+    _SUMS route) and the closing division is one shared floor-text."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    g = seg.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").cast("decimal(38,0)")
+            * (F.col("nxt") - F.col("us"))
+        ).alias("wsum"),
+        F.sum(F.col("nxt") - F.col("us")).alias("span"),
+    )
+    return g.select(
+        "user_id",
+        F.col("span").cast("long").alias("span_us"),
+        F.expr(
+            "floor(CAST(wsum AS DOUBLE) / span / 1000000 * 1000000 + 0.5) / 1000000"
+        ).alias("twap"),
+    )
+
+
+@register(
+    "q_peak_concurrency",
+    oracle="""
+WITH sess AS (
+  SELECT user_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us
+  FROM events
+),
+pts AS (
+  SELECT s_us AS us, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS us, -1 AS delta FROM sess
+),
+agg AS (SELECT us, sum(delta) AS d FROM pts GROUP BY us),
+run AS (
+  SELECT us, sum(d) OVER (ORDER BY us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM agg
+)
+SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+       CAST(max_by(us, live * 10000000000000000 - us) AS BIGINT) AS peak_at_us
+FROM run
+""",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/−1 sweep: every event opens a
+    30-minute activity interval; the answer is the maximum number of
+    simultaneously-open intervals and the earliest µs at which it is
+    reached — the capacity-planning primitive (peak sessions, max
+    connections, license high-water mark).  The sweep is exact
+    integers end-to-end: boundary deltas collapse in one combinable
+    agg (ties merge BEFORE the scan, so open-at-same-µs-as-close is
+    handled consistently in both engines), the running sum is one
+    ordered window over DISTINCT boundary points (not events), and
+    the argmax packs (live DESC, us ASC) into one long.  The global
+    window is the honest cost of a global high-water mark; per-key
+    (e.g. per-tenant) peaks would partition it."""
+    e = load(spark, sf_dir, "events")
+    sess = e.select(
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("e_us"),
+    )
+    pts = sess.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    agg = pts.groupBy("us").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    run = agg.select("us", F.sum("d").over(w).alias("live"))
+    return run.agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        F.expr("max_by(us, live * 10000000000000000 - us)")
+        .cast("long")
+        .alias("peak_at_us"),
+    )

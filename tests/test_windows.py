@@ -72,3 +72,55 @@ def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
         if not dominated:
             expected.add(k)
     assert got == expected
+
+
+def test_twap_holds_value_over_interval(spark):
+    """Hand timeline: value 10 held for 9 time units, then 100 held for
+    1 unit -> TWAP = (10*9 + 100*1)/10 = 19; the final observation
+    carries no weight."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    s_ = dt.timedelta(seconds=1)
+    rows = [
+        (1, base + 0 * s_, 7, "a", 10.0, ""),
+        (2, base + 9 * s_, 7, "a", 100.0, ""),
+        (3, base + 10 * s_, 7, "a", 55555.0, ""),  # last obs: weightless
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        (r,) = q_time_weighted_avg(spark, d).collect()
+    assert r["span_us"] == 10_000_000
+    assert abs(r["twap"] - 19.0) < 1e-9
+
+
+def test_peak_concurrency_bruteforce(spark, sf_dir):
+    """The sweep must equal a brute-force max over boundary points."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_peak_concurrency
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    (r,) = q_peak_concurrency(spark, sf_dir).collect()
+    evs = [
+        int(row["ts"].timestamp() * 1_000_000)
+        for row in load(spark, sf_dir, "events").select("ts").collect()
+    ]
+    deltas: dict = {}
+    for us in evs:
+        deltas[us] = deltas.get(us, 0) + 1
+        e = us + 1_800_000_000
+        deltas[e] = deltas.get(e, 0) - 1
+    live = peak = 0
+    peak_at = None
+    for us in sorted(deltas):
+        live += deltas[us]
+        if live > peak:
+            peak, peak_at = live, us
+    assert r["peak_concurrent"] == peak
+    assert r["peak_at_us"] == peak_at
