@@ -182,6 +182,11 @@ AUDIT = {
     "per-bucket terms nano-quantized so the closing sum is an exact integer reduction",
     "q_ks_drift": "one combinable (type, value) count agg + per-type ordered window over "
     "DISTINCT values (not events) + closing max agg — all-integer, no binning",
+    "q_peak_concurrency": "boundary deltas collapse in ONE combinable agg before the ordered "
+    "window (which runs over DISTINCT boundary points, not events); the global window is the "
+    "honest cost of a global high-water mark",
+    "q_time_weighted_avg": "one per-user window pass for holding intervals + one combinable "
+    "agg; weighted sums ride DECIMAL(38,0) so multi-day gaps can't overflow",
     "q_pagerank": "the FINAL frame explains as a bare ExistingRDD scan — that IS the property: "
     "per-round eager checkpoints truncate lineage, so the plan never grows with iterations.  The "
     "per-iteration shape (edges persisted clustered on src, never exchanged/sorted in the loop; "
