@@ -457,3 +457,79 @@ def q_ols_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("r"))).cast("long").alias("max_abs_err_micro"),
         F.expr(_rnd("CAST(sum(r) AS DOUBLE) / 1000000 / count(*)", 6)).alias("bias"),
     )
+
+
+#: retention-decay selects: y is micro-nat ln(pooled retention), x is the
+#: raw week offset, so slope_u/1e6 is nats/week; half-life = ln 2 / -slope
+#: (NULL when retention isn't decaying — a fit, not a wish)
+_DECAY_SLOPE = f"({_SLOPE_U} / CAST(1000000 AS DOUBLE))"
+_RETENTION_SELECTS = [
+    "CAST(n AS BIGINT) AS n_points",
+    f"{_rnd(_DECAY_SLOPE, 6)} AS decay_per_week",
+    f"{_rnd(f'({_ICEPT_U} / CAST(1000000 AS DOUBLE))', 4)} AS intercept",
+    f"{_rnd(_R2, 4)} AS r2",
+    f"CASE WHEN {_DECAY_SLOPE} >= 0 THEN NULL ELSE {_rnd(f'(ln(2) / (0 - {_DECAY_SLOPE}))', 4)} END AS half_life_weeks",
+]
+
+
+def _retention_points_sql() -> str:
+    from .aggregates import _WEEK_DUCK
+
+    wk = _WEEK_DUCK.format(ts="e.ts")
+    wk_first = _WEEK_DUCK.format(ts="first_ts")
+    return f"""
+  SELECT CAST(week_offset AS BIGINT) AS x,
+         {_micro_ln("CAST(a AS DOUBLE) / b")} AS y
+  FROM (
+    SELECT act.week_offset, count(DISTINCT act.user_id) AS a,
+           (SELECT count(*) FROM (SELECT user_id FROM events GROUP BY user_id) u) AS b
+    FROM (
+      SELECT c.cohort_week, {wk} - c.cohort_week AS week_offset, e.user_id
+      FROM events e JOIN (
+        SELECT user_id, {wk_first} AS cohort_week
+        FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+      ) c ON e.user_id = c.user_id
+    ) act
+    WHERE act.week_offset > 0
+    GROUP BY act.week_offset
+  ) WHERE a > 0"""
+
+
+@register(
+    "q_retention_decay",
+    oracle=lambda sf_dir: f"""
+WITH pts AS ({_retention_points_sql()}),
+g AS (SELECT {", ".join(f"{t} AS {k}" for k, t in _SUMS.items())} FROM pts)
+SELECT {", ".join(_RETENTION_SELECTS)} FROM g WHERE {_GUARD}
+""",
+)
+def q_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit — the summary number a growth
+    team quotes from the q_cohort_retention matrix: pooled retention
+    per week offset (distinct returning users over the full user base,
+    offsets > 0), fit ln(retention) ~ offset by the shared exact-sums
+    OLS tail, reported as decay/week, r², and half-life (NULL unless
+    actually decaying).  Composition: the cohort family's integral
+    week bucketing (aggregates._WEEK_SPARK — shared text with the
+    cohort oracle) + the regression family's shared-SQL-text fit;
+    shape is two combinable aggs + a ≤(weeks)-row fit input, nothing
+    scales past the first exchange."""
+    from .aggregates import _WEEK_SPARK
+
+    e = load(spark, sf_dir, "events")
+    first_ev = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first_ev.selectExpr(
+        "user_id", f"{_WEEK_SPARK.format(ts='first_ts')} AS cohort_week"
+    )
+    act = e.join(cohort, "user_id").selectExpr(
+        "user_id", f"{_WEEK_SPARK.format(ts='ts')} - cohort_week AS week_offset"
+    ).where(F.col("week_offset") > 0)
+    n_users = e.select("user_id").distinct().count()
+    pooled = act.groupBy("week_offset").agg(
+        F.countDistinct("user_id").alias("a")
+    ).where(F.col("a") > 0)
+    points = pooled.selectExpr(
+        "CAST(week_offset AS BIGINT) AS x",
+        f"{_micro_ln(f'CAST(a AS DOUBLE) / {n_users}')} AS y",
+    )
+    return _fit(points, [], _RETENTION_SELECTS)

@@ -138,3 +138,53 @@ def test_ols_predict_residuals_center_and_bound(spark, sf_dir):
     for r in rows:
         assert 0 <= r["mae"] <= 1.0  # quality scores live in [0, 1]
         assert r["max_abs_err_micro"] >= int(r["mae"] * 1e6) - 1
+
+
+def test_retention_decay_recovers_injected_halflife(spark):
+    """Synthetic cohort with a clean halving each week (16 -> 8 -> 4 ->
+    2 returning users) must fit decay = -ln 2 per week, half-life 1.0,
+    r2 ~ 1."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import (
+        q_retention_decay,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    wk = dt.timedelta(days=7)
+    rows = []
+    eid = 0
+    for u in range(32):
+        rows.append((eid, base, u, "view", 0.0, "")); eid += 1  # cohort week 0
+    for offset, alive in ((1, 16), (2, 8), (3, 4), (4, 2)):
+        for u in range(alive):
+            rows.append((eid, base + offset * wk, u, "view", 0.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        (r,) = q_retention_decay(spark, d).collect()
+    assert r["n_points"] == 4
+    assert abs(r["decay_per_week"] + math.log(2)) < 1e-4
+    assert abs(r["half_life_weeks"] - 1.0) < 1e-3
+    assert r["r2"] > 0.9999
+
+
+def test_retention_decay_null_halflife_when_flat(spark, sf_dir):
+    """On the dense fixture retention is ~flat: if the fit survives the
+    variance guard, a non-negative slope must report NULL half-life;
+    an empty result (guard drop) is the degenerate-consistent case."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import (
+        q_retention_decay,
+    )
+
+    rows = q_retention_decay(spark, sf_dir).collect()
+    for r in rows:
+        if r["decay_per_week"] >= 0:
+            assert r["half_life_weeks"] is None
+        else:
+            assert r["half_life_weeks"] > 0
