@@ -846,3 +846,249 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     ).select("event_type", F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+
+
+# ---------------------------------------------------------------- autocorr
+
+#: shared final text: ACF ratio over exact integer sums (both engines
+#: cast the same exact integers to DOUBLE and run one divide)
+_ACF_RATIO = "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+_ACF_LAGS = 3
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, sum(c) AS t, count(*) AS d FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT daily.event_type, daily.day,
+         CAST(tot.d * daily.c - tot.t AS BIGINT) AS v
+  FROM daily JOIN tot ON daily.event_type = tot.event_type
+),
+l AS (
+  SELECT event_type, v,
+         {", ".join(f"lag(v, {k}) OVER w AS v{k}" for k in range(1, _ACF_LAGS + 1))}
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+a AS (
+  SELECT event_type, count(*) AS nd, sum(v * v) AS den,
+         {", ".join(f"sum(v * v{k}) AS n{k}" for k in range(1, _ACF_LAGS + 1))}
+  FROM l GROUP BY event_type
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(nd AS BIGINT) AS n_days,
+       {{rnd}} AS acf
+FROM (
+  {" UNION ALL ".join(f"SELECT event_type, nd, den, {k} AS lag, n{k} AS num FROM a" for k in range(1, _ACF_LAGS + 1))}
+) WHERE den > 0
+""".replace("{rnd}", "(CAST(floor((" + _ACF_RATIO + ") * 1000000 + 0.5) AS DOUBLE) / 1000000)"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the per-type DAILY event volume —
+    the seasonality/burstiness diagnostic a pipeline runs before
+    trusting any drift monitor (a strongly autocorrelated volume
+    series makes naive day-over-day alerts fire on weekends).
+    All-integer until the closing divide: deviations are scaled by
+    n_days (v_i = D*c_i - T, so no rational mean materializes — the
+    q_cusum_changepoint trick), lagged per type over DAYS (the window
+    is over the tiny daily rollup, never the event stream), and the
+    num/den sums are exact longs (|v| <= D*max_c ~ 1e6 at sf0.1,
+    v^2 * days ~ 3e13; at corpus scales beyond ~1e9 route the sums
+    through DECIMAL(38,0)).  Both engines finish with the same IEEE
+    divide text.  Shape: one combinable daily-count agg, one broadcast
+    of per-type totals, one per-type window over <=31 rows, one
+    closing agg, a 3-way stack."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type", "day", (F.col("d") * F.col("c") - F.col("t")).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dev.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    a = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("v") * F.col("v")).alias("den"),
+        *[F.sum(F.col("v") * F.col(f"v{k}")).alias(f"n{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    stacked = a.selectExpr(
+        "event_type",
+        "nd",
+        "den",
+        "stack(%d, %s) AS (lag, num)"
+        % (_ACF_LAGS, ", ".join(f"{k}, n{k}" for k in range(1, _ACF_LAGS + 1))),
+    )
+    return stacked.where(F.col("den") > 0).selectExpr(
+        "event_type",
+        "CAST(lag AS BIGINT) AS lag",
+        "CAST(nd AS BIGINT) AS n_days",
+        f"(CAST(floor(({_ACF_RATIO}) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS acf",
+    )
+
+
+# ---------------------------------------------------------------- chi-square
+
+#: shared per-cell chi-square term, quantized to micro units so the
+#: cross-cell reduction is an exact integer sum in both engines; inputs
+#: n, o, r, c are exact longs (n*o <= ~4e9 at sf0.1 — fits long; the
+#: square routes through DOUBLE by design, one IEEE multiply)
+_CHI2_TERM = (
+    "CAST(floor(((CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+_CHI2_FINAL = [
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_langs AS BIGINT) AS n_langs",
+    "CAST(n_sources AS BIGINT) AS n_sources",
+    "CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof",
+    "(CAST(chi2_u AS DOUBLE) / 1000000) AS chi2",
+    "(CAST(floor(sqrt((CAST(chi2_u AS DOUBLE) / 1000000)"
+    " / (CAST(n_docs AS DOUBLE) * least(n_langs - 1, n_sources - 1)))"
+    " * 1000000 + 0.5) AS DOUBLE) / 1000000) AS cramers_v",
+]
+
+
+@register(
+    "q_chi2_independence",
+    oracle=f"""
+WITH o AS (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source),
+langs AS (SELECT lang, sum(cnt) AS r FROM o GROUP BY lang),
+srcs AS (SELECT source, sum(cnt) AS c FROM o GROUP BY source),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM o),
+cells AS (
+  SELECT langs.lang, srcs.source, langs.r, srcs.c, n.n,
+         CAST(coalesce(o.cnt, 0) AS BIGINT) AS o
+  FROM langs CROSS JOIN srcs CROSS JOIN n
+  LEFT JOIN o ON o.lang = langs.lang AND o.source = srcs.source
+),
+terms AS (SELECT {_CHI2_TERM} AS t FROM cells),
+g AS (
+  SELECT (SELECT n FROM n) AS n_docs,
+         (SELECT count(*) FROM langs) AS n_langs,
+         (SELECT count(*) FROM srcs) AS n_sources,
+         sum(t) AS chi2_u
+  FROM terms
+)
+SELECT {", ".join(_CHI2_FINAL)} FROM g
+""",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for lang x source over the
+    documents corpus (+ Cramer's V effect size) — the contingency
+    diagnostic a curation pipeline runs to catch source/language
+    coupling (one crawl dump collapsing to one language skews every
+    downstream mix).  Includes EMPTY cells (expected-count mass where
+    o=0), which a join on observed rows alone would drop.  Exactness:
+    counts and marginals are exact longs; each cell's (N*o - r*c)^2 /
+    (N*r*c) routes through the same DOUBLE text in both engines and is
+    quantized to micro units, so the cross-cell reduction is an exact
+    integer sum (order-proof).  Shape: one combinable contingency agg
+    over R*C cells, two tiny marginal rollups broadcast back, an R x C
+    cell frame (dims, not data), one closing single-row agg."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    o = o.localCheckpoint(eager=True)  # tiny; scanned by 3 rollups + the cell join
+    langs = o.groupBy("lang").agg(F.sum("cnt").alias("r"))
+    srcs = o.groupBy("source").agg(F.sum("cnt").alias("c"))
+    n = o.groupBy().agg(F.sum("cnt").cast("long").alias("n"))
+    cells = (
+        langs.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left_outer")
+        .select("lang", "source", "r", "c", "n", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("o"))
+    )
+    terms = cells.selectExpr(f"{_CHI2_TERM} AS t", "n", "r", "c")
+    g = (
+        terms.groupBy()
+        .agg(
+            F.any_value("n").alias("n_docs"),
+            F.sum("t").alias("chi2_u"),
+        )
+        .crossJoin(F.broadcast(langs.groupBy().agg(F.count(F.lit(1)).alias("n_langs"))))
+        .crossJoin(F.broadcast(srcs.groupBy().agg(F.count(F.lit(1)).alias("n_sources"))))
+    )
+    return g.selectExpr(*_CHI2_FINAL)
+
+
+# ---------------------------------------------------------------- gini
+
+#: shared closing text: Gini from exact rank/value sums
+#: G = (2*S1 - (n+1)*S0) / (n*S0), S1 = sum(i*x) over the (x, doc_id)
+#: total order, S0 = sum(x) — tie-order-invariant (equal x swap ranks
+#: without changing S1)
+_GINI_EXPR = (
+    "(CAST(floor(((2 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(s0 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))) * 1000000 + 0.5) AS DOUBLE) / 1000000)"
+)
+
+
+@register(
+    "q_gini_tokens",
+    oracle=f"""
+WITH x AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS x
+  FROM documents
+),
+rk AS (
+  SELECT lang, x,
+         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS i
+  FROM x
+),
+g AS (SELECT lang, count(*) AS n, sum(x) AS s0, sum(i * x) AS s1 FROM rk GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(s0 AS BIGINT) AS total_tokens,
+       {_GINI_EXPR} AS gini
+FROM g WHERE s0 > 0
+""",
+)
+def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token-count distribution,
+    per language — the corpus-concentration diagnostic (G -> 0: tokens
+    spread evenly across documents; G -> 1: a few megadocs carry the
+    corpus, so doc-level sampling under-represents the tail).  Exact:
+    token counts are integers, ranks come from the (x, doc_id) total
+    order (S1 = sum(i*x) is invariant under tie reordering), and the
+    closing ratio is one shared IEEE text over exact long sums (i*x <=
+    n*max_tokens ~ 1e7/row, summed ~2e11 at sf0.1 — fits long; route
+    through DECIMAL(38,0) past ~1e9 docs/lang).  Shape: one narrow
+    scan projecting (lang, x), one per-lang rank window (the sort is
+    the rank's price — at extreme scale swap in the equi-depth
+    histogram's quantile route), one combinable closing agg."""
+    d = load(spark, sf_dir, "documents")
+    x = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("lang").orderBy("x", "doc_id")
+    rk = x.select("lang", "x", F.row_number().over(w).alias("i"))
+    g = rk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return g.where(F.col("s0") > 0).selectExpr(
+        "lang",
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(s0 AS BIGINT) AS total_tokens",
+        f"{_GINI_EXPR} AS gini",
+    )

@@ -269,3 +269,105 @@ def test_equidepth_buckets_are_balanced(spark, sf_dir):
             assert r["lo"] <= r["hi"]
         for a, b in zip(bs, bs[1:]):
             assert a["hi"] <= b["lo"] + 1e-9  # buckets tile in value order
+
+
+def test_autocorr_alternating_series_and_bruteforce(spark, sf_dir):
+    """Injected period-2 daily volume -> lag-1 ACF strongly negative,
+    lag-2 strongly positive; fixture values must equal a Python
+    brute-force recompute of the exact integer formula."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_autocorr
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(60):
+        per = 10 if day % 2 == 0 else 2
+        for j in range(per):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "alt", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["lag"]: r["acf"] for r in q_autocorr(spark, d).collect()}
+    assert got[1] < -0.9 and got[2] > 0.9
+
+    # brute force on the real fixture
+    ev = load(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: dict = {}
+    for r in ev:
+        day = int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+        daily[(r["event_type"], day)] = daily.get((r["event_type"], day), 0) + 1
+    series: dict = {}
+    for (et, day), c in daily.items():
+        series.setdefault(et, []).append((day, c))
+    got = {(r["event_type"], r["lag"]): r for r in q_autocorr(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, c in pts]
+        dcnt, t = len(cs), sum(cs)
+        v = [dcnt * c - t for c in cs]
+        den = sum(x * x for x in v)
+        for k in (1, 2, 3):
+            if den <= 0:
+                assert (et, k) not in got
+                continue
+            num = sum(v[i] * v[i - k] for i in range(k, len(v)))
+            exp = math.floor((num / den) * 1e6 + 0.5) / 1e6
+            r = got[(et, k)]
+            assert r["acf"] == exp and r["n_days"] == dcnt, (et, k)
+
+
+def test_chi2_independent_vs_coupled(spark):
+    """lang independent of source -> chi2 ~ 0; lang == source -> V ~ 1."""
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        q_chi2_independence,
+    )
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(i, "w " * 3, l, s, 6) for i, (l, s) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+
+    indep = [(l, s) for l in ("en", "fr") for s in ("web", "book") for _ in range(100)]
+    coupled = [("en", "web")] * 200 + [("fr", "book")] * 200
+    with tempfile.TemporaryDirectory() as d:
+        mkdocs(indep).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = q_chi2_independence(spark, d).collect()[0]
+        assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n_docs"] == 400
+    with tempfile.TemporaryDirectory() as d:
+        mkdocs(coupled).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = q_chi2_independence(spark, d).collect()[0]
+        # perfect association: chi2 = N, Cramer's V = 1
+        assert abs(r["chi2"] - 400.0) < 1e-6 and abs(r["cramers_v"] - 1.0) < 1e-6
+
+
+def test_gini_uniform_zero_and_concentrated(spark):
+    """Equal token counts -> Gini exactly 0; one doc holding almost all
+    tokens -> Gini near (n-1)/n."""
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_gini_tokens
+
+    uniform = [(i, "a b c d", "en", "web", 7) for i in range(50)]
+    conc = [(i, "a", "fr", "web", 1) for i in range(49)] + [(49, "a " * 10000, "fr", "web", 2)]
+    df = spark.createDataFrame(
+        uniform + conc, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["lang"]: r for r in q_gini_tokens(spark, d).collect()}
+    assert got["en"]["gini"] == 0.0 and got["en"]["n_docs"] == 50
+    assert got["fr"]["gini"] > 0.9 and got["fr"]["total_tokens"] == 49 + 10000
