@@ -319,6 +319,7 @@ def _load_all() -> None:
         profiling,
         pipeline,
         regression,
+        evaluation,
     )
     from .streaming import queries as streaming_queries  # noqa: F401
 
