@@ -856,3 +856,56 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(_Q3_TOPN)
     )
+
+
+_Q18_QTY = 250
+_Q18_TOPN = 10
+
+
+@register(
+    "q_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT {_Q18_TOPN}
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total lineitem
+    quantity exceeds {q}, joined back to customer, top-{n} by
+    (o_totalprice DESC, o_orderkey) — the canonical HAVING-driven
+    semi-reduction: the expensive side (lineitem) collapses FIRST to a
+    per-order aggregate, the >{q} cut leaves a tiny driver-broadcastable
+    survivor set (~1% of orders), and everything downstream joins
+    AGAINST that survivor set instead of re-scanning the fact.  Scale
+    posture: one map-side-combinable agg over lineitem, survivors
+    broadcast into orders (plan guard: BroadcastHashJoin, no shuffle of
+    orders), customer joined the same way, TakeOrderedAndProject for
+    the cut.  Exact: quantities are integral doubles summed exactly in
+    binary (< 2^53), cast to BIGINT; totalprice passes through
+    unaggregated.  Ordering is total, so the LIMIT is deterministic.
+    """.replace("{q}", str(_Q18_QTY)).replace("{n}", str(_Q18_TOPN))
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qd"))
+        .where(F.col("qd") > _Q18_QTY)
+        .select("l_orderkey", F.col("qd").cast("long").alias("sum_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_Q18_TOPN)
+    )

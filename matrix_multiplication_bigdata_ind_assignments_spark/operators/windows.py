@@ -409,3 +409,106 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("peak_at_us"),
     )
+
+
+# burst threshold: an hour is bursty when its count beats 1.25x the
+# type's mean hourly volume — all-integer compare (4*c*H > 5*T)
+_BURST_NUM, _BURST_DEN = 5, 4
+
+
+@register(
+    "q_burst_intervals",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY event_type, h
+),
+tot AS (
+  SELECT event_type, sum(c) AS t, count(*) AS hh FROM hourly GROUP BY event_type
+),
+bursty AS (
+  SELECT hourly.event_type, hourly.h
+  FROM hourly JOIN tot ON hourly.event_type = tot.event_type
+  WHERE {_BURST_DEN} * hourly.c * tot.hh > {_BURST_NUM} * tot.t
+),
+isl AS (
+  SELECT event_type, h,
+         h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+  FROM bursty
+),
+intervals AS (
+  SELECT event_type, min(h) AS start_h, max(h) + 1 AS end_h,
+         count(*) AS n_hours
+  FROM isl GROUP BY event_type, grp
+)
+SELECT i.event_type, CAST(i.start_h AS BIGINT) AS start_h,
+       CAST(i.end_h AS BIGINT) AS end_h, CAST(i.n_hours AS BIGINT) AS n_hours,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM intervals i
+JOIN events e ON e.event_type = i.event_type
+             AND floor(epoch(e.ts) / 3600) >= i.start_h
+             AND floor(epoch(e.ts) / 3600) <  i.end_h
+GROUP BY i.event_type, i.start_h, i.end_h, i.n_hours
+""",
+)
+def q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-interval construction + point-in-interval join back: per
+    event type, hours beating 1.25x the mean hourly volume are
+    coalesced into maximal intervals (gaps-and-islands over the HOURLY
+    rollup, never the event stream), then every event is matched to
+    its containing burst interval and each interval reports its event
+    and distinct-user mass — the incident-window / hot-period analysis
+    an ops pipeline runs over ingest telemetry.  This is the
+    dim-broadcast RANGE JOIN shape that survives 100 TB: the interval
+    side is tiny by construction (islands of an hourly rollup), so the
+    fact side never shuffles for the match (broadcast + two compares),
+    and the closing agg is combinable (distinct users being the one
+    two-phase piece).  All-integer: the burst cut is the cross-
+    multiplied compare {d}*c*H > {n}*T (no rational mean), hours are
+    epoch-floored longs."""
+    e = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hourly = e.groupBy("event_type", hour.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("hh")
+    )
+    bursty = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .where(_BURST_DEN * F.col("c") * F.col("hh") > _BURST_NUM * F.col("t"))
+        .select("event_type", "h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = bursty.select("event_type", "h", (F.col("h") - F.row_number().over(w)).alias("grp"))
+    intervals = isl.groupBy("event_type", "grp").agg(
+        F.min("h").alias("start_h"),
+        (F.max("h") + 1).alias("end_h"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    iv = intervals.select(
+        F.col("event_type").alias("bt"), "start_h", "end_h", "n_hours"
+    ).localCheckpoint(eager=True)  # tiny island table; breaks self-join lineage
+    probe = e.select("event_type", "user_id", hour.alias("eh"))
+    return (
+        probe.join(
+            F.broadcast(iv),
+            on=[
+                F.col("event_type") == F.col("bt"),
+                F.col("eh") >= F.col("start_h"),
+                F.col("eh") < F.col("end_h"),
+            ],
+        )
+        .groupBy("bt", "start_h", "end_h", "n_hours")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("bt").alias("event_type"),
+            F.col("start_h").cast("long").alias("start_h"),
+            F.col("end_h").cast("long").alias("end_h"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            "n_events",
+            "n_users",
+        )
+    )

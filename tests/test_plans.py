@@ -419,3 +419,15 @@ def test_ship_priority_pushdown_and_topk(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan
     assert plan.count("PushedFilters: [IsNotNull") >= 3
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_large_orders_broadcasts_survivors_and_takeordered(spark, sf_dir):
+    """Q18: the HAVING-filtered survivor set must broadcast (orders and
+    customer never shuffle for the join) and the top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import q_large_orders
+
+    plan = q_large_orders(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

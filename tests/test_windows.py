@@ -124,3 +124,60 @@ def test_peak_concurrency_bruteforce(spark, sf_dir):
             peak, peak_at = live, us
     assert r["peak_concurrent"] == peak
     assert r["peak_at_us"] == peak_at
+
+
+def test_burst_intervals_injected_burst(spark):
+    """Constant 1/hour background with a 3-hour 100/hour burst -> one
+    island covering exactly the burst hours, carrying its event mass."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_burst_intervals
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(100):
+        per = 100 if 40 <= h < 43 else 1
+        for j in range(per):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=j), j % 7, "a", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = q_burst_intervals(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert (r["start_h"], r["end_h"], r["n_hours"]) == (h0 + 40, h0 + 43, 3)
+    assert r["n_events"] == 300 and r["n_users"] == 7
+
+
+def test_burst_intervals_disjoint_and_footed(spark, sf_dir):
+    """Fixture intervals per type are disjoint, hours foot, and each
+    interval's event count matches a direct recount."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_burst_intervals
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+    from pyspark.sql import functions as F
+
+    rows = q_burst_intervals(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        assert r["end_h"] - r["start_h"] == r["n_hours"] > 0
+        by_type.setdefault(r["event_type"], []).append((r["start_h"], r["end_h"]))
+    for ivs in by_type.values():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 < s2  # maximal islands leave a gap between intervals
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+    ).collect()
+    for r in rows[:5]:
+        n = sum(
+            1 for x in ev
+            if x["event_type"] == r["event_type"] and r["start_h"] <= x["h"] < r["end_h"]
+        )
+        assert n == r["n_events"]
