@@ -1287,3 +1287,142 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------- shortest path
+
+_SP_ROUNDS = 10  # fixed unroll; min-plus can improve through paths LONGER
+#                  than the hop diameter (many cheap edges beat one dear
+#                  one) — certified at fixpoint in-query, q_widest_path
+#                  discipline; fixtures settle in <= 5 (measured sf0.001/
+#                  0.01/0.1)
+_SP_COST = "1000000 // w + 1"  # inverse-strength latency: strong links cheap
+
+
+def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS,
+                  truncate: bool = True) -> DataFrame:
+    """Min-plus (Bellman-Ford) shortest-path distance from a seed set
+    over a weighted undirected edge list ``(src, dst, cost)``: dist(v)
+    = min over paths of the edge-cost sum.  The additive twin of
+    widest_path — same improved-only frontier (distances only ever
+    DECREASE, so relaxing from improved nodes alone reaches the same
+    monotone fixpoint as whole-vector Bellman-Ford), all-integer so
+    the engines agree exactly.  Per-round shuffle is O(|frontier|·deg);
+    lineage truncation per round (swap localCheckpoint for checkpoint
+    cadence on a real cluster)."""
+    sym = edges_w.select("src", "dst", "cost").unionAll(
+        edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    )
+    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
+    sym = ck(sym)
+    dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
+    frontier = dist
+    for _ in range(rounds):
+        reached = (
+            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = ck(
+            reached.join(dist, "node", "left_outer")
+            .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+        )
+        dist = ck(
+            dist.join(improved.select("node"), "node", "left_anti").unionAll(improved)
+        )
+        frontier = improved
+    return dist
+
+
+def _sql_shortest_path(rounds: int = _SP_ROUNDS) -> str:
+    """The identical min-plus relaxation unrolled into DuckDB CTEs."""
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst,
+         count(DISTINCT l.l_orderkey) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY src, dst
+),
+ed AS MATERIALIZED (
+  SELECT src, dst, {_SP_COST} AS cost FROM e
+  UNION ALL SELECT dst AS src, src AS dst, {_SP_COST} AS cost FROM e
+),
+c0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+       FROM ed WHERE src % 20 = 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM c{i - 1}
+    UNION ALL
+    SELECT ed.dst AS node, c.dist + ed.cost AS dist
+    FROM ed JOIN c{i - 1} c ON ed.src = c.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(dist AS BIGINT) AS dist
+FROM c{rounds}
+"""
+    )
+
+
+@register("q_shortest_path", oracle=_sql_shortest_path())
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path (Bellman-Ford min-plus) distance from the
+    seed suppliers (suppkey % 10 == 0) over the trade graph with
+    inverse-strength costs (cost = 1e6//w + 1: the more shared orders,
+    the cheaper the hop) — the trust/latency propagation primitive
+    beside q_bfs_hops' unit hops and q_widest_path's bottleneck
+    capacity; min-plus takes LONGER-than-diameter paths when many
+    strong links beat one weak one, which hop BFS cannot express.
+    ORACLE-CHECKED via identically-unrolled min-plus relaxation CTEs
+    (all-integer, monotone decreasing); fixpoint CERTIFIED in-query
+    with one extra relaxation (the q_widest_path discipline), so a
+    fixture needing deeper search fails loudly instead of hashing
+    green wrong-together."""
+    ew = trade_edges_weighted(spark, sf_dir).selectExpr("src", "dst", f"{_SP_COST.replace('//', ' DIV ')} AS cost")
+    seeds = (
+        ew.select(F.col("src").alias("node"))
+        .unionAll(ew.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 20 == 0)
+        .distinct()
+    )
+    dist = shortest_path(ew, seeds)
+    sym = ew.unionAll(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    )
+    relaxed = (
+        sym.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("cand"))
+        .groupBy("node")
+        .agg(F.min("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(dist, "node", "left_outer")
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_shortest_path: {improved} vertices still improvable after "
+            f"{_SP_ROUNDS} rounds — raise _SP_ROUNDS for this fixture"
+        )
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        (F.col("node") / 2).cast("long").alias("key"),
+        F.col("dist").cast("long").alias("dist"),
+    )

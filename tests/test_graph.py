@@ -379,3 +379,47 @@ def test_node_jaccard_hand_bipartite(spark, sf_dir):
         assert 1 <= r["rk"] <= G._NJ_TOPK
         assert 0 < r["jac_micro"] <= 1_000_000
         assert r["n_shared"] <= r["n_union"]
+
+
+def test_shortest_path_hand_graph(spark):
+    """Min-plus: a 3-edge cheap detour (1+1+1) must beat the direct
+    cost-10 edge; unreached nodes are absent."""
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (5, 6, 2)],
+        "src long, dst long, cost long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.shortest_path(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_shortest_path_fixture_vs_dijkstra(spark, sf_dir):
+    """The distributed min-plus fixpoint must equal a driver-side
+    Dijkstra over the same weighted graph."""
+    import heapq
+
+    ew = G.trade_edges_weighted(spark, sf_dir).selectExpr(
+        "src", "dst", "1000000 DIV w + 1 AS cost"
+    )
+    adj: dict = {}
+    for r in ew.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], r["cost"]))
+        adj.setdefault(r["dst"], []).append((r["src"], r["cost"]))
+    seeds = [n for n in adj if n % 20 == 0]
+    dist = {n: 0 for n in seeds}
+    pq = [(0, n) for n in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, n = heapq.heappop(pq)
+        if d > dist.get(n, 1 << 62):
+            continue
+        for m, c in adj[n]:
+            nd = d + c
+            if nd < dist.get(m, 1 << 62):
+                dist[m] = nd
+                heapq.heappush(pq, (nd, m))
+    got = {
+        (2 * r["key"] if r["kind"] == "supplier" else 2 * r["key"] + 1): r["dist"]
+        for r in G.q_shortest_path(spark, sf_dir).collect()
+    }
+    assert got == dist
