@@ -990,3 +990,62 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+_PATH_LEN = 3
+_PATH_TOPN = 10
+
+
+@register(
+    "q_path_topk",
+    oracle=f"""
+WITH rn AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM rn WHERE rn <= {_PATH_LEN} GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOPN}
+""",
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} opening event paths: each user's first {k} events (by
+    the (ts, event_id) total order) joined into a '>' path string,
+    counted across users — the entry-flow analysis behind onboarding
+    funnels and the Markov family's empirical prior.  Scale shape: ONE
+    user_id shuffle serves the ranking window and the per-user
+    path agg (Spark reuses the partitioning); the path table is
+    |users| rows collapsing to at most |event_types|^{k} distinct
+    paths (map-side combinable), and the cut is TakeOrdered over that
+    tiny rollup with a total (count DESC, path) order.  All counts and
+    strings — no FP anywhere.""".replace("{n}", str(_PATH_TOPN)).replace(
+        "{k}", str(_PATH_LEN)
+    )
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    paths = (
+        rn.where(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOPN)
+    )

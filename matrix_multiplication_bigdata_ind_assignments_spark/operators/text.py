@@ -1297,3 +1297,79 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor((CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
         " - CAST(s_clnc AS DOUBLE) / n_tok) + 0.5) / 1000000 AS entropy_nats",
     )
+
+
+_INV_MIN_DF = 5
+_INV_HEAD = 8
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf AS (SELECT token, count(*) AS tf_total FROM toks GROUP BY token),
+p AS (SELECT DISTINCT token, doc_id FROM toks),
+df AS (SELECT token, count(*) AS df FROM p GROUP BY token),
+head AS (
+  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+  FROM (
+    SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM p
+  ) WHERE rn <= {_INV_HEAD} GROUP BY token
+)
+SELECT df.token, CAST(df.df AS BIGINT) AS df, CAST(tf.tf_total AS BIGINT) AS tf_total,
+       head.postings_head
+FROM df JOIN tf USING (token) JOIN head USING (token)
+WHERE df.df >= {_INV_MIN_DF}
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the retrieval-infrastructure
+    primitive under BM25 serving and the shingle-postings dedup
+    family): per term, document frequency, total term frequency, and
+    the HEAD of the posting list ({h} lowest doc_ids as a canonical
+    comma string) for terms with df >= {m}.  The head is cut BEFORE
+    any list materializes (row_number <= {h} per term, then an
+    {h}-bounded collect) — a hot term's full posting list (millions of
+    docs at 100 TB) never aggregates anywhere; df/tf stay map-side-
+    combinable counts.  Everything is integer counts and canonical
+    strings — no FP anywhere.""".replace("{h}", str(_INV_HEAD)).replace(
+        "{m}", str(_INV_MIN_DF)
+    )
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+        )
+        .localCheckpoint(eager=True)  # feeds tf AND the postings pair
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf_total"))
+    p = toks.select("token", "doc_id").distinct()
+    df = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    head = (
+        p.select("token", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _INV_HEAD)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return (
+        df.where(F.col("df") >= _INV_MIN_DF)
+        .join(tf, "token")
+        .join(head, "token")
+        .select("token", F.col("df").cast("long").alias("df"),
+                F.col("tf_total").cast("long").alias("tf_total"), "postings_head")
+    )

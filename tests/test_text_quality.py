@@ -141,3 +141,53 @@ def test_word_pmi_hand_corpus(spark):
     # collocation of rarer-together words — same counts here, so instead
     # check ('b', 'new'): 9 occurrences, lower support
     assert rows[("new", "york")]["pmi_micro"] >= rows[("york", "a")]["pmi_micro"]
+
+
+def test_inverted_index_bruteforce(spark, sf_dir):
+    """df/tf/postings-head must match a Python recompute; heads are the
+    SMALLEST doc_ids, ascending, at most the head cap."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import (
+        _INV_HEAD,
+        _INV_MIN_DF,
+        q_inverted_index,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf: dict = {}
+    posting: dict = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+            posting.setdefault(t, set()).add(r["doc_id"])
+    got = {r["token"]: r for r in q_inverted_index(spark, sf_dir).collect()}
+    expect = {t for t, s in posting.items() if len(s) >= _INV_MIN_DF}
+    assert set(got) == expect
+    for t in expect:
+        r = got[t]
+        assert r["df"] == len(posting[t]) and r["tf_total"] == tf[t]
+        head = [int(x) for x in r["postings_head"].split(",")]
+        assert head == sorted(posting[t])[:_INV_HEAD]
+
+
+def test_path_topk_bruteforce(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        _PATH_LEN,
+        _PATH_TOPN,
+        q_path_topk,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id").collect()
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    counts: dict = {}
+    for u, s in seqs.items():
+        s.sort()
+        path = ">".join(t for _, _, t in s[:_PATH_LEN])
+        counts[path] = counts.get(path, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOPN]
+    got = [(r["path"], r["n_users"]) for r in q_path_topk(spark, sf_dir).collect()]
+    assert got == expect
