@@ -1160,3 +1160,47 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("nc").cast("long").alias("n_cur"),
         (F.sum(F.expr(_P._PSI_TERM)).cast("double") / 1e9).alias("psi"),
     )
+
+
+_WORD_TOPN = 20
+
+
+@register(
+    "q_stream_word_topk",
+    oracle=f"""
+WITH wc AS (
+  SELECT token AS word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+)
+SELECT word, CAST(n AS BIGINT) AS n
+FROM wc ORDER BY n DESC, word LIMIT {_WORD_TOPN}
+""",
+)
+def q_stream_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the document corpus ARRIVES as a file
+    stream, words explode statelessly, and a streaming groupBy count
+    maintains the running frequency table; the top-{k} cut (a total
+    (count DESC, word) order) is applied to the final materialization.
+    The running state is vocabulary-sized (Heaps' law — sublinear in
+    the corpus), the canonical 'exact heavy hitters while exact still
+    fits' operating point; past it, swap the state for a SpaceSaving /
+    count-min sketch and keep the same query surface.  Oracle = the
+    batch wordcount top-{k} over the same corpus: counts at
+    stream end must equal the batch counts exactly (order-insensitive
+    streaming agg), which is what makes an exact streaming sketch
+    hash-checkable.""".replace("{k}", str(_WORD_TOPN))
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    doc_path = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(doc_path):
+        raw = reader.parquet(doc_path)
+    else:
+        raw = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    words = raw.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = _run_to_memory(counts, "complete")
+    return res.orderBy(F.col("n").desc(), "word").limit(_WORD_TOPN)

@@ -340,3 +340,29 @@ def test_stream_psi_equals_batch_and_reruns(spark, sf_dir):
     batch = sorted(tuple(r) for r in q_psi_drift(spark, sf_dir).collect())
     assert sorted(tuple(r) for r in q_stream_psi(spark, sf_dir).collect()) == batch
     assert sorted(tuple(r) for r in q_stream_psi(spark, sf_dir).collect()) == batch
+
+
+def test_stream_word_topk_equals_batch_and_reruns(spark, sf_dir):
+    """The streaming frequency table's top-k must equal the batch
+    wordcount top-k; a second drain in the same session must work
+    (unique memory sinks)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import (
+        _WORD_TOPN,
+        q_stream_word_topk,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+    from pyspark.sql import functions as F
+
+    batch = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_WORD_TOPN)
+    )
+    expect = [(r["word"], r["n"]) for r in batch.collect()]
+    got = [(r["word"], r["n"]) for r in q_stream_word_topk(spark, sf_dir).collect()]
+    assert got == expect and len(got) == _WORD_TOPN
+    again = [(r["word"], r["n"]) for r in q_stream_word_topk(spark, sf_dir).collect()]
+    assert again == expect
