@@ -404,6 +404,18 @@ def main() -> int:
         "q_copurchase_lift",
         "q_node_jaccard",
         "q_psi_drift",
+        # r10 fifth wave: min-plus shortest path (frontier relaxation
+        # loop), TPC-H Q18 (HAVING-driven semi-reduction + broadcast
+        # survivors), burst intervals (islands + broadcast range join),
+        # classifier AUC (classifier DAG + distinct-score rank walk),
+        # inverted index (bounded posting heads), and the streaming
+        # heavy-hitter frequency table
+        "q_shortest_path",
+        "q_large_orders",
+        "q_burst_intervals",
+        "q_classifier_auc",
+        "q_inverted_index",
+        "q_stream_word_topk",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -1049,3 +1049,71 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(_PATH_TOPN)
     )
+
+
+#: shared share text: exact µunit longs in, one divide out
+_SHARE_EXPR = (
+    "(CAST(floor((CAST(rev_u AS DOUBLE) / CAST(region_u AS DOUBLE)) * 1000000 + 0.5)"
+    " AS DOUBLE) / 1000000)"
+)
+
+
+@register(
+    "q_revenue_share",
+    oracle=f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5) AS BIGINT)) AS rev_u
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY region, nation
+),
+sh AS (
+  SELECT region, nation, rev_u,
+         sum(rev_u) OVER (PARTITION BY region) AS region_u
+  FROM rev
+)
+SELECT region, nation,
+       (CAST(rev_u AS DOUBLE) / 1000000) AS revenue,
+       {_SHARE_EXPR} AS share
+FROM sh
+""",
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the contribution-analysis window (percent-of-total) every BI layer
+    ships, composed over the full star join.  The share divides exact
+    µunit longs (fixed-point route), so any partitioning gives the
+    same bits; the window runs over the NATIONS rollup (25 rows), not
+    the fact table.  Shape: the star join broadcasts the three dims,
+    one combinable revenue agg, one tiny window."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_u")
+        )
+    )
+    w = Window.partitionBy("region")
+    sh = rev.select("region", "nation", "rev_u", F.sum("rev_u").over(w).alias("region_u"))
+    return sh.selectExpr(
+        "region",
+        "nation",
+        "(CAST(rev_u AS DOUBLE) / 1000000) AS revenue",
+        f"{_SHARE_EXPR} AS share",
+    )

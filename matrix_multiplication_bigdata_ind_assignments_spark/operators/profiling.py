@@ -1092,3 +1092,160 @@ def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s0 AS BIGINT) AS total_tokens",
         f"{_GINI_EXPR} AS gini",
     )
+
+
+# ---------------------------------------------------------------- benford
+
+#: Benford first-digit probabilities log10(1+1/d), fixed 9-dp literals
+#: shared by both engines (never ln()/log10() at runtime — a 1-ulp libm
+#: divergence would shift the quantized terms)
+_BENFORD_P = {
+    1: "0.301029996", 2: "0.176091259", 3: "0.124938737",
+    4: "0.096910013", 5: "0.079181246", 6: "0.066946790",
+    7: "0.057991947", 8: "0.051152522", 9: "0.045757491",
+}
+
+#: shared per-digit chi-square term (micro-quantized) and digit fraction
+_BENFORD_TERM = (
+    "CAST(floor(((CAST(o AS DOUBLE) - n * p) * (CAST(o AS DOUBLE) - n * p) / (n * p))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+_BENFORD_FINAL = [
+    "CAST(digit AS BIGINT) AS digit",
+    "CAST(o AS BIGINT) AS n_obs",
+    "(CAST(floor((CAST(o AS DOUBLE) / n) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS frac",
+    "CAST(p AS DOUBLE) AS benford_frac",
+    "(CAST(chi2_u AS DOUBLE) / 1000000) AS chi2",
+]
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, count(*) AS c FROM src GROUP BY digit),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+spine AS (
+  SELECT d.digit, CAST({" ".join("WHEN d.digit = %d THEN %s" % (d, p) for d, p in _BENFORD_P.items()).join(["CASE ", " END"])} AS DOUBLE) AS p
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+),
+cells AS (
+  SELECT spine.digit, spine.p, tot.n, CAST(coalesce(obs.c, 0) AS BIGINT) AS o
+  FROM spine CROSS JOIN tot LEFT JOIN obs ON obs.digit = spine.digit
+),
+terms AS (SELECT digit, o, p, n, {_BENFORD_TERM} AS t FROM cells),
+g AS (SELECT digit, o, p, n, sum(t) OVER () AS chi2_u FROM terms)
+SELECT {", ".join(_BENFORD_FINAL)} FROM g
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / generator-sanity screen a profiling pass runs on
+    any money column (a synthetic generator that draws uniformly fails
+    it loudly; real multiplicative processes follow log10(1+1/d)).
+    Per digit 1-9: observed count (zero-count digits kept via a spine),
+    observed vs Benford fraction, and the corpus chi-square.  Exact:
+    the first digit comes from integer/string ops on floor(x) (no
+    log10 binning), the Benford probabilities are fixed 9-dp literals
+    shared by both engines (never runtime log), each chi-square term
+    is micro-quantized so the 9-cell reduction is an exact integer
+    sum.  Shape: one combinable digit-count agg, a 9-row spine, one
+    9-row window — nothing scales past the first exchange."""
+    o = load(spark, sf_dir, "orders")
+    src = o.where(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = src.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    tot = obs.agg(F.sum("c").cast("long").alias("n"))
+    case = "CASE " + " ".join(
+        f"WHEN digit = {d} THEN {p}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    spine = spark.range(1, 10).select(
+        F.col("id").alias("digit")
+    ).selectExpr("digit", f"CAST({case} AS DOUBLE) AS p")
+    cells = (
+        spine.crossJoin(F.broadcast(tot))
+        .join(obs, "digit", "left_outer")
+        .select("digit", "p", "n", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("o"))
+    )
+    terms = cells.selectExpr("digit", "o", "p", "n", f"{_BENFORD_TERM} AS t")
+    g = terms.select(
+        "digit", "o", "p", "n", F.sum("t").over(Window.partitionBy()).alias("chi2_u")
+    )
+    return g.selectExpr(*_BENFORD_FINAL)
+
+
+# ------------------------------------------------------------- higher moments
+
+#: shared closing text: moments from exact centi-unit power sums
+#: (n, s1..s4 arrive as exact integers CAST to DOUBLE identically; skew
+#: and kurtosis are scale-invariant so the centi scale cancels)
+_MOM_M2 = "(s2 / n - (s1 / n) * (s1 / n))"
+_MOM_M3 = "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+_MOM_M4 = (
+    "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+    " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+)
+_MOM_FINAL = [
+    "l_returnflag",
+    "CAST(n AS BIGINT) AS n_rows",
+    f"(CAST(floor((s1 / n / 100) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS mean",
+    f"(CAST(floor(sqrt({_MOM_M2}) / 100 * 1000000 + 0.5) AS DOUBLE) / 1000000) AS stddev_pop",
+    f"(CAST(floor(({_MOM_M3} / sqrt({_MOM_M2} * {_MOM_M2} * {_MOM_M2})) * 1000000 + 0.5)"
+    " AS DOUBLE) / 1000000) AS skewness",
+    f"(CAST(floor(({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3) * 1000000 + 0.5) AS DOUBLE)"
+    " / 1000000) AS kurtosis",
+]
+
+
+@register(
+    "q_higher_moments",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) AS c
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS s1,
+         CAST(sum(c * c) AS DOUBLE) AS s2,
+         CAST(sum(c * c * c) AS DOUBLE) AS s3,
+         CAST(sum(c * c * c * c) AS DOUBLE) AS s4
+  FROM c GROUP BY l_returnflag
+)
+SELECT {", ".join(_MOM_FINAL)} FROM g WHERE {_MOM_M2} > 0
+""",
+)
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment profile (skewness + excess kurtosis) per
+    return flag over extended price — what a range partitioner or a
+    CBO reads beyond mean/stddev to anticipate skew (q_summary_stats'
+    heavier sibling).  Determinism: per-row centi-units are exact
+    half-up longs; the four power sums ride DECIMAL(38,0) in Spark /
+    HUGEINT in DuckDB (c^4 ~ 1e28, sums ~ 1e34 — far inside both),
+    i.e. EXACT integers, so the shared closing text computes the same
+    IEEE doubles in both engines; skewness/kurtosis are scale-
+    invariant so the centi scale cancels, mean/stddev divide it back
+    out.  Shape: one scan, one map-side-combinable agg carrying 5
+    numbers per group — the moment-sketch that costs the same at any
+    N."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.expr("CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))").alias("c"),
+    )
+    g = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.expr("c * c")).cast("double").alias("s2"),
+        F.sum(F.expr("c * c * c")).cast("double").alias("s3"),
+        F.sum(F.expr("c * c * c * c")).cast("double").alias("s4"),
+    )
+    return g.where(F.expr(f"{_MOM_M2} > 0")).selectExpr(*_MOM_FINAL)

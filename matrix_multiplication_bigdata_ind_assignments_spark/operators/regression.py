@@ -533,3 +533,93 @@ def q_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_micro_ln(f'CAST(a AS DOUBLE) / {n_users}')} AS y",
     )
     return _fit(points, [], _RETENTION_SELECTS)
+
+
+_FC_HOLDOUT = 7  # holdout horizon: the trailing week
+
+#: shared texts: half-up integer division for the micro-forecast and the
+#: closing MAE ratio — all inputs exact longs
+_FC_FORECAST = "CAST((2 * num * 1000000 + den) DIV (2 * den) AS BIGINT)"
+_FC_MAE = (
+    "(CAST(floor((CAST(sum_err AS DOUBLE) / nh / 1000000) * 1000000 + 0.5) AS DOUBLE)"
+    " / 1000000)"
+)
+
+
+@register(
+    "q_forecast_eval",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+horizon AS (SELECT max(day) AS maxd FROM daily),
+train AS (
+  SELECT event_type, day % 7 AS wd, CAST(sum(c) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS den
+  FROM daily, horizon WHERE day <= maxd - {_FC_HOLDOUT}
+  GROUP BY event_type, day % 7
+),
+hold AS (
+  SELECT event_type, day, day % 7 AS wd, c
+  FROM daily, horizon WHERE day > maxd - {_FC_HOLDOUT}
+),
+err AS (
+  SELECT hold.event_type,
+         abs(hold.c * 1000000 - {_FC_FORECAST.replace("DIV", "//")}) AS e
+  FROM hold JOIN train ON hold.event_type = train.event_type AND hold.wd = train.wd
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(e) AS BIGINT) AS sum_err_micro,
+       CAST(max(e) AS BIGINT) AS max_err_micro,
+       {_FC_MAE.replace("sum_err", "sum(e)").replace("nh", "count(*)")} AS mae
+FROM err GROUP BY event_type
+""",
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over daily event volumes: hold
+    out the trailing {h} days, forecast each holdout day as the mean
+    train-day count of the SAME weekday (epoch-day % 7 — an integer
+    weekday both engines compute identically, no calendar functions),
+    and report per-type MAE + worst miss — the standard capacity-
+    planning baseline every fancier forecaster must beat, and the
+    volume-anomaly gate for ingest (an actual day far off its seasonal
+    forecast is a source incident; composes with q_cusum_changepoint).
+    Exact: the rational train mean never materializes — the forecast
+    is half-up integer division in micro units (2*num*1e6 + den) //
+    (2*den), errors are exact micro longs, the closing MAE divide is
+    shared text.  Shape: one combinable daily agg, a 1-row horizon
+    scalar, a (type x 7)-row train table broadcast into the {h}-day
+    holdout — nothing scales past the daily rollup.""".replace(
+        "{h}", str(_FC_HOLDOUT)
+    )
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)  # feeds horizon+train+hold
+    horizon = daily.agg(F.max("day").alias("maxd"))
+    with_h = daily.crossJoin(F.broadcast(horizon))
+    train = (
+        with_h.where(F.col("day") <= F.col("maxd") - _FC_HOLDOUT)
+        .groupBy("event_type", (F.col("day") % 7).alias("wd"))
+        .agg(F.sum("c").cast("long").alias("num"), F.count(F.lit(1)).cast("long").alias("den"))
+    )
+    hold = with_h.where(F.col("day") > F.col("maxd") - _FC_HOLDOUT).select(
+        "event_type", "day", (F.col("day") % 7).alias("wd"), "c"
+    )
+    err = hold.join(F.broadcast(train), ["event_type", "wd"]).selectExpr(
+        "event_type", f"abs(c * 1000000 - {_FC_FORECAST}) AS e"
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("e").cast("long").alias("sum_err_micro"),
+        F.max("e").cast("long").alias("max_err_micro"),
+        F.expr(
+            _FC_MAE.replace("sum_err", "sum(e)").replace("nh", "count(*)")
+        ).alias("mae"),
+    )

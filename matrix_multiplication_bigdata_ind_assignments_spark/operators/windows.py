@@ -512,3 +512,76 @@ def q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+#: EWMA(alpha=1/2) over the last 8 events, as exact integer weights
+#: 64,32,...,2,1,1 (the tail weight absorbs the remainder so a full
+#: window's weights sum to 128); partial windows renormalize by the
+#: weights actually present — all-integer, so both engines agree bit-for-bit
+_EWMA_W = (64, 32, 16, 8, 4, 2, 1, 1)
+
+
+def _ewma_terms(col: str = "v") -> tuple[str, str]:
+    """(numerator, denominator) SQL text over lag columns l0..l7."""
+    num = " + ".join(f"coalesce({w} * l{j}, 0)" for j, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN {w} ELSE 0 END" for j, w in enumerate(_EWMA_W)
+    )
+    return f"({num})", f"({den})"
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts,
+         {", ".join(f"lag(v, {j}) OVER w AS l{j}" for j in range(len(_EWMA_W)))},
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       (CAST(floor((CAST({_ewma_terms()[0]} AS DOUBLE) / {_ewma_terms()[1]} / 1000000)
+        * 1000000 + 0.5) AS DOUBLE) / 1000000) AS ewma
+FROM lagged WHERE rd = 1
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value (alpha=1/2 over the trailing 8 events) — the telemetry
+    smoothing primitive under rate limiting and anomaly baselines.
+    The recursion is unrolled into EXACT integer weights (64,32,...,1
+    with the tail absorbing the remainder; partial windows renormalize
+    by the weights present), values ride 6-dp fixed point, so the
+    weighted sum is an exact long and both engines agree bit-for-bit —
+    the standard recursive double EWMA would drift per partitioning.
+    Shape: ONE user_id shuffle serves the lag chain, the
+    recency ranking, and the per-user count (same window partition);
+    output is one row per user (the current smoothed level)."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    lagged = v.select(
+        "user_id",
+        *[F.lag("v", j).over(w).alias(f"l{j}") for j in range(len(_EWMA_W))],
+        F.row_number().over(wd).alias("rd"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    )
+    num, den = _ewma_terms()
+    return lagged.where(F.col("rd") == 1).selectExpr(
+        "user_id",
+        "CAST(n_events AS BIGINT) AS n_events",
+        f"(CAST(floor((CAST({num} AS DOUBLE) / {den} / 1000000) * 1000000 + 0.5) AS DOUBLE)"
+        " / 1000000) AS ewma",
+    )

@@ -250,3 +250,18 @@ def test_copurchase_lift_symmetric_and_supported(spark, sf_dir):
         by_part.setdefault(r["part"], []).append(r["rk"])
     for ranks in by_part.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_revenue_share_sums_to_one_per_region(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_revenue_share,
+    )
+
+    rows = q_revenue_share(spark, sf_dir).collect()
+    assert rows
+    by_region: dict = {}
+    for r in rows:
+        assert 0.0 <= r["share"] <= 1.0 and r["revenue"] > 0
+        by_region.setdefault(r["region"], []).append(r["share"])
+    for reg, shares in by_region.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, reg

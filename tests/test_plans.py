@@ -431,3 +431,31 @@ def test_large_orders_broadcasts_survivors_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_burst_intervals_broadcast_range_join(spark, sf_dir):
+    """The island side must broadcast (fact never shuffles for the
+    interval match); no cartesian/BNL anywhere."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_burst_intervals
+
+    plan = q_burst_intervals(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_equi_joins_only(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.text import q_inverted_index
+
+    plan = q_inverted_index(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_auc_no_cartesian_beyond_scalars(spark, sf_dir):
+    """The AUC tail may nested-loop only 1-row scalar sides (the
+    confusion row); a data-sized cartesian is a regression."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.evaluation import (
+        q_classifier_auc,
+    )
+
+    plan = q_classifier_auc(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

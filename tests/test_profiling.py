@@ -371,3 +371,70 @@ def test_gini_uniform_zero_and_concentrated(spark):
         got = {r["lang"]: r for r in q_gini_tokens(spark, d).collect()}
     assert got["en"]["gini"] == 0.0 and got["en"]["n_docs"] == 50
     assert got["fr"]["gini"] > 0.9 and got["fr"]["total_tokens"] == 49 + 10000
+
+
+def test_benford_bruteforce_and_chi2(spark, sf_dir):
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        _BENFORD_P,
+        q_benford,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    vals = [r["o_totalprice"] for r in load(spark, sf_dir, "orders").collect() if r["o_totalprice"] >= 1]
+    obs = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        obs[int(str(int(math.floor(v)))[0])] += 1
+    n = len(vals)
+    chi2_u = sum(
+        math.floor((obs[d] - n * float(p)) ** 2 / (n * float(p)) * 1e6 + 0.5)
+        for d, p in _BENFORD_P.items()
+    )
+    got = {r["digit"]: r for r in q_benford(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d]["n_obs"] == obs[d]
+        assert got[d]["chi2"] == chi2_u / 1e6
+    assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_higher_moments_match_numpy(spark, sf_dir):
+    """Within the 1e-6 rounding grain of a float recompute; and an
+    injected symmetric sample has skew exactly 0."""
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        q_higher_moments,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    import numpy as np
+
+    got = {r["l_returnflag"]: r for r in q_higher_moments(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            np.floor(r["l_extendedprice"] * 100 + 0.5) / 100
+        )
+    for fl, xs in by_flag.items():
+        a = np.array(xs)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        m4 = ((a - a.mean()) ** 4).mean()
+        r = got[fl]
+        assert abs(r["mean"] - a.mean()) < 1e-4
+        assert abs(r["stddev_pop"] - np.sqrt(m2)) < 1e-4
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(r["kurtosis"] - (m4 / m2**2 - 3)) < 1e-5
+
+    sym = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0 + d, 0.0, 0.0, "S", "x", None) for d in (-2, -1, 0, 1, 2) for _ in range(10)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).withColumn("l_quantity", F.lit(1.0))
+    with tempfile.TemporaryDirectory() as d:
+        sym.coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+        r = q_higher_moments(spark, d).collect()
+    assert len(r) == 1 and r[0]["skewness"] == 0.0

@@ -188,3 +188,35 @@ def test_retention_decay_null_halflife_when_flat(spark, sf_dir):
             assert r["half_life_weeks"] is None
         else:
             assert r["half_life_weeks"] > 0
+
+
+def test_forecast_eval_perfect_seasonal_pattern(spark):
+    """A strict weekly pattern forecasts its holdout exactly -> MAE 0;
+    a shifted holdout shows the shift as MAE."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import (
+        q_forecast_eval,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 28 train days + 7 holdout days, volume = 2 + (weekday of epoch-day)
+    for day in range(35):
+        epoch_day = int((base + dt.timedelta(days=day)).replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+        per = 2 + (epoch_day % 7)
+        shift = 3 if day >= 28 else 0  # holdout shifted for type 'b'
+        for t, s in (("a", 0), ("b", shift)):
+            for j in range(per + s):
+                rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, t, 0.0, ""))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_type"]: r for r in q_forecast_eval(spark, d).collect()}
+    assert got["a"]["mae"] == 0.0 and got["a"]["n_days"] == 7
+    assert got["b"]["mae"] == 3.0 and got["b"]["max_err_micro"] == 3_000_000

@@ -181,3 +181,37 @@ def test_burst_intervals_disjoint_and_footed(spark, sf_dir):
             if x["event_type"] == r["event_type"] and r["start_h"] <= x["h"] < r["end_h"]
         )
         assert n == r["n_events"]
+
+
+def test_ewma_hand_series_and_renormalization(spark):
+    """Known series: newest-first weights 64,32,16,... over µunit
+    values; a 3-event user renormalizes by 64+32+16=112."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: ten events valued 1..10 (10 newest)
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "a", float(i + 1), ""))
+    # user 2: three events 5, 7, 9 (9 newest)
+    for j, v in enumerate((5.0, 7.0, 9.0)):
+        rows.append((100 + j, base + dt.timedelta(minutes=j), 2, "a", v, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["user_id"]: r for r in q_ewma(spark, d).collect()}
+    w = (64, 32, 16, 8, 4, 2, 1, 1)
+    u1_vals = [10, 9, 8, 7, 6, 5, 4, 3]  # newest first, window of 8
+    exp1 = sum(wi * v * 10**6 for wi, v in zip(w, u1_vals)) / 128 / 1e6
+    assert got[1]["ewma"] == math.floor(exp1 * 1e6 + 0.5) / 1e6
+    assert got[1]["n_events"] == 10
+    exp2 = (64 * 9 + 32 * 7 + 16 * 5) * 10**6 / (64 + 32 + 16) / 1e6
+    assert got[2]["ewma"] == math.floor(exp2 * 1e6 + 0.5) / 1e6
+    assert got[2]["n_events"] == 3

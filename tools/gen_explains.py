@@ -193,6 +193,25 @@ AUDIT = {
     "ranks/deg/contribs broadcast; one map-side-combinable agg on dst) is verified by the measured "
     "shuffle volume instead: 42 MB/10 iterations at sf0.1 vs 150 MB for the r6 re-exchange form "
     "(BENCH_local.json queries_shuffle)",
+    "q_large_orders": "the HAVING-filtered survivor set (per-order quantity agg, ~1% of orders) "
+    "broadcasts into orders and customer (BroadcastHashJoin — orders never shuffles for the "
+    "join), the lineitem agg is partial/final, and the top-k is TakeOrderedAndProject, never a "
+    "global Sort; no CartesianProduct",
+    "q_burst_intervals": "the island table (gaps-and-islands over the HOURLY rollup) broadcasts; "
+    "the event-side probe is a BroadcastHashJoin on event_type with the two hour-range compares "
+    "as join residuals — the fact side never shuffles for the interval match; the closing agg's "
+    "only two-phase piece is the distinct-user count; no CartesianProduct",
+    "q_shortest_path": "q_pagerank's lineage discipline on the min-plus loop: per-round eager "
+    "checkpoints truncate the frontier recursion, each round is ONE broadcast join (frontier into "
+    "the symmetric edge list) + one map-side-combinable min agg + one anti-join against the "
+    "settled set — per-round shuffle O(|frontier|*deg), never O(|V|*rounds)",
+    "q_classifier_auc": "the classifier DAG keeps its q_quality_classifier contract (vocab-side "
+    "broadcast, two combinable hash aggs); the AUC tail adds one distinct-score rollup and a "
+    "single-partition ordered walk over THAT ROLLUP only (scores, never docs — the one intended "
+    "SinglePartition in the plan), then two 1-row aggs; no CartesianProduct beyond 1-row scalars",
+    "q_inverted_index": "both df/tf counts are map-side-combinable hash aggs; the posting HEAD is "
+    "cut by a per-term row_number BEFORE any collect (the collect_list aggregates <= 8 rows per "
+    "term, never a hot term's full posting list); all three joins are plain equi-joins on token",
 }
 
 
