@@ -1249,3 +1249,72 @@ def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("c * c * c * c")).cast("double").alias("s4"),
     )
     return g.where(F.expr(f"{_MOM_M2} > 0")).selectExpr(*_MOM_FINAL)
+
+
+# ---------------------------------------------------------------- mutual info
+
+#: shared per-cell MI term in micro-nats, micro-quantized for an exact
+#: order-proof sum: (o/n) * ln(n*o / (r*c)); o=0 cells contribute 0 and
+#: are excluded (lim x->0 x ln x = 0), so only observed cells appear
+_MI_TERM = (
+    "CAST(floor(((CAST(o AS DOUBLE) / n)"
+    " * ln((CAST(n AS DOUBLE) * o) / (CAST(r AS DOUBLE) * c))) * 1000000 + 0.5) AS BIGINT)"
+)
+_MI_FINAL = [
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_cells AS BIGINT) AS n_cells",
+    "(CAST(mi_u AS DOUBLE) / 1000000) AS mutual_info_nats",
+]
+
+
+@register(
+    "q_mutual_info",
+    oracle=f"""
+WITH o AS (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source),
+langs AS (SELECT lang, sum(cnt) AS r FROM o GROUP BY lang),
+srcs AS (SELECT source, sum(cnt) AS c FROM o GROUP BY source),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM o),
+terms AS (
+  SELECT {_MI_TERM} AS t
+  FROM (
+    SELECT o.cnt AS o, langs.r, srcs.c, n.n
+    FROM o JOIN langs ON o.lang = langs.lang
+           JOIN srcs ON o.source = srcs.source
+           CROSS JOIN n
+  )
+)
+SELECT {", ".join(_MI_FINAL)}
+FROM (SELECT (SELECT n FROM n) AS n_docs, count(*) AS n_cells, sum(t) AS mi_u FROM terms)
+""",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the effect-size
+    companion to q_chi2_independence (chi2 answers 'is there coupling',
+    MI answers 'how many bits of one does the other carry', the number
+    a curation pipeline thresholds before stratifying its sample).
+    Only OBSERVED cells contribute (x ln x -> 0), so no spine is
+    needed; each cell's (o/n)ln(no/rc) term is micro-quantized for an
+    exact integer reduction, and the ln inputs are bit-identical
+    integer ratios in both engines (the micro-nat route's documented
+    1-ulp residual risk applies).  Shape: one combinable contingency
+    agg, two tiny marginal rollups broadcast back, one single-row
+    closing agg."""
+    d = load(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    o = o.localCheckpoint(eager=True)  # tiny; feeds marginals + cells
+    langs = o.groupBy("lang").agg(F.sum("cnt").alias("r"))
+    srcs = o.groupBy("source").agg(F.sum("cnt").alias("c"))
+    n = o.groupBy().agg(F.sum("cnt").cast("long").alias("n"))
+    cells = (
+        o.join(F.broadcast(langs), "lang")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("cnt AS o", "r", "c", "n")
+    )
+    terms = cells.selectExpr(f"{_MI_TERM} AS t", "n")
+    g = terms.groupBy().agg(
+        F.any_value("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("t").alias("mi_u"),
+    )
+    return g.selectExpr(*_MI_FINAL)

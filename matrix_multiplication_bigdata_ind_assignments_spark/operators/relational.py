@@ -909,3 +909,56 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(_Q18_TOPN)
     )
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k,
+         event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM keyed),
+a AS (SELECT k, count(*) AS n_first FROM keyed, mid WHERE us <  m GROUP BY k),
+b AS (SELECT k, count(*) AS n_second FROM keyed, mid WHERE us >= m GROUP BY k)
+SELECT coalesce(a.k, b.k) AS k_out,
+       a.k IS NULL AND b.k IS NULL AS is_null_key,
+       CAST(coalesce(a.n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(b.n_second, 0) AS BIGINT) AS n_second
+FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): per-key
+    activity in the first vs second half of the timeline, where the
+    key is NULLABLE by construction (error events carry no user) —
+    a plain equi-join silently DROPS the null-key rows from both
+    sides; the null-safe join matches them to each other, which is
+    the semantics every CDC/diff pipeline wants for nullable business
+    keys (q_snapshot_diff's missing cousin).  Both engines treat the
+    null bucket as one key; coalesce would be WRONG only if real keys
+    collided with the sentinel — the is_null_key flag keeps the null
+    bucket distinguishable instead.  Shape: two combinable half
+    counts, one tiny null-safe full-outer join (keys, not events)."""
+    e = load(spark, sf_dir, "events")
+    keyed = e.select(
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("user_id")).alias("k"),
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    mid = keyed.agg(((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("m"))
+    with_m = keyed.crossJoin(F.broadcast(mid))
+    a = with_m.where(F.col("us") < F.col("m")).groupBy("k").agg(F.count(F.lit(1)).alias("n_first"))
+    b = (
+        with_m.where(F.col("us") >= F.col("m"))
+        .groupBy(F.col("k").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("n_second"))
+    )
+    j = a.join(b, a.k.eqNullSafe(F.col("kb")), "full_outer")
+    return j.select(
+        F.coalesce(a.k, F.col("kb")).alias("k_out"),
+        (a.k.isNull() & F.col("kb").isNull()).alias("is_null_key"),
+        F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias("n_first"),
+        F.coalesce(F.col("n_second"), F.lit(0)).cast("long").alias("n_second"),
+    )

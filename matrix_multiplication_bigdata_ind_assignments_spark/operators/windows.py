@@ -585,3 +585,58 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(floor((CAST({num} AS DOUBLE) / {den} / 1000000) * 1000000 + 0.5) AS DOUBLE)"
         " / 1000000) AS ewma",
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         value, ts, event_id,
+         row_number() OVER w AS ra,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+               ORDER BY ts, event_id)
+)
+SELECT event_type, hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), 6) AS close
+FROM ordered GROUP BY event_type, hour
+""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars per event type (open/high/low/close +
+    volume) — the time-series downsampling shape every telemetry and
+    finance store serves.  Open/close are first/last by the
+    (ts, event_id) TOTAL order (row_number in both directions — no
+    first_value frame ambiguity between engines); high/low are plain
+    min/max (exact double passthrough, no sums, so no FP route
+    needed).  Shape: ONE (type, hour) shuffle serves both ranking
+    windows and the closing agg — the same single-pass discipline as
+    q_sessionize_batch."""
+    e = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = e.select(
+        "event_type", hour.alias("hour"), "value", "ts", "event_id"
+    ).select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return ordered.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dec_sum, sql_dec_sum
 from ..operators import aggregates as _AGG
 from ..operators.dedup import _SQL_MINHASH_BANDS_CTES
-from ..registry import register
+from ..registry import REGISTRY as _REG, register
 from ..sources.io import normalize_event_ts
 
 _sink_counter = itertools.count()
@@ -1204,3 +1204,92 @@ def q_stream_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
     res = _run_to_memory(counts, "complete")
     return res.orderBy(F.col("n").desc(), "word").limit(_WORD_TOPN)
+
+
+@register(
+    "q_stream_ewma",
+    oracle=lambda sf_dir: str(_REG["q_ewma"].oracle),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA — q_ewma's alpha=1/2 trailing-8 smoother
+    maintained as per-user streaming state: the state is the 8 LATEST
+    (event-time us, event_id, value-micro) triples kept as an
+    order-INSENSITIVE top-8 by the (us, eid) total order, so late or
+    re-ordered micro-batches converge to the same final level — which
+    is why the batch q_ewma oracle (shared verbatim) checks it
+    exactly.  State is O(1) per user (8 triples + a counter, ~200
+    bytes); emissions are update-mode with a monotone seen-counter,
+    the final materialization keeps each user's last emission.  The
+    exact-integer weight unroll (64..1, partial renormalization) is
+    recomputed from state in plain int arithmetic — the same IEEE
+    closing sequence as the shared oracle text."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(LongType())),
+            StructField("eid", ArrayType(LongType())),
+            StructField("v", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+    weights = (64, 32, 16, 8, 4, 2, 1, 1)
+
+    def smooth(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            us, eid, v, n = state.get
+            triples = list(zip(us, eid, v))
+        else:
+            triples, n = [], 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            vs = (pdf["value"] * 1e6 + 0.5).apply(math.floor).astype("int64")
+            triples.extend(
+                zip(pdf["ts"].astype("int64") // 1000, pdf["event_id"], vs)
+            )
+        triples.sort(key=lambda t: (int(t[0]), int(t[1])), reverse=True)
+        triples = triples[:8]
+        state.update(
+            (
+                [int(t[0]) for t in triples],
+                [int(t[1]) for t in triples],
+                [int(t[2]) for t in triples],
+                int(n),
+            )
+        )
+        num = sum(w * int(t[2]) for w, t in zip(weights, triples))
+        den = sum(w for w, _ in zip(weights, triples))
+        ewma = math.floor((num / den / 1000000) * 1000000 + 0.5) / 1000000
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
+
+    s = _stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    emitted = s.groupBy("user_id").applyInPandasWithState(
+        smooth,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(emitted, "update")
+    return res.groupBy("user_id").agg(
+        F.expr("max(n_events)").cast("long").alias("n_events"),
+        F.expr("max_by(ewma, n_events)").alias("ewma"),
+    )

@@ -438,3 +438,29 @@ def test_higher_moments_match_numpy(spark, sf_dir):
         sym.coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
         r = q_higher_moments(spark, d).collect()
     assert len(r) == 1 and r[0]["skewness"] == 0.0
+
+
+def test_mutual_info_independent_vs_coupled(spark):
+    """Independent -> MI 0; a perfectly coupled 2x2 -> MI = ln 2."""
+    import math
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import q_mutual_info
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(i, "w", l, s, 1) for i, (l, s) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+
+    indep = [(l, s) for l in ("en", "fr") for s in ("web", "book") for _ in range(50)]
+    coupled = [("en", "web")] * 100 + [("fr", "book")] * 100
+    with tempfile.TemporaryDirectory() as d:
+        mkdocs(indep).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = q_mutual_info(spark, d).collect()[0]
+        assert r["mutual_info_nats"] == 0.0 and r["n_cells"] == 4
+    with tempfile.TemporaryDirectory() as d:
+        mkdocs(coupled).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = q_mutual_info(spark, d).collect()[0]
+        assert abs(r["mutual_info_nats"] - math.log(2)) < 1e-5

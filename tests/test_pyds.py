@@ -43,3 +43,20 @@ def test_variant_typed_probe(spark):
     ).collect()
     assert sorted(r["k"] for r in out) == [7, 41]
     assert all(r["sch"] == "OBJECT<k: BIGINT>" for r in out)
+
+
+def test_nullsafe_join_null_bucket_and_footing(spark, sf_dir):
+    """The error-event null bucket must appear as ONE matched key, and
+    first+second half counts must foot to the event total."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        q_nullsafe_join,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = q_nullsafe_join(spark, sf_dir).collect()
+    nulls = [r for r in rows if r["is_null_key"]]
+    total_events = load(spark, sf_dir, "events").count()
+    n_err = load(spark, sf_dir, "events").where("event_type = 'error'").count()
+    assert len(nulls) == 1
+    assert nulls[0]["n_first"] + nulls[0]["n_second"] == n_err
+    assert sum(r["n_first"] + r["n_second"] for r in rows) == total_events

@@ -366,3 +366,12 @@ def test_stream_word_topk_equals_batch_and_reruns(spark, sf_dir):
     assert got == expect and len(got) == _WORD_TOPN
     again = [(r["word"], r["n"]) for r in q_stream_word_topk(spark, sf_dir).collect()]
     assert again == expect
+
+
+def test_stream_ewma_equals_batch(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_ewma
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import q_stream_ewma
+
+    batch = {r["user_id"]: (r["n_events"], r["ewma"]) for r in q_ewma(spark, sf_dir).collect()}
+    got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in q_stream_ewma(spark, sf_dir).collect()}
+    assert got == batch and len(got) > 0

@@ -215,3 +215,27 @@ def test_ewma_hand_series_and_renormalization(spark):
     exp2 = (64 * 9 + 32 * 7 + 16 * 5) * 10**6 / (64 + 32 + 16) / 1e6
     assert got[2]["ewma"] == math.floor(exp2 * 1e6 + 0.5) / 1e6
     assert got[2]["n_events"] == 3
+
+
+def test_ohlc_bruteforce(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import q_ohlc_bars
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    import datetime as dt
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value").collect()
+    bars: dict = {}
+    for r in ev:
+        h = int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+        bars.setdefault((r["event_type"], h), []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {(r["event_type"], r["hour"]): r for r in q_ohlc_bars(spark, sf_dir).collect()}
+    assert set(got) == set(bars)
+    for k, rows in bars.items():
+        rows.sort()
+        r = got[k]
+        assert r["n"] == len(rows)
+        assert r["open"] == round(rows[0][2], 6) and r["close"] == round(rows[-1][2], 6)
+        assert r["high"] == round(max(v for _, _, v in rows), 6)
+        assert r["low"] == round(min(v for _, _, v in rows), 6)
