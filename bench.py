@@ -31,14 +31,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 _NOISE_FLAG_SCALE = 1.5  # sentinel ratio past which a record is untrustworthy
-# Characterized quiet band for this box (AB_N4096.md: 16 interleaved reps,
-# genuine-quiet sentinel 0.15-0.21 s).  No credible sentinel can be below
-# the band's floor — a committed value under it is a measurement artifact
-# (the r9 record carried 0.077 s captured while loadavg fell 10.9→quiet,
-# which ratcheted the reference so low every genuinely-quiet future run
-# computed scale ≈ 2-2.7 and was diverted to BENCH_local_noisy.json —
-# VERDICT r9 defect 1).
-_QUIET_FLOOR_SEC = 0.15
+# Characterized quiet band for this box, for the WARMED sentinel (r10
+# final session): one untimed GEMM precedes the timed loop, so the
+# measurement no longer carries numpy/BLAS first-call cost (thread-pool
+# spin-up + page faults dominated the old one-shot form: 0.38 s cold vs
+# 0.03 s warm on the same idle box, load 0.02 — which is why earlier
+# "quiet" sentinels ranged 0.10-0.21 s and a 2.4× phantom flag appeared
+# whenever the cold path got colder).  Warmed quiet band measured
+# 0.029-0.034 s over repeated idle reps.  No credible sentinel can be
+# below the band's floor — a committed value under it is a measurement
+# artifact (the r9 ratchet lesson, VERDICT r9 defect 1, restated for
+# the new floor).
+_QUIET_FLOOR_SEC = 0.025
 # A sentinel measured while loadavg exceeded this is not a credible
 # quiet-box reference either way — under CPU steal it reads high, and
 # mid-transition (load collapsing during the 0.5 s GEMM window) it can
@@ -473,10 +477,14 @@ def main() -> int:
         query timings can be normalized — this host measures ±15-40%
         swings on UNCHANGED code between runs an hour apart (r6/r7
         records), and the sentinel tells the reader which record ran on
-        the quieter box."""
+        the quieter box.  One UNTIMED warm-up GEMM precedes the timed
+        loop (r10): the one-shot form measured numpy/BLAS first-call
+        cost (0.38 s cold vs 0.03 s warm on the same idle box), so its
+        value tracked import state, not box load."""
         import numpy as np
 
         a = np.ones((1024, 1024))
+        a = a @ a / 1024.0  # warm-up: BLAS thread pool + pages, untimed
         t0 = time.perf_counter()
         for _ in range(3):
             a = a @ a / 1024.0

@@ -85,10 +85,14 @@ def test_ratchet_regression_anomalous_low_sentinel_under_load():
 
 def test_floor_clamps_credibly_paired_artifact():
     """Even a sub-floor sentinel with a quiet paired loadavg can't
-    ratchet the reference below the characterized 0.15 s quiet band."""
-    p = bench.noise_policy(_committed(start=0.05, end=0.06, load_start=0.5, load_end=0.5), 0.2)
+    ratchet the reference below the characterized quiet band."""
+    sub = bench._QUIET_FLOOR_SEC * 0.4
+    now = bench._QUIET_FLOOR_SEC * 1.2
+    p = bench.noise_policy(
+        _committed(start=sub, end=sub * 1.2, load_start=0.5, load_end=0.5), now
+    )
     assert p["quiet_ref_sec"] == bench._QUIET_FLOOR_SEC
-    assert p["noise_scale"] == round(0.2 / bench._QUIET_FLOOR_SEC, 3)
+    assert p["noise_scale"] == round(now / bench._QUIET_FLOOR_SEC, 3)
     assert not p["flagged"] and p["write_main"]
 
 

@@ -212,6 +212,21 @@ AUDIT = {
     "q_inverted_index": "both df/tf counts are map-side-combinable hash aggs; the posting HEAD is "
     "cut by a per-term row_number BEFORE any collect (the collect_list aggregates <= 8 rows per "
     "term, never a hot term's full posting list); all three joins are plain equi-joins on token",
+    "q_ewma": "ONE user_id exchange serves the 8-deep lag chain, the recency ranking, and the "
+    "per-user count (same window partition); the weighted sum is exact integer arithmetic in the "
+    "projection — no second shuffle, no driver math",
+    "q_ohlc_bars": "one (event_type, hour) exchange serves BOTH ranking windows (ascending and "
+    "descending row_number) and the closing agg — the open/close argext never re-shuffles; "
+    "high/low ride the same combinable agg",
+    "q_revenue_share": "the three dims broadcast (nation/region explicitly, customer by AQE); "
+    "revenue is one map-side-combinable uunit agg; the ratio-to-report window runs over the "
+    "25-row nations rollup, never the fact",
+    "q_path_topk": "one user_id exchange serves the ranking window and the per-user path agg; "
+    "the path rollup is map-side combinable into at most |event_types|^3 keys and the cut is "
+    "TakeOrderedAndProject over that rollup",
+    "q_forecast_eval": "everything downstream of the combinable daily agg is scalar/broadcast "
+    "(1-row horizon, type x 7 train table) — the holdout join is a BroadcastHashJoin and no "
+    "stage rescans events",
 }
 
 
