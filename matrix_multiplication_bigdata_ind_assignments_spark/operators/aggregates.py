@@ -1117,3 +1117,84 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(rev_u AS DOUBLE) / 1000000) AS revenue",
         f"{_SHARE_EXPR} AS share",
     )
+
+
+#: shared closing text for the two-proportion z-test — exact long counts
+#: in, a handful of IEEE ops out (identical text both engines)
+_AB_RATE = "(CAST(floor((CAST({c} AS DOUBLE) / {n}) * 1000000 + 0.5) AS DOUBLE) / 1000000)"
+_AB_Z = (
+    "(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL"
+    " ELSE (CAST(floor(((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+    " / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))"
+    " * (1.0 / na + 1.0 / nb))) * 10000 + 0.5) AS DOUBLE) / 10000) END)"
+)
+_AB_CONV_MIN = 14  # conversion bar: >= median purchases — a 40-60% rate at every SF
+
+
+@register(
+    "q_ab_test",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') >= 14 AS INT) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM u GROUP BY arm
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+         max(CASE WHEN arm = 0 THEN c END) AS ca,
+         max(CASE WHEN arm = 1 THEN n END) AS nb,
+         max(CASE WHEN arm = 1 THEN c END) AS cb
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       {_AB_RATE.format(c="ca", n="na")} AS rate_a,
+       {_AB_RATE.format(c="cb", n="nb")} AS rate_b,
+       {_AB_Z} AS z_score,
+       abs({_AB_Z}) > 1.96 AS significant
+FROM wide
+""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users split into arms by
+    the deterministic user_id parity (the hash-split every experiment
+    platform ships — q_train_test_split's 2-arm cousin), conversion =
+    at least 14 purchases (the median bar, a 40-60% rate at every
+    fixture SF so the test is non-degenerate; an all-convert arm
+    yields a NULL z by the pooled-variance guard), and the pooled
+    two-proportion z-score with a 1.96 significance verdict — the experimentation readout a
+    product pipeline computes per flag.  Exact: per-arm user and
+    conversion counts are exact longs (one map-side-combinable
+    per-user agg + a 2-row arm rollup); the z expression is one shared
+    IEEE text over those longs, quantized at 4 dp.  Shape: one
+    user_id-keyed agg (combinable), a 2-row pivot, a 1-row closing
+    select — nothing scales past the first exchange."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= _AB_CONV_MIN
+        ).cast("int").alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("cb"),
+    )
+    return wide.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(ca AS BIGINT) AS conv_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(cb AS BIGINT) AS conv_b",
+        f"{_AB_RATE.format(c='ca', n='na')} AS rate_a",
+        f"{_AB_RATE.format(c='cb', n='nb')} AS rate_b",
+        f"{_AB_Z} AS z_score",
+        f"abs({_AB_Z}) > 1.96 AS significant",
+    )

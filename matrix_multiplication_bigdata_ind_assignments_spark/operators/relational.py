@@ -962,3 +962,44 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias("n_first"),
         F.coalesce(F.col("n_second"), F.lit(0)).cast("long").alias("n_second"),
     )
+
+
+_Q4_LATE_DAYS = 14
+
+
+@register(
+    "q_priority_exists",
+    oracle=f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def q_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders with at least
+    one lineitem shipped more than {d} days after the order date,
+    counted per priority — the canonical correlated-EXISTS query.
+    Catalyst decorrelates the EXISTS into a LEFT SEMI join on
+    l_orderkey with the date comparison as the join condition, so the
+    fact side is touched once and each order contributes at most once
+    regardless of how many lineitems are late (the semantics COUNT +
+    plain join would get wrong).  Shape: one co-keyed semi join, one
+    combinable 5-row rollup.""".replace("{d}", str(_Q4_LATE_DAYS))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        on=[
+            o.o_orderkey == li.l_orderkey,
+            li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAY"),
+        ],
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )

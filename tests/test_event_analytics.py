@@ -265,3 +265,78 @@ def test_revenue_share_sums_to_one_per_region(spark, sf_dir):
         by_region.setdefault(r["region"], []).append(r["share"])
     for reg, shares in by_region.items():
         assert abs(sum(shares) - 1.0) < 1e-4, reg
+
+
+def test_ab_test_bruteforce_and_degenerate_guard(spark, sf_dir):
+    """z must match a scipy-free recompute; an all-convert fixture
+    yields NULL z (pooled-variance guard)."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        _AB_CONV_MIN,
+        q_ab_test,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per_user: dict = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], [0, 0])
+        if r["event_type"] == "purchase":
+            per_user[r["user_id"]][0] += 1
+    arms = {0: [0, 0], 1: [0, 0]}
+    for u, (p, _) in per_user.items():
+        arms[u % 2][0] += 1
+        arms[u % 2][1] += int(p >= _AB_CONV_MIN)
+    (na, ca), (nb, cb) = arms[0], arms[1]
+    r = q_ab_test(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (na, ca, nb, cb)
+    pool = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    assert r["z_score"] == math.floor(z * 1e4 + 0.5) / 1e4
+    assert r["significant"] == (abs(r["z_score"]) > 1.96)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for j in range(_AB_CONV_MIN):
+            rows.append((eid, base, u, "purchase", 0.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        r = q_ab_test(spark, d).collect()[0]
+    assert r["z_score"] is None and r["conv_a"] == r["n_a"]
+
+
+def test_priority_exists_each_order_counted_once(spark, sf_dir):
+    """An order with many late lineitems counts once; totals match a
+    brute-force recompute."""
+    import datetime as dt
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        _Q4_LATE_DAYS,
+        q_priority_exists,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"])
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    late = set()
+    for r in load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect():
+        pr, od = orders[r["l_orderkey"]]
+        if r["l_shipdate"] > od + dt.timedelta(days=_Q4_LATE_DAYS):
+            late.add(r["l_orderkey"])
+    expect: dict = {}
+    for ok in late:
+        expect[orders[ok][0]] = expect.get(orders[ok][0], 0) + 1
+    got = {r["o_orderpriority"]: r["n_late_orders"] for r in q_priority_exists(spark, sf_dir).collect()}
+    assert got == expect
