@@ -375,3 +375,42 @@ def test_stream_ewma_equals_batch(spark, sf_dir):
     batch = {r["user_id"]: (r["n_events"], r["ewma"]) for r in q_ewma(spark, sf_dir).collect()}
     got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in q_stream_ewma(spark, sf_dir).collect()}
     assert got == batch and len(got) > 0
+
+
+def test_stream_ewma_and_word_topk_state_envelopes(spark, sf_dir):
+    """r10 final-session streams obey the same key-not-events state
+    discipline: the EWMA state is EXACTLY one row per user (8 triples
+    + counter, generously < 8 KB/user with store overhead); the word
+    frequency table's state is vocabulary-sized (Heaps' law), never a
+    multiple of the token stream."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming import queries as SQ
+    from pyspark.sql import functions as F
+
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    SQ.q_stream_ewma(spark, sf_dir).count()
+    ops = SQ.last_state_metrics()
+    assert ops
+    rows = sum(o.get("numRowsTotal", 0) for o in ops)
+    mem = sum(o.get("memoryUsedBytes", 0) for o in ops)
+    assert rows == n_users
+    assert mem <= n_users * 8192
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w"))
+        .distinct()
+        .count()
+    )
+    n_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    SQ.q_stream_word_topk(spark, sf_dir).count()
+    ops = SQ.last_state_metrics()
+    assert ops
+    rows = sum(o.get("numRowsTotal", 0) for o in ops)
+    assert rows == vocab
+    assert vocab < n_tokens / 10  # the Heaps'-law point: state << stream
