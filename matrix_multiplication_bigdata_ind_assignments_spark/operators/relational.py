@@ -1003,3 +1003,74 @@ def q_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_late_orders")
     )
+
+
+_Q21_LATE_DAYS = 21
+_Q21_TOPN = 10
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle=f"""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+                             THEN l.l_suppkey END) AS n_late,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+                  THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey
+),
+blamed AS (
+  SELECT late_supp AS s_suppkey, count(*) AS n_orders
+  FROM per_order
+  WHERE n_supp >= 2 AND n_late = 1
+  GROUP BY late_supp
+)
+SELECT s.s_name, b.s_suppkey, CAST(b.n_orders AS BIGINT) AS n_orders
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.s_suppkey
+ORDER BY n_orders DESC, b.s_suppkey
+LIMIT {_Q21_TOPN}
+""",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    multi-supplier orders where EXACTLY ONE supplier shipped more than
+    {d} days late, blame that supplier; top-{n} offenders.  The classic
+    EXISTS + NOT-EXISTS pair collapses into ONE per-order aggregate —
+    count of distinct suppliers, count of distinct LATE suppliers, and
+    the late supplier itself via a conditional max (well-defined
+    exactly when n_late = 1, the only rows kept) — so the fact table
+    is scanned once and shuffled once on l_orderkey instead of
+    visited three times by correlated subqueries.  Exact integer
+    counts; total (count DESC, suppkey) order makes the cut
+    deterministic; the supplier-name join is broadcast.""".replace(
+        "{d}", str(_Q21_LATE_DAYS)
+    ).replace("{n}", str(_Q21_TOPN))
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAY"
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    blamed = (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        blamed.join(F.broadcast(s), "s_suppkey")
+        .select("s_name", "s_suppkey", F.col("n_orders").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_suppkey")
+        .limit(_Q21_TOPN)
+    )

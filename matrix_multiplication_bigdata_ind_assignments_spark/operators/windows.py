@@ -640,3 +640,83 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("low"),
         F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
     )
+
+
+_RMED_K = 5  # trailing window width (current + 4 predecessors)
+
+
+def _rmed_terms() -> tuple[str, str]:
+    """(sorted-array, n-available) SQL text over lag columns l0..l4 —
+    Spark and DuckDB share the name `array_sort`/`list_sort` split but
+    the expression shape is identical."""
+    arr = ", ".join(f"l{j}" for j in range(_RMED_K))
+    return arr, " + ".join(f"CAST(l{j} IS NOT NULL AS INT)" for j in range(_RMED_K))
+
+
+@register(
+    "q_rolling_median",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id,
+         {", ".join(f"lag(v, {j}) OVER w AS l{j}" for j in range(_RMED_K))}
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+srt AS (
+  SELECT user_id, event_id,
+         list_sort(list_filter([{_rmed_terms()[0]}], x -> x IS NOT NULL)) AS s,
+         {_rmed_terms()[1]} AS n
+  FROM lagged
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+       (CAST(CASE WHEN n % 2 = 1 THEN 2 * s[(n + 1) // 2]
+                  ELSE s[n // 2] + s[n // 2 + 1] END AS DOUBLE) / 2 / 1000000)
+       AS rolling_median
+FROM srt
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{k} rolling median of the event value per user —
+    the robust smoother (q_ewma's outlier-proof sibling; one spiked
+    reading moves an EWMA but not a median).  No engine has a median
+    window aggregate, so the window materializes the {k} lags and takes
+    the middle of the sorted non-null array — O(k log k) per row with
+    k fixed, which is how a rolling median should run at 100 TB (never
+    a per-row re-sort of an unbounded frame).  Exact: values are
+    6-dp fixed-point longs, the even-width midpoint is kept as the
+    integer SUM of the two middles and divided once in shared IEEE
+    text, so both engines emit identical doubles.  Shape: ONE user_id
+    shuffle serves the lag chain; everything after is per-row array
+    algebra.""".replace("{k}", str(_RMED_K))
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = v.select(
+        "user_id",
+        "event_id",
+        *[F.lag("v", j).over(w).alias(f"l{j}") for j in range(_RMED_K)],
+    )
+    arr, n = _rmed_terms()
+    srt = lagged.selectExpr(
+        "user_id",
+        "event_id",
+        f"array_sort(filter(array({arr}), x -> x IS NOT NULL)) AS s",
+        f"{n} AS n",
+    )
+    return srt.selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(n AS BIGINT) AS n_window",
+        "(CAST(CASE WHEN n % 2 = 1 THEN 2 * element_at(s, CAST((n + 1) DIV 2 AS INT))"
+        " ELSE element_at(s, CAST(n DIV 2 AS INT)) + element_at(s, CAST(n DIV 2 + 1 AS INT))"
+        " END AS DOUBLE) / 2 / 1000000) AS rolling_median",
+    )

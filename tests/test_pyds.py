@@ -60,3 +60,30 @@ def test_nullsafe_join_null_bucket_and_footing(spark, sf_dir):
     assert len(nulls) == 1
     assert nulls[0]["n_first"] + nulls[0]["n_second"] == n_err
     assert sum(r["n_first"] + r["n_second"] for r in rows) == total_events
+
+
+def test_waiting_suppliers_bruteforce(spark, sf_dir):
+    import datetime as dt
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.relational import (
+        _Q21_LATE_DAYS,
+        _Q21_TOPN,
+        q_waiting_suppliers,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    orders = {r["o_orderkey"]: r["o_orderdate"] for r in load(spark, sf_dir, "orders").collect()}
+    per_order: dict = {}
+    for r in load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate").collect():
+        supp, late = per_order.setdefault(r["l_orderkey"], (set(), set()))
+        supp.add(r["l_suppkey"])
+        if r["l_shipdate"] > orders[r["l_orderkey"]] + dt.timedelta(days=_Q21_LATE_DAYS):
+            late.add(r["l_suppkey"])
+    blame: dict = {}
+    for supp, late in per_order.values():
+        if len(supp) >= 2 and len(late) == 1:
+            (s,) = late
+            blame[s] = blame.get(s, 0) + 1
+    expect = sorted(blame.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q21_TOPN]
+    got = [(r["s_suppkey"], r["n_orders"]) for r in q_waiting_suppliers(spark, sf_dir).collect()]
+    assert got == expect

@@ -239,3 +239,59 @@ def test_ohlc_bruteforce(spark, sf_dir):
         assert r["open"] == round(rows[0][2], 6) and r["close"] == round(rows[-1][2], 6)
         assert r["high"] == round(max(v for _, _, v in rows), 6)
         assert r["low"] == round(min(v for _, _, v in rows), 6)
+
+
+def test_rolling_median_bruteforce(spark, sf_dir):
+    """Every row's trailing-5 median must match a Python recompute over
+    the (ts, event_id)-ordered µunit series."""
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import (
+        _RMED_K,
+        q_rolling_median,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value").collect()
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], math.floor(r["value"] * 1e6 + 0.5))
+        )
+    expect = {}
+    for u, s in series.items():
+        s.sort()
+        for i in range(len(s)):
+            win = sorted(v for _, _, v in s[max(0, i - _RMED_K + 1) : i + 1])
+            n = len(win)
+            tw = 2 * win[(n + 1) // 2 - 1] if n % 2 else win[n // 2 - 1] + win[n // 2]
+            expect[s[i][1]] = (n, tw / 2 / 1e6)
+    got = {r["event_id"]: (r["n_window"], r["rolling_median"]) for r in q_rolling_median(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_rolling_median_outlier_immunity(spark):
+    """A single spike moves the EWMA but not the rolling median."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.windows import (
+        q_ewma,
+        q_rolling_median,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 10.0, 1000.0, 10.0, 10.0]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "a", v, "") for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        med = {r["event_id"]: r["rolling_median"] for r in q_rolling_median(spark, d).collect()}
+        ew = q_ewma(spark, d).collect()[0]["ewma"]
+    assert med[5] == 10.0  # spike inside the window, median unmoved
+    assert ew > 40.0  # the spike still dominates the EWMA two steps later
