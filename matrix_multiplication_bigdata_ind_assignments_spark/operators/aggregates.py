@@ -1198,3 +1198,65 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AB_Z} AS z_score",
         f"abs({_AB_Z}) > 1.96 AS significant",
     )
+
+
+@register(
+    "q_cohort_value",
+    oracle=f"""
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id, {_WEEK_DUCK.format(ts="first_ts")} AS cohort_week FROM first_ev
+),
+wk AS (
+  SELECT c.cohort_week,
+         {_WEEK_DUCK.format(ts="e.ts")} - c.cohort_week AS week_offset,
+         CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+),
+per AS (
+  SELECT cohort_week, week_offset, sum(v) AS week_u
+  FROM wk GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset,
+       (CAST(week_u AS DOUBLE) / 1000000) AS week_value,
+       (CAST(sum(week_u) OVER (PARTITION BY cohort_week ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000)
+       AS cum_value
+FROM per
+""",
+)
+def q_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort cumulative value (the LTV curve): per acquisition-week
+    cohort, the event value accrued at each week offset and its
+    running total — the revenue twin of q_cohort_retention (shared
+    integral week bucketing, _WEEK_SPARK text) and the number a growth
+    model discounts into lifetime value.  Exact: per-event values ride
+    6-dp fixed point, the per-(cohort, offset) sums and the cumulative
+    window are exact long arithmetic, divided once per output cell.
+    Shape: one user_id shuffle for the cohort join (the retention
+    query's plan), one combinable (cohort, offset) agg, one window
+    over the WEEKS-sized rollup."""
+    e = load(spark, sf_dir, "events")
+    first_ev = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = first_ev.selectExpr(
+        "user_id", f"{_WEEK_SPARK.format(ts='first_ts')} AS cohort_week"
+    )
+    wk = e.join(cohort, "user_id").selectExpr(
+        "cohort_week",
+        f"{_WEEK_SPARK.format(ts='ts')} - cohort_week AS week_offset",
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v",
+    )
+    per = wk.groupBy("cohort_week", "week_offset").agg(F.sum("v").alias("week_u"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_week",
+        "week_offset",
+        (F.col("week_u").cast("double") / 1e6).alias("week_value"),
+        (F.sum("week_u").over(w).cast("double") / 1e6).alias("cum_value"),
+    )

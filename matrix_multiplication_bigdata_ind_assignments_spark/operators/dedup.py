@@ -1498,3 +1498,67 @@ def tiled_cosine_pairs(
         .cogroup(side("bj").groupBy("bi", "bj"))
         .applyInPandas(tile, schema="va long, vb long, cos double")
     )
+
+
+_LEV_MAX = 4
+
+
+@register(
+    "q_levenshtein_pairs",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name, min(p_partkey) AS keeper
+  FROM part GROUP BY p_name
+),
+blocked AS (
+  SELECT p_name, keeper,
+         string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS block
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(a.keeper AS BIGINT) AS key_a, CAST(b.keeper AS BIGINT) AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+""",
+)
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage with BLOCKING: distinct part names
+    pair only within their head-noun block (the last name token), and
+    survive at Levenshtein distance <= {m} — the bounded fuzzy-match
+    primitive (q_fuzzy_match's canonicalize-first discipline, with an
+    edit-distance verifier instead of exact equality).  The blocking
+    key is what makes this 100 TB-shaped: the quadratic verifier runs
+    only inside name-noun buckets (bounded by the adjective
+    vocabulary), never across the corpus, and the pair join is a plain
+    equi-join on the block with the edit distance as a residual.
+    Canonicalize-first keeps the pair space over DISTINCT names (the
+    catalog's true size), each carrying its min-key keeper.  Integer
+    distances, lexicographic a < b dedup — no FP anywhere.""".replace(
+        "{m}", str(_LEV_MAX)
+    )
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("keeper"))
+    blocked = names.select(
+        "p_name",
+        "keeper",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).localCheckpoint(eager=True)  # tiny distinct-name table; feeds both join sides
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("keeper").alias("key_a"), "block"
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("keeper").alias("key_b"), F.col("block").alias("block_b")
+    )
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
+        .where(F.levenshtein("name_a", "name_b") <= _LEV_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("key_a").cast("long"),
+            F.col("key_b").cast("long"),
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )

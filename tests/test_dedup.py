@@ -375,3 +375,37 @@ def test_keep_best_keeper_dominates_group(spark, sf_dir):
         assert r["keeper_quality"] >= q
         if q == r["keeper_quality"]:
             assert r["keeper_id"] <= doc or docs[r["keeper_id"]] > q
+
+
+def test_levenshtein_pairs_bruteforce(spark, sf_dir):
+    """Pairs must match an unblocked brute force RESTRICTED to the
+    block (same last token) — i.e. blocking loses nothing inside the
+    block — and every distance must be a true Levenshtein value."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.dedup import (
+        _LEV_MAX,
+        q_levenshtein_pairs,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = {}
+    for r in load(spark, sf_dir, "part").select("p_name", "p_partkey").collect():
+        names[r["p_name"]] = min(names.get(r["p_name"], 1 << 60), r["p_partkey"])
+    expect = set()
+    for a in names:
+        for b in names:
+            if a < b and a.split(" ")[-1] == b.split(" ")[-1] and lev(a, b) <= _LEV_MAX:
+                expect.add((a, b, names[a], names[b], lev(a, b)))
+    got = {
+        (r["name_a"], r["name_b"], r["key_a"], r["key_b"], r["dist"])
+        for r in q_levenshtein_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0

@@ -340,3 +340,29 @@ def test_priority_exists_each_order_counted_once(spark, sf_dir):
         expect[orders[ok][0]] = expect.get(orders[ok][0], 0) + 1
     got = {r["o_orderpriority"]: r["n_late_orders"] for r in q_priority_exists(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_cohort_value_cumulative_is_prefix_sum(spark, sf_dir):
+    """cum_value must be the running total of week_value per cohort and
+    the total across cohorts must foot to the fixed-point event sum."""
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_cohort_value,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = sorted(
+        q_cohort_value(spark, sf_dir).collect(),
+        key=lambda r: (r["cohort_week"], r["week_offset"]),
+    )
+    assert rows
+    run: dict = {}
+    for r in rows:
+        run[r["cohort_week"]] = run.get(r["cohort_week"], 0.0) + r["week_value"]
+        assert abs(run[r["cohort_week"]] - r["cum_value"]) < 1e-6
+    total_u = sum(
+        math.floor(x["value"] * 1e6 + 0.5)
+        for x in load(spark, sf_dir, "events").select("value").collect()
+    )
+    assert abs(sum(r["week_value"] for r in rows) - total_u / 1e6) < 1e-4
