@@ -1260,3 +1260,78 @@ def q_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("week_u").cast("double") / 1e6).alias("week_value"),
         (F.sum("week_u").over(w).cast("double") / 1e6).alias("cum_value"),
     )
+
+
+#: Welch t-test closing text — exact centi-unit longs in (s=sum, q=sum
+#: of squares, n=count per arm), a shared IEEE expression out
+_WELCH_V = "(({q} - CAST({s} AS DOUBLE) * {s} / {n}) / ({n} - 1))"
+_WELCH_T = (
+    f"(CAST(floor(((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+    f" / sqrt({_WELCH_V.format(q='qa', s='sa', n='na')} / na"
+    f" + {_WELCH_V.format(q='qb', s='sb', n='nb')} / nb)) * 10000 + 0.5) AS DOUBLE) / 10000)"
+)
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id % 2 AS arm, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM v GROUP BY arm
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS na, max(CASE WHEN arm = 0 THEN s END) AS sa,
+         max(CASE WHEN arm = 0 THEN q END) AS qa,
+         max(CASE WHEN arm = 1 THEN n END) AS nb, max(CASE WHEN arm = 1 THEN s END) AS sb,
+         max(CASE WHEN arm = 1 THEN q END) AS qb
+  FROM arms
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       (CAST(floor((CAST(sa AS DOUBLE) / na / 100) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS mean_a,
+       (CAST(floor((CAST(sb AS DOUBLE) / nb / 100) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS mean_b,
+       {_WELCH_T} AS t_stat,
+       abs({_WELCH_T}) > 1.96 AS significant
+FROM wide
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test on the CONTINUOUS event value between
+    the user-parity arms — q_ab_test's metric twin (conversion rates
+    get the z-test, revenue/latency metrics get Welch, the default in
+    every experimentation platform because arm variances are never
+    equal).  Exact inputs: per-arm count / centi-unit sum / centi-unit
+    sum of squares (c² ~ 7e8 per row — the long route holds to ~1e9
+    rows per arm, then DECIMAL(38,0)); the t statistic is one shared
+    IEEE text over those six longs, 4-dp quantized.  Shape: one
+    map-side-combinable agg to 2 rows, a 1-row pivot, a 1-row select.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    arms = v.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    wide = arms.groupBy().agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(col))).alias(f"{col}{suffix}")
+            for a, suffix in ((0, "a"), (1, "b"))
+            for col in ("n", "s", "q")
+        ]
+    )
+    return wide.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "(CAST(floor((CAST(sa AS DOUBLE) / na / 100) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS mean_a",
+        "(CAST(floor((CAST(sb AS DOUBLE) / nb / 100) * 1000000 + 0.5) AS DOUBLE) / 1000000) AS mean_b",
+        f"{_WELCH_T} AS t_stat",
+        f"abs({_WELCH_T}) > 1.96 AS significant",
+    )

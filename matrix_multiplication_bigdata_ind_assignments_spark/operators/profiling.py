@@ -1318,3 +1318,94 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").alias("mi_u"),
     )
     return g.selectExpr(*_MI_FINAL)
+
+
+# ---------------------------------------------------------------- anova
+
+#: shared closing text: one-way ANOVA F over exact integer pieces —
+#: ssb_q is the micro-quantized Σ S_w²/n_w (order-proof long sum), sq
+#: the exact Σ c² over days, t/n the grand total/count; k = 7 weekdays
+_ANOVA_SSB = "(CAST(ssb_q AS DOUBLE) / 1000000 - CAST(t AS DOUBLE) * t / n)"
+_ANOVA_SST = "(CAST(sq AS DOUBLE) - CAST(t AS DOUBLE) * t / n)"
+_ANOVA_F = (
+    f"(CAST(floor((({_ANOVA_SSB} / (k - 1)) / (({_ANOVA_SST} - {_ANOVA_SSB}) / (n - k)))"
+    " * 10000 + 0.5) AS DOUBLE) / 10000)"
+)
+_ANOVA_FINAL = [
+    "event_type",
+    "CAST(n AS BIGINT) AS n_days",
+    "CAST(k AS BIGINT) AS n_groups",
+    f"{_ANOVA_F} AS f_stat",
+    f"(CAST(floor(({_ANOVA_SSB} / {_ANOVA_SST}) * 1000000 + 0.5) AS DOUBLE) / 1000000)"
+    " AS eta_sq",
+]
+
+
+@register(
+    "q_anova_weekday",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+grp AS (
+  SELECT event_type, day % 7 AS wd, sum(c) AS sw, count(*) AS nw
+  FROM daily GROUP BY event_type, day % 7
+),
+pieces AS (
+  SELECT event_type,
+         sum(CAST(floor((CAST(sw AS DOUBLE) * sw / nw) * 1000000 + 0.5) AS BIGINT)) AS ssb_q,
+         count(*) AS k
+  FROM grp GROUP BY event_type
+),
+tot AS (
+  SELECT event_type, sum(c) AS t, count(*) AS n, sum(c * c) AS sq
+  FROM daily GROUP BY event_type
+)
+SELECT {", ".join(_ANOVA_FINAL)}
+FROM pieces JOIN tot USING (event_type)
+WHERE {_ANOVA_SST} > {_ANOVA_SSB} AND n > k
+""",
+)
+def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily event volume across weekdays (per event
+    type): F statistic + eta-squared — 'is there a real day-of-week
+    seasonality' as a test, the inferential companion to q_autocorr's
+    descriptive ACF and the decision input for q_forecast_eval's
+    same-weekday baseline (a weak F means the seasonal-naive forecast
+    is no better than a grand mean).  Weekdays are epoch-day % 7 (the
+    integer rule both engines share).  Exactness: group sums/counts
+    and Σc² are exact longs; the one order-sensitive reduction —
+    Σ_w S_w²/n_w over the 7 groups — is micro-quantized per group and
+    summed as longs; SSB/SST/F then come from one shared IEEE text.
+    Shape: one combinable daily agg, two tiny rollups, a 5-row join."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)  # feeds grp + tot
+    grp = daily.groupBy("event_type", (F.col("day") % 7).alias("wd")).agg(
+        F.sum("c").alias("sw"), F.count(F.lit(1)).alias("nw")
+    )
+    pieces = grp.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor((CAST(sw AS DOUBLE) * sw / nw) * 1000000 + 0.5) AS BIGINT)"
+            )
+        ).alias("ssb_q"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return (
+        pieces.join(tot, "event_type")
+        .where(F.expr(f"{_ANOVA_SST} > {_ANOVA_SSB} AND n > k"))
+        .selectExpr(*_ANOVA_FINAL)
+    )

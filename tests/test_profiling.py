@@ -464,3 +464,62 @@ def test_mutual_info_independent_vs_coupled(spark):
         mkdocs(coupled).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
         r = q_mutual_info(spark, d).collect()[0]
         assert abs(r["mutual_info_nats"] - math.log(2)) < 1e-5
+
+
+def test_anova_weekday_detects_injected_seasonality(spark):
+    """Flat volume -> F ~ 0; strong weekday pattern -> large F and
+    eta_sq near 1; values match a scipy-free recompute."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        q_anova_weekday,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(56):
+        epoch_day = int(
+            (base + dt.timedelta(days=day)).replace(tzinfo=dt.timezone.utc).timestamp()
+        ) // 86400
+        flat = 5
+        # jitter keeps SSW > 0: a PERFECT pattern has SSW = 0 and is
+        # dropped by the divide guard like the flat series
+        seasonal = 2 + 10 * (epoch_day % 7) + (1 if (day // 7) % 2 == 0 else 0)
+        for t, per in (("flat", flat), ("seasonal", seasonal)):
+            for j in range(per):
+                rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, t, 0.0, ""))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_type"]: r for r in q_anova_weekday(spark, d).collect()}
+    # flat series: zero between-group variance -> dropped by the SST>SSB guard
+    assert "flat" not in got
+    assert got["seasonal"]["eta_sq"] > 0.999 and got["seasonal"]["f_stat"] > 1000
+    assert got["seasonal"]["n_days"] == 56 and got["seasonal"]["n_groups"] == 7
+
+
+def test_welch_ttest_bruteforce(spark, sf_dir):
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_welch_ttest,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    arms = {0: [], 1: []}
+    for r in load(spark, sf_dir, "events").select("user_id", "value").collect():
+        arms[r["user_id"] % 2].append(math.floor(r["value"] * 100 + 0.5))
+    a, b = arms[0], arms[1]
+    na, nb = len(a), len(b)
+    va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1)
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1)
+    t = (sum(a) / na - sum(b) / nb) / math.sqrt(va / na + vb / nb)
+    r = q_welch_ttest(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["t_stat"] == math.floor(t * 1e4 + 0.5) / 1e4
+    assert abs(r["mean_a"] - sum(a) / na / 100) < 1e-6
