@@ -1335,3 +1335,178 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_WELCH_T} AS t_stat",
         f"abs({_WELCH_T}) > 1.96 AS significant",
     )
+
+
+#: ABC class cutoffs on cumulative revenue share (classic 80/95 split)
+_ABC_A, _ABC_B = 80, 95
+
+#: all-integer class rule: class of a part = compares of 100*cum_u
+#: against cut*total_u — no rational share ever materializes
+_ABC_CLASS = (
+    f"CASE WHEN 100 * cum_u <= {_ABC_A} * tot_u THEN 'A' "
+    f"WHEN 100 * cum_u <= {_ABC_B} * tot_u THEN 'B' ELSE 'C' END"
+)
+
+
+@register(
+    "q_pareto_abc",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey, sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS rev_u
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, rev_u,
+         sum(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+         sum(rev_u) OVER () AS tot_u
+  FROM rev
+),
+classed AS (SELECT rev_u, tot_u, {_ABC_CLASS} AS abc FROM ranked)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       (CAST(sum(rev_u) AS DOUBLE) / 1000000) AS revenue,
+       (CAST(floor((CAST(sum(rev_u) AS DOUBLE) / max(tot_u)) * 1000000 + 0.5) AS DOUBLE)
+        / 1000000) AS share
+FROM classed GROUP BY abc
+""",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory analysis: parts ranked by revenue, the
+    cumulative-share curve cut at {a}% (class A) and {b}% (class B) —
+    the 80/20 concentration readout every supply/BI layer ships, and
+    q_gini_tokens' business twin.  All-integer class assignment: the
+    rule compares 100*cum_u against cut*tot_u on exact uunit longs, so
+    no rational share materializes until the display columns; the
+    (rev DESC, partkey) order is total, making the cumulative window
+    and hence the classes deterministic.  Shape: one combinable
+    per-part revenue agg, one ordered window over the PARTS rollup
+    (the global sort is over parts, not lineitems — at extreme part
+    cardinality swap in the equi-depth percentile route), a 3-row
+    closing agg.""".replace("{a}", str(_ABC_A)).replace("{b}", str(_ABC_B))
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("rev_u")
+    )
+    w = Window.orderBy(F.desc("rev_u"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "rev_u",
+        F.sum("rev_u").over(w).alias("cum_u"),
+        F.sum("rev_u").over(Window.partitionBy()).alias("tot_u"),
+    )
+    classed = ranked.selectExpr("rev_u", "tot_u", f"{_ABC_CLASS} AS abc")
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum("rev_u").cast("double") / 1e6).alias("revenue"),
+        F.expr(
+            "(CAST(floor((CAST(sum(rev_u) AS DOUBLE) / max(tot_u)) * 1000000 + 0.5)"
+            " AS DOUBLE) / 1000000)"
+        ).alias("share"),
+    )
+
+
+@register(
+    "q_ship_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(epoch(l.l_shipdate) / 86400) - floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(days) AS BIGINT) AS p0,
+       round(quantile_cont(days, 0.50), 6) AS p50,
+       round(quantile_cont(days, 0.90), 6) AS p90,
+       round(quantile_cont(days, 0.99), 6) AS p99,
+       CAST(max(days) AS BIGINT) AS p100
+FROM lat GROUP BY o_orderpriority
+""",
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship day-delta distribution per priority (p50/p90/p99
+    + min/max of whole days) — the SLA percentile readout every ops
+    dashboard serves.  (The synthetic fixture draws shipdate and
+    orderdate independently, so deltas include negatives; the
+    percentile machinery, not the business plausibility, is what is
+    under test.)  Latencies are exact integer DAY
+    deltas (epoch-floored in both engines — never interval arithmetic,
+    the q_nullsafe_join lesson); the interpolated percentiles agree
+    bit-for-bit on integer inputs (the q_percentiles contract).
+    Shape: one co-keyed fact join, one percentile agg per 5-row
+    priority group — the only sort is inside the percentile, bounded
+    per group."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        (
+            F.floor(F.unix_timestamp("l_shipdate") / 86400)
+            - F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        ).cast("long").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("days").cast("long").alias("p0"),
+        F.expr("round(percentile(days, 0.50), 6)").alias("p50"),
+        F.expr("round(percentile(days, 0.90), 6)").alias("p90"),
+        F.expr("round(percentile(days, 0.99), 6)").alias("p99"),
+        F.max("days").cast("long").alias("p100"),
+    )
+
+
+_RAU_WINDOW = 7  # trailing window, days
+
+
+@register(
+    "q_rolling_active_users",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+contrib AS (
+  SELECT ud.user_id, ud.day + g.i AS win_end
+  FROM ud CROSS JOIN (SELECT unnest(range(0, {_RAU_WINDOW})) AS i) g
+)
+SELECT c.win_end AS day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+FROM contrib c, span
+WHERE c.win_end BETWEEN span.lo AND span.hi
+GROUP BY c.win_end
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve) — THE
+    engagement metric, and a window-distinct problem no engine has a
+    window aggregate for.  Scale-right form: dedupe to (user, day)
+    pairs first (combinable), then each pair CONTRIBUTES itself to the
+    {w} window-ends it serves (a bounded explode — x{w}, constant),
+    and one distinct-count per day closes it.  That turns 'distinct
+    over a sliding window' into a plain groupBy — no self-join of the
+    day spine against the pair table, no per-day re-scan; the explode
+    factor is the window length, fixed.  All-integer epoch days.
+    """.replace("{w}", str(_RAU_WINDOW))
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    ud = ud.localCheckpoint(eager=True)  # feeds the span scalar + the explode
+    span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + _RAU_WINDOW - 1)).alias("win_end"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .where(F.col("win_end").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("win_end").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users_7d"))
+    )

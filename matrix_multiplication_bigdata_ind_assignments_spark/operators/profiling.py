@@ -1409,3 +1409,61 @@ def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(f"{_ANOVA_SST} > {_ANOVA_SSB} AND n > k"))
         .selectExpr(*_ANOVA_FINAL)
     )
+
+
+# ---------------------------------------------------------------- 2-D heatmap
+
+_HM_VBUCKETS = 6  # value deciles would be 10; 6 keeps cells well-filled
+
+
+@register(
+    "q_heatmap_2d",
+    oracle=f"""
+WITH v AS (
+  SELECT ts, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events
+),
+b AS (
+  SELECT {", ".join(f"quantile_cont(v, CAST({i} AS DOUBLE) / {_HM_VBUCKETS}) AS b{i}" for i in range(1, _HM_VBUCKETS))}
+  FROM v
+),
+assigned AS (
+  SELECT CAST(extract(hour FROM e.ts) AS BIGINT) AS hour_of_day,
+         {" + ".join(f"CAST(e.v >= b.b{i} AS INT)" for i in range(1, _HM_VBUCKETS))} AS vbucket
+  FROM v e CROSS JOIN b
+)
+SELECT hour_of_day, CAST(vbucket AS BIGINT) AS vbucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM assigned GROUP BY hour_of_day, vbucket
+""",
+)
+def q_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density heatmap: hour-of-day x value-band counts — the
+    bivariate profile a dashboard renders and a CBO reads for
+    correlated-column selectivity (independence between time and value
+    would make every row of the heatmap proportional; q_chi2's visual
+    twin).  The value axis uses equi-depth cuts (exact interpolated
+    {b}-quantiles broadcast back, sum-of-compares band id — the
+    q_equidepth_hist route), the hour axis is the calendar hour both
+    engines extract identically from the us-precision timestamp.
+    Boundary exactness: the quantile interpolates over exact uunit
+    LONGS at an explicitly DOUBLE-cast fraction (Spark parses the
+    literal i.0/6 as DECIMAL division — the recorded PSI lesson; the
+    q_equidepth_hist form only dodges it because 1/8 is binary-exact)
+    and the raw interpolated double is compared directly, no round().
+    Shape: one percentile agg, one broadcast, one combinable 24x{b}
+    closing agg.""".replace("{b}", str(_HM_VBUCKETS))
+    e = load(spark, sf_dir, "events")
+    v = e.select("ts", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v"))
+    b = v.agg(
+        *[
+            F.expr(f"percentile(v, CAST({i} AS DOUBLE) / {_HM_VBUCKETS})").alias(f"b{i}")
+            for i in range(1, _HM_VBUCKETS)
+        ]
+    )
+    band = " + ".join(f"CAST(v >= b{i} AS INT)" for i in range(1, _HM_VBUCKETS))
+    assigned = v.crossJoin(F.broadcast(b)).selectExpr(
+        "CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day", f"{band} AS vbucket"
+    )
+    return assigned.groupBy("hour_of_day", "vbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select("hour_of_day", F.col("vbucket").cast("long").alias("vbucket"), "n")

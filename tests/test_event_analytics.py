@@ -366,3 +366,72 @@ def test_cohort_value_cumulative_is_prefix_sum(spark, sf_dir):
         for x in load(spark, sf_dir, "events").select("value").collect()
     )
     assert abs(sum(r["week_value"] for r in rows) - total_u / 1e6) < 1e-4
+
+
+def test_pareto_abc_bruteforce(spark, sf_dir):
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        _ABC_A,
+        _ABC_B,
+        q_pareto_abc,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rev: dict = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect():
+        u = math.floor(r["l_extendedprice"] * (1 - r["l_discount"]) * 1e6 + 0.5)
+        rev[r["l_partkey"]] = rev.get(r["l_partkey"], 0) + u
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    expect: dict = {}
+    cum = 0
+    for _, u in ranked:
+        cum += u
+        cls = "A" if 100 * cum <= _ABC_A * tot else ("B" if 100 * cum <= _ABC_B * tot else "C")
+        n, s = expect.get(cls, (0, 0))
+        expect[cls] = (n + 1, s + u)
+    got = {r["abc"]: r for r in q_pareto_abc(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for cls, (n, s) in expect.items():
+        assert got[cls]["n_parts"] == n
+        assert abs(got[cls]["revenue"] - s / 1e6) < 1e-4
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_rolling_active_users_bruteforce(spark, sf_dir):
+    import datetime as dt
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        _RAU_WINDOW,
+        q_rolling_active_users,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    ud = set()
+    for r in load(spark, sf_dir, "events").select("user_id", "ts").collect():
+        ud.add((r["user_id"], int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp()) // 86400))
+    days = [d for _, d in ud]
+    lo, hi = min(days), max(days)
+    expect = {}
+    for d in range(lo, hi + 1):
+        expect[d] = len({u for u, day in ud if d - _RAU_WINDOW + 1 <= day <= d})
+    got = {r["day"]: r["active_users_7d"] for r in q_rolling_active_users(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_ship_latency_percentiles_ordered(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_ship_latency,
+    )
+
+    rows = q_ship_latency(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p0"] <= r["p50"] <= r["p90"] <= r["p99"] <= r["p100"]
+        # synthetic fixture: shipdate is not causally after orderdate,
+        # so negative deltas are legitimate — only the ordering and
+        # counts are invariant
+        assert r["n"] > 0

@@ -523,3 +523,30 @@ def test_welch_ttest_bruteforce(spark, sf_dir):
     assert (r["n_a"], r["n_b"]) == (na, nb)
     assert r["t_stat"] == math.floor(t * 1e4 + 0.5) / 1e4
     assert abs(r["mean_a"] - sum(a) / na / 100) < 1e-6
+
+
+def test_heatmap_foots_to_hourly_totals(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.profiling import (
+        _HM_VBUCKETS,
+        q_heatmap_2d,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = q_heatmap_2d(spark, sf_dir).collect()
+    e = load(spark, sf_dir, "events")
+    total = e.count()
+    assert sum(r["n"] for r in rows) == total
+    hourly = {
+        r["h"]: r["count"]
+        for r in e.selectExpr("CAST(extract(hour FROM ts) AS BIGINT) h").groupBy("h").count().collect()
+    }
+    got_hourly: dict = {}
+    bands: dict = {}
+    for r in rows:
+        got_hourly[r["hour_of_day"]] = got_hourly.get(r["hour_of_day"], 0) + r["n"]
+        bands[r["vbucket"]] = bands.get(r["vbucket"], 0) + r["n"]
+    assert got_hourly == hourly
+    # equi-depth bands: globally balanced within a loose envelope
+    assert set(bands) == set(range(_HM_VBUCKETS))
+    for b, n in bands.items():
+        assert n > total // (_HM_VBUCKETS * 3), (b, n)
