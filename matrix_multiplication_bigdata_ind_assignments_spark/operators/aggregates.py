@@ -1510,3 +1510,84 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("win_end").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("active_users_7d"))
     )
+
+
+@register(
+    "q_week_over_week",
+    oracle=f"""
+WITH wk AS (
+  SELECT {{wk}} AS week,
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS rev_u,
+         count(*) AS n_events
+  FROM events GROUP BY week
+),
+lagged AS (
+  SELECT week, rev_u, n_events,
+         lag(rev_u) OVER (ORDER BY week) AS prev_u
+  FROM wk
+)
+SELECT week, CAST(n_events AS BIGINT) AS n_events,
+       (CAST(rev_u AS DOUBLE) / 1000000) AS week_value,
+       CASE WHEN prev_u > 0 THEN
+         (CAST(floor((CAST(rev_u - prev_u AS DOUBLE) / prev_u) * 1000000 + 0.5) AS DOUBLE)
+          / 1000000)
+       END AS wow_growth
+FROM lagged
+""".replace("{wk}", _WEEK_DUCK.format(ts="ts")),
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth of total event value — the
+    period-over-period KPI every report leads with, over the cohort
+    family's integral week bucketing.  The growth ratio divides exact
+    uunit longs (first week NULL, zero-base NULL), quantized 6 dp in
+    shared text; the lag window runs over the WEEKS rollup.  Shape:
+    one combinable weekly agg, one tiny ordered window."""
+    e = load(spark, sf_dir, "events")
+    wk = e.groupBy(
+        F.expr(_WEEK_SPARK.format(ts="ts")).alias("week")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")).alias("rev_u"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("week")
+    lagged = wk.select(
+        "week", "rev_u", "n_events", F.lag("rev_u").over(w).alias("prev_u")
+    )
+    return lagged.selectExpr(
+        "week",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "(CAST(rev_u AS DOUBLE) / 1000000) AS week_value",
+        "CASE WHEN prev_u > 0 THEN"
+        " (CAST(floor((CAST(rev_u - prev_u AS DOUBLE) / prev_u) * 1000000 + 0.5) AS DOUBLE)"
+        " / 1000000) END AS wow_growth",
+    )
+
+
+@register(
+    "q_engagement_hist",
+    oracle="""
+WITH ud AS (
+  SELECT user_id, count(DISTINCT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)) AS active_days
+  FROM events GROUP BY user_id
+)
+SELECT CAST(active_days AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud GROUP BY active_days
+""",
+)
+def q_engagement_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement histogram: how many users were active on exactly N
+    distinct days — the retention-health distribution (a healthy
+    product shows a smile: one-day tourists + a committed core; a
+    cliff at 1 is churn).  Two combinable aggs: per-user distinct-day
+    count (two-phase under the hood), then the tiny histogram rollup.
+    All-integer epoch days."""
+    e = load(spark, sf_dir, "events")
+    ud = e.groupBy("user_id").agg(
+        F.countDistinct(
+            F.floor(F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))) / 86400).cast("long")
+        ).alias("active_days")
+    )
+    return ud.groupBy(F.col("active_days").cast("long").alias("active_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -435,3 +435,47 @@ def test_ship_latency_percentiles_ordered(spark, sf_dir):
         # so negative deltas are legitimate — only the ordering and
         # counts are invariant
         assert r["n"] > 0
+
+
+def test_week_over_week_growth_recompute(spark, sf_dir):
+    import datetime as dt
+    import math
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_week_over_week,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    weeks: dict = {}
+    for r in load(spark, sf_dir, "events").select("ts", "value").collect():
+        day = int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp())
+        wk = (int(day // 86400 * 86400) - 1704067200) // 604800
+        # recompute with the module's exact bucketing: floor by day first
+        wk = math.floor(((day // 86400) * 86400 - 1704067200) / 604800)
+        weeks.setdefault(wk, [0, 0])
+        weeks[wk][0] += math.floor(r["value"] * 1e6 + 0.5)
+        weeks[wk][1] += 1
+    got = {r["week"]: r for r in q_week_over_week(spark, sf_dir).collect()}
+    assert set(got) == set(weeks)
+    prev = None
+    for wk in sorted(weeks):
+        u, n = weeks[wk]
+        r = got[wk]
+        assert r["n_events"] == n and abs(r["week_value"] - u / 1e6) < 1e-6
+        if prev is None or prev <= 0:
+            assert r["wow_growth"] is None
+        else:
+            assert r["wow_growth"] == math.floor((u - prev) / prev * 1e6 + 0.5) / 1e6
+        prev = u
+
+
+def test_engagement_hist_foots_to_users(spark, sf_dir):
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_engagement_hist,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    rows = q_engagement_hist(spark, sf_dir).collect()
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(r["active_days"] >= 1 for r in rows)
