@@ -459,3 +459,30 @@ def test_classifier_auc_no_cartesian_beyond_scalars(spark, sf_dir):
 
     plan = q_classifier_auc(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_no_spine_join(spark, sf_dir):
+    """The WAU plan must contain no join beyond the 1-row span scalar:
+    the contribution explode replaces the day-spine self-join."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_rolling_active_users,
+    )
+
+    plan = (
+        q_rolling_active_users(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan or "explode" in plan  # the bounded contribution explode
+
+
+def test_pareto_window_runs_over_parts_rollup(spark, sf_dir):
+    """The global cumulative window must sit ABOVE the per-part revenue
+    aggregate (window input is the parts rollup, never lineitems)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.aggregates import (
+        q_pareto_abc,
+    )
+
+    plan = q_pareto_abc(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "CartesianProduct" not in plan
+    # the aggregate must appear below the window in the tree dump
+    assert plan.index("Window") < plan.rindex("HashAggregate")

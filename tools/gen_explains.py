@@ -227,6 +227,14 @@ AUDIT = {
     "q_forecast_eval": "everything downstream of the combinable daily agg is scalar/broadcast "
     "(1-row horizon, type x 7 train table) — the holdout join is a BroadcastHashJoin and no "
     "stage rescans events",
+    "q_pareto_abc": "the one intended SinglePartition window runs over the PER-PART revenue "
+    "rollup, never lineitems (the revenue agg is partial/final before it); at extreme part "
+    "cardinality the documented swap is the equi-depth percentile route — the rollup window is "
+    "the exactness-first operating point",
+    "q_rolling_active_users": "window-distinct WITHOUT a spine self-join: the (user, day) dedupe "
+    "is a combinable agg, the x7 contribution explode is a narrow per-row projection, and the "
+    "closing distinct-count is the only two-phase stage — no join in the plan at all beyond the "
+    "1-row span scalar",
 }
 
 
