@@ -1136,7 +1136,7 @@ _AB_CONV_MIN = 14  # conversion bar: >= median purchases — a 40-60% rate at ev
     oracle=f"""
 WITH u AS (
   SELECT user_id, user_id % 2 AS arm,
-         CAST(count(*) FILTER (WHERE event_type = 'purchase') >= 14 AS INT) AS conv
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') >= {_AB_CONV_MIN} AS INT) AS conv
   FROM events GROUP BY user_id
 ),
 arms AS (
@@ -1341,10 +1341,17 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABC_A, _ABC_B = 80, 95
 
 #: all-integer class rule: class of a part = compares of 100*cum_u
-#: against cut*total_u — no rational share ever materializes
+#: against cut*total_u — no rational share ever materializes.  The
+#: compare runs on DECIMAL(38,0), not BIGINT: tot_u (total revenue in
+#: µunits) reaches ~3.0e18 at sf0.1, so 100*tot_u overflows int64 at
+#: roughly 3x that scale, while DECIMAL(38,0)*100 tops out at ~1e38 —
+#: nine decades of headroom (ADVICE r10).  Both engines type the
+#: product DECIMAL(38,0) so the compare stays exact.
 _ABC_CLASS = (
-    f"CASE WHEN 100 * cum_u <= {_ABC_A} * tot_u THEN 'A' "
-    f"WHEN 100 * cum_u <= {_ABC_B} * tot_u THEN 'B' ELSE 'C' END"
+    f"CASE WHEN CAST(cum_u AS DECIMAL(38,0)) * 100"
+    f" <= CAST(tot_u AS DECIMAL(38,0)) * {_ABC_A} THEN 'A' "
+    f"WHEN CAST(cum_u AS DECIMAL(38,0)) * 100"
+    f" <= CAST(tot_u AS DECIMAL(38,0)) * {_ABC_B} THEN 'B' ELSE 'C' END"
 )
 
 

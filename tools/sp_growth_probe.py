@@ -64,10 +64,29 @@ def main() -> int:
             )
         )
 
+    def rotated(k: int):
+        # k weight-rotated copies over the SAME node set: cost' =
+        # ((cost - 1 + id*9973) % 1e6) + 1 stays positive and distinct
+        # per copy, producing k parallel edges between every endpoint
+        # pair.  The loop's per-round groupBy(node).min(cand) collapses
+        # them map-side, so per-round shuffle bytes should stay bounded
+        # by the LIVE NODE set, not grow k-fold with the edge count.
+        return (
+            spark.range(k)
+            .crossJoin(base)
+            .select(
+                "src",
+                "dst",
+                (((F.col("cost") - 1 + F.col("id") * 9973) % 1000000) + 1).alias("cost"),
+            )
+        )
+
     ks = [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else ["10"])]
     graphs = [("base 1x", base)]
     for k in ks:
         graphs.append((f"disjoint {k}x", disjoint(k)))
+    for k in ks:
+        graphs.append((f"rotated {k}x", rotated(k)))
 
     print(f"### q_shortest_path loop ({G._SP_ROUNDS} fixed rounds, min-plus frontier form)")
     print("| graph | edges m | seeds | reached | shuffle write (MB) | wall (s) |")
