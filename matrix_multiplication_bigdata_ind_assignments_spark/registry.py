@@ -35,7 +35,10 @@ class Query:
     doc: str = ""
     #: Optional semantic invariant over the COLLECTED Spark result,
     #: ``(rows: list[tuple], cols: list[str]) -> str | None`` returning
-    #: an error message on violation.  Runs in the oracle sweep at the
+    #: an error message on violation; a 3-arg form
+    #: ``(rows, cols, sf_dir)`` additionally receives the fixture dir
+    #: (the unroll-stability certificates use it to re-run the query's
+    #: own oracle with one extra round).  Runs in the oracle sweep at the
     #: gate SFs — for fixed-unroll iterative queries whose Spark result
     #: and identically-unrolled oracle could be wrong TOGETHER if the
     #: unroll stopped short of fixpoint (ADVICE r9 on q_kcore: a

@@ -423,3 +423,52 @@ def test_shortest_path_fixture_vs_dijkstra(spark, sf_dir):
         for r in G.q_shortest_path(spark, sf_dir).collect()
     }
     assert got == dist
+
+
+def test_unroll_stability_check_detects_short_unroll(spark, sf_dir):
+    """The sweep-level R+1-stability certificate (VERDICT r10 item 2):
+    a deliberately-short unroll must FAIL the check even though Spark
+    and an identically-short oracle would hash-match (the
+    wrong-together failure mode), and the production round count must
+    PASS at the gate fixture."""
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import (
+        _BFS_ROUNDS,
+        _sql_bfs_hops,
+        _unroll_stability_check,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def duck_rows(rounds):
+        res = con.execute(_sql_bfs_hops(rounds))
+        return [d[0] for d in res.description], res.fetchall()
+
+    # short unroll: simulate the wrong-together scenario by feeding the
+    # certificate a 1-round result (what a truncated Spark run would
+    # hash-green against a 1-round oracle)
+    cols, rows = duck_rows(1)
+    short = _unroll_stability_check(_sql_bfs_hops, 1, "_BFS_ROUNDS")
+    msg = short(rows, cols, sf_dir)
+    assert msg and "fixpoint" in msg
+
+    # production unroll: the real round count is past fixpoint
+    cols, rows = duck_rows(_BFS_ROUNDS)
+    full = _unroll_stability_check(_sql_bfs_hops, _BFS_ROUNDS, "_BFS_ROUNDS")
+    assert full(rows, cols, sf_dir) is None
+
+
+def test_label_prop_early_stop_matches_full_unroll(spark, sf_dir):
+    """The convergence short-circuit may only skip provably-no-op
+    rounds: a far-longer unroll must return the bit-identical label
+    state (and terminate promptly, proving the break fires)."""
+    from conftest import rows_set
+
+    e = G.cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    assert rows_set(G.label_prop(e, rounds=G._LP_ROUNDS)) == rows_set(
+        G.label_prop(e, rounds=50)
+    )

@@ -101,7 +101,14 @@ def main() -> int:
         # short of fixpoint and still hash-match (ADVICE r9, q_kcore)
         pc = registry.REGISTRY[name].post_check
         if pc is not None:
-            msg = pc(spark_rows, list(spark_cols))
+            # 2-arg checks are pure row invariants; 3-arg checks also get
+            # the fixture dir (the unroll-stability certificates re-run
+            # the query's own oracle with one extra round in DuckDB)
+            narg = getattr(pc, "__code__", None)
+            if narg is not None and narg.co_argcount >= 3:
+                msg = pc(spark_rows, list(spark_cols), sf_dir)
+            else:
+                msg = pc(spark_rows, list(spark_cols))
             if msg:
                 print(f"FAIL  {name}: post_check: {msg}")
                 failures.append(name)
