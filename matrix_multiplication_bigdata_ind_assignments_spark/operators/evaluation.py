@@ -51,6 +51,16 @@ _AUC_FINAL = [
 ]
 
 
+#: width guard for the AUC rank walk: the ordered window runs over the
+#: DISTINCT-score rollup on a single partition (intended — scores are
+#: micro-nat log-odds, orders of magnitude under the doc count), but if
+#: scores ever became effectively continuous the rollup would approach
+#: |docs| and the walk would funnel the corpus through one task.  The
+#: in-plan assert fails loudly at that point instead of silently
+#: building a driver-sized window (VERDICT r10 watch-list).
+_AUC_MAX_DISTINCT = 4_000_000
+
+
 def _clf_cte() -> str:
     """The q_quality_classifier oracle, verbatim, as a WITH-able body —
     the evaluation is only meaningful if it scores EXACTLY what the
@@ -126,7 +136,30 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * (1 - F.col("p"))).alias("fn"),
         F.sum((1 - F.col("y")) * (1 - F.col("p"))).alias("tn"),
     )
-    return g.crossJoin(F.broadcast(conf)).selectExpr(*_AUC_FINAL)
+    # in-plan width guard (1 extra tiny agg, 1-row broadcast): the
+    # SinglePartition walk is only acceptable while the distinct-score
+    # rollup stays narrow — see _AUC_MAX_DISTINCT.  The NULL-on-success
+    # assert column is folded into n_pos (+0) — an UNREFERENCED guard
+    # column gets pruned out of the agg by Catalyst and never evaluates
+    # (measured: the bare .alias("walk_ok") form did not fire).
+    guard = grp.agg(
+        F.assert_true(
+            F.count(F.lit(1)) <= _AUC_MAX_DISTINCT,
+            F.lit(
+                "q_classifier_auc: distinct-score rollup exceeds the"
+                " SinglePartition rank-walk guard — swap in the binned"
+                " (q_calibration-style) AUC for this score distribution"
+            ),
+        ).alias("walk_ok")
+    )
+    guarded_final = [
+        "CAST(npos + coalesce(CAST(walk_ok AS INT), 0) AS BIGINT) AS n_pos"
+    ] + _AUC_FINAL[1:]
+    return (
+        g.crossJoin(F.broadcast(conf))
+        .crossJoin(F.broadcast(guard))
+        .selectExpr(*guarded_final)
+    )
 
 
 # ---------------------------------------------------------------- calibration

@@ -1022,6 +1022,14 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         new = ck(reached.join(dist, "node", "left_anti"))
+        if truncate and new.limit(1).count() == 0:
+            # empty frontier = fixpoint: every remaining round relaxes
+            # nothing, so stopping returns the identical fixed-unroll
+            # result (the label_prop short-circuit discipline); the probe
+            # scans the round's already-materialized checkpoint.  Only on
+            # the truncating path — truncate=False exists for plan-shape
+            # tests that must see every round's join.
+            break
         dist = ck(dist.unionAll(new))
         frontier = new
     return dist
@@ -1157,6 +1165,8 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
             .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
             .select("node", F.col("cand").alias("cap"))
         )
+        if truncate and improved.limit(1).count() == 0:
+            break  # empty frontier = monotone fixpoint; rest are no-ops
         cap = ck(
             cap.join(improved.select("node"), "node", "left_anti").unionAll(improved)
         )
@@ -1398,6 +1408,8 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
         )
+        if truncate and improved.limit(1).count() == 0:
+            break  # empty frontier = monotone fixpoint; rest are no-ops
         dist = ck(
             dist.join(improved.select("node"), "node", "left_anti").unionAll(improved)
         )

@@ -50,3 +50,17 @@ def test_calibration_balanced_and_ordered(spark, sf_dir):
     # a ranking classifier must be directionally calibrated:
     # the top decile keeps more than the bottom one
     assert rows[-1]["frac_pos"] > rows[0]["frac_pos"]
+
+
+def test_auc_width_guard_fires(spark, sf_dir, monkeypatch):
+    """The in-plan SinglePartition rank-walk guard (VERDICT r10
+    watch-list): with the bound lowered below the fixture's distinct
+    scores the query must raise instead of silently running a
+    corpus-wide one-task window; at the shipped bound it passes."""
+    import pytest
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import evaluation as EV
+
+    monkeypatch.setattr(EV, "_AUC_MAX_DISTINCT", 1)
+    with pytest.raises(Exception, match="rank-walk guard"):
+        EV.q_classifier_auc(spark, sf_dir).collect()
