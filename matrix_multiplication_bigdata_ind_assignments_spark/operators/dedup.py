@@ -796,6 +796,27 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load(spark, sf_dir, "documents"))
 
 
+def _is_first_block(x, blk, masks: list[int]):
+    """True iff ``blk`` is the FIRST index whose mask is untouched by the
+    fingerprint XOR ``x`` — i.e. no earlier mask j has (x & m_j) == 0.
+    Shape matters at 1e9-candidate volume: a bitmap of untouched masks
+    (Σ_j 2^j·[x & m_j == 0], ~20 flat integer terms evaluated once per
+    row) tested against 2^blk − 1.  Measured on the 100x growth probe's
+    1.4e9-row candidate stream (c6 leg wall): this form 17 s; an array
+    transform (per-row 20-slot allocation + lambda scan) 132 s; a
+    per-branch when-chain 703 s — its O(B²)-node CASE blows past the
+    codegen method limit and drops the predicate to interpreted
+    evaluation."""
+    untouched = None
+    for j, m in enumerate(masks):
+        term = (x.bitwiseAND(F.lit(m)) == 0).cast("int") * F.lit(1 << j)
+        untouched = term if untouched is None else (untouched + term)
+    # 2^blk − 1 via a constant-folded lookup (shiftleft needs a literal
+    # bit count in the Python API)
+    below = F.element_at(F.array(*[F.lit((1 << i) - 1) for i in range(len(masks))]), blk + 1)
+    return untouched.bitwiseAND(below) == 0
+
+
 def simhash_pairs(d: DataFrame, blocks: int = _SIMHASH_BLOCKS) -> DataFrame:
     """All doc pairs within Hamming ≤ _SIMHASH_HAM_MAX of each other's
     32-bit SimHash, via pigeonhole equi-join blocking (Manku et al.).
@@ -823,6 +844,7 @@ def simhash_pairs(d: DataFrame, blocks: int = _SIMHASH_BLOCKS) -> DataFrame:
             )
             for b in range(_SIMHASH_BLOCKS)
         ]
+        block_masks = [255 << (8 * b) for b in range(_SIMHASH_BLOCKS)]
     elif blocks == 6:
         from itertools import combinations
 
@@ -833,6 +855,7 @@ def simhash_pairs(d: DataFrame, blocks: int = _SIMHASH_BLOCKS) -> DataFrame:
             return F.shiftright("simhash", offs[x]).bitwiseAND(F.lit((1 << widths[x]) - 1))
 
         key_structs = []
+        block_masks = []
         for cid, combo in enumerate(combinations(range(6), 3)):
             # concatenate the 3 block values into one ≤17-bit key
             key = F.lit(0)
@@ -841,30 +864,41 @@ def simhash_pairs(d: DataFrame, blocks: int = _SIMHASH_BLOCKS) -> DataFrame:
                 key = key + F.shiftleft(block_val(x), shift)
                 shift += widths[x]
             key_structs.append(F.struct(F.lit(cid).alias("blk"), key.alias("key")))
+            block_masks.append(
+                sum(((1 << widths[x]) - 1) << offs[x] for x in combo)
+            )
     else:
         raise ValueError(f"unsupported simhash block layout {blocks!r} (4 or 6)")
     k = fps.select("doc_id", "simhash", F.explode(F.array(*key_structs)).alias("kb")).select(
         "doc_id", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.key").alias("key")
     )
     a, b = k.alias("a"), k.alias("b")
-    cand = (
+    # A qualifying pair matches in EVERY fully-untouched block/combo (up
+    # to 4 resp. C(6,3)=20 of them — near-identical fingerprints match in
+    # all), so the naive join emits it that many times and a distinct
+    # must exchange the whole duplicated candidate set (measured by
+    # tools/dedup_growth_probe.py: the pre-distinct exchange at 100x was
+    # ~10 GB for a 202M-row final pair set).  Instead, emit each pair
+    # ONLY from its FIRST matching block — blk == position of the first
+    # block mask untouched by ha XOR hb, a per-row integer test in the
+    # join stage — which makes the emitted set duplicate-free by
+    # construction: the distinct (and its corpus-scale exchange) is gone,
+    # and the Hamming radius filter runs in the same stage.
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(x)
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where((ham <= _SIMHASH_HAM_MAX) & _is_first_block(x, F.col("a.blk"), block_masks))
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            ham.cast("long").alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(ham <= _SIMHASH_HAM_MAX).select(
-        "da", "db", ham.cast("long").alias("hamming")
     )
 
 

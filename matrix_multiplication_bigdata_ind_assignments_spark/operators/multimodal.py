@@ -681,6 +681,22 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("long")
+    # first-matching-band emission (the simhash_pairs discipline): the
+    # emitted set is duplicate-free by construction, so the distinct —
+    # and its exchange of the per-band-duplicated candidate set — is
+    # gone; the DuckDB oracle keeps its SELECT DISTINCT form and the
+    # pair SET is identical.  Bitmap-of-matching-bands form (the
+    # _is_first_block rationale), keys compared element-wise.
+    matched = None
+    for j in range(_PHASH_BANDS):
+        term = (F.col("a.keys").getItem(j) == F.col("b.keys").getItem(j)).cast("int") * F.lit(
+            1 << j
+        )
+        matched = term if matched is None else (matched + term)
+    below = F.element_at(
+        F.array(*[F.lit((1 << i) - 1) for i in range(_PHASH_BANDS)]), F.col("a.band") + 1
+    )
+    first_band_ok = matched.bitwiseAND(below) == 0
     return (
         a.join(
             b,
@@ -688,13 +704,12 @@ def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where((hamming <= _PHASH_MAX_HAMMING) & first_band_ok)
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
             hamming.alias("hamming"),
         )
-        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
-        .distinct()
     )
 
 
@@ -723,7 +738,21 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    # duplicate-free by construction (the simhash_pairs first-block
+    # discipline): a qualifying pair matches in every identical band, so
+    # emit it only from the FIRST one — a per-row bit test — instead of
+    # exchanging the duplicated candidate set through a distinct
+    from .dedup import _is_first_block
+
+    x = F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    # two's-complement wrap: the band-7 mask 255<<56 exceeds signed
+    # int64; Java long AND is bitwise on the wrapped value, so the
+    # untouched-band test is unchanged
+    masks = [
+        (255 << (8 * bb)) - (1 << 64) if (255 << (8 * bb)) >= (1 << 63) else (255 << (8 * bb))
+        for bb in range(_PHASH_BANDS)
+    ]
+    hamming = F.bit_count(x)
     return (
         a.join(
             b,
@@ -731,11 +760,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where((hamming <= _PHASH_MAX_HAMMING) & _is_first_block(x, F.col("a.band"), masks))
         .select(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
             hamming.alias("hamming"),
         )
-        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
-        .distinct()
     )

@@ -42,7 +42,11 @@ AUDIT = {
     "CartesianProduct anywhere (r8: the past-64k-cells architecture, driver holds only sqrt(total))",
     "q_dedup_simhash_c6": "the 20-combination wide-key pigeonhole index must still pair via a "
     "plain equi-join on (combo id, concatenated key) — same join shape as the 4-block layout, "
-    "never a theta/cross join; the layouts differ only in bucket granularity",
+    "never a theta/cross join; the layouts differ only in bucket granularity.  NO distinct/"
+    "exchange after the join: pairs are emitted only from their FIRST untouched combo (a per-row "
+    "bit test in the join stage), so the plan ends at the join's project — the duplicated "
+    "candidate set (up to 20x on dup-heavy corpora) never shuffles (r11 growth probe: 10.6 GB -> "
+    "0.28 GB at the 100x blow-up)",
     "q_lm_perplexity": "the token→logprob probe is a BroadcastHashJoin with the Heaps'-law-sized "
     "VOCAB side as the build (pinned by hint — without it Catalyst broadcasts the post-explode "
     "probe side at small SFs, the wrong side at any scale); the only nested-loop join is the "
@@ -67,7 +71,9 @@ AUDIT = {
     "plan never grows with peel depth",
     "q_phash_pairs": "candidates form ONLY inside (band, key) buckets — a plain equi-join on the "
     "exploded band index, never all-pairs; the Hamming confirm is one JVM-side "
-    "bit_count(XOR) fold per candidate; the 64-dim densify grid is a broadcast of a 64-row range",
+    "bit_count(XOR) fold per candidate; the 64-dim densify grid is a broadcast of a 64-row range; "
+    "no distinct after the join — first-matching-band emission makes the pair set duplicate-free "
+    "in the join stage (the simhash_pairs discipline)",
     "q_label_prop": "the FINAL label state explains as a bare ExistingRDD scan (per-round "
     "checkpoints truncate lineage, the PageRank property); per round the |V|-row label side is "
     "broadcast against the symmetrized edges and both aggs (vote count, argmax) are map-side-"
