@@ -420,6 +420,10 @@ def main() -> int:
         "q_classifier_auc",
         "q_inverted_index",
         "q_stream_word_topk",
+        # r11: the oracle-checked pHash value kernel (decode + DCT +
+        # integer threshold over the media table) — the heaviest
+        # mapInPandas kernel that now carries a correctness row
+        "q_phash_values",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

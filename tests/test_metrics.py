@@ -48,8 +48,11 @@ _ENVELOPES = {
     "q_dedup_minhash": 89_959,
     # r8 widening — the remaining ≥10 MB-at-bench-SF writers:
     "q_pagerank_directed": 116_145,
-    "q_dedup_simhash_pairs": 387_966,
-    "q_dedup_simhash_c6": 387_263,
+    # r11: first-untouched-block emission deleted the pair distinct and
+    # its exchange — the remaining bytes are the fingerprint agg + band
+    # index only, identical for both layouts (387,966 / 387,263 before)
+    "q_dedup_simhash_pairs": 91_978,
+    "q_dedup_simhash_c6": 91_978,
     "q_dedup_ngram_jaccard": 288_396,
     # r8: 37.7 MB at sf0.1 (the co-supply pair generation dominates) —
     # the one new-this-round query over the ≥10 MB-at-bench-SF bar
