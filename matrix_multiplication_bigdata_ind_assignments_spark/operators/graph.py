@@ -667,7 +667,7 @@ def label_prop(edges: DataFrame, rounds: int = _LP_ROUNDS) -> DataFrame:
         # the round's own eager checkpoint: the prev-label join is folded
         # into the round's plan, and the delta probe below scans the
         # already-materialized checkpoint blocks (no extra shuffle).
-        if stepped.where(F.col("label") != F.col("prev")).limit(1).count() == 0:
+        if stepped.where(F.col("label") != F.col("prev")).isEmpty():
             break
     return labels
 
@@ -1014,7 +1014,7 @@ def bfs_hops(
     )
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
-    for _ in range(rounds):
+    for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
@@ -1022,12 +1022,16 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         new = ck(reached.join(dist, "node", "left_anti"))
-        if truncate and new.limit(1).count() == 0:
+        if truncate and r < rounds - 2 and new.isEmpty():
             # empty frontier = fixpoint: every remaining round relaxes
             # nothing, so stopping returns the identical fixed-unroll
-            # result (the label_prop short-circuit discipline); the probe
-            # scans the round's already-materialized checkpoint.  Only on
-            # the truncating path — truncate=False exists for plan-shape
+            # result (the label_prop short-circuit discipline).  The probe
+            # (isEmpty ~60 ms on the materialized checkpoint; limit.count
+            # measured 145 ms) only runs while it can still save >= 2
+            # rounds — post-fixpoint rounds are cheap locally, so probing
+            # to save one is a net loss, while on a real cluster every
+            # skipped round is a full scheduling wave.  Only on the
+            # truncating path — truncate=False exists for plan-shape
             # tests that must see every round's join.
             break
         dist = ck(dist.unionAll(new))
@@ -1150,7 +1154,7 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
     sym = ck(sym)
     cap = ck(seeds.select("node", F.lit(_WP_SEED_CAP).cast("long").alias("cap")))
     frontier = cap
-    for _ in range(rounds):
+    for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
             .select(
@@ -1165,7 +1169,7 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
             .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
             .select("node", F.col("cand").alias("cap"))
         )
-        if truncate and improved.limit(1).count() == 0:
+        if truncate and r < rounds - 2 and improved.isEmpty():
             break  # empty frontier = monotone fixpoint; rest are no-ops
         cap = ck(
             cap.join(improved.select("node"), "node", "left_anti").unionAll(improved)
@@ -1393,7 +1397,7 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
     sym = ck(sym)
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
-    for _ in range(rounds):
+    for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
             .select(
@@ -1408,7 +1412,7 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
         )
-        if truncate and improved.limit(1).count() == 0:
+        if truncate and r < rounds - 2 and improved.isEmpty():
             break  # empty frontier = monotone fixpoint; rest are no-ops
         dist = ck(
             dist.join(improved.select("node"), "node", "left_anti").unionAll(improved)
