@@ -650,10 +650,23 @@ def label_prop(edges: DataFrame, rounds: int = _LP_ROUNDS) -> DataFrame:
             F.broadcast(labels.select(F.col("node").alias("nbr"), "label")), "nbr"
         ).select("node", "label")
         votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # prev label rides the argmax agg as a ghost row (cnt NULL) —
+        # one union into the shuffle the round already pays, instead of
+        # a per-round broadcast-build job for a prev-label join
+        aug = votes.unionByName(
+            labels.select("node", "label", F.lit(None).cast("long").alias("cnt"))
+        )
         stepped = (
-            votes.groupBy("node")
-            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
-            .join(F.broadcast(labels.withColumnRenamed("label", "prev")), "node")
+            aug.groupBy("node")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cnt").isNotNull(),
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label")),
+                    )
+                ).alias("m"),
+                F.max(F.when(F.col("cnt").isNull(), F.col("label"))).alias("prev"),
+            )
             .select("node", F.col("m.label").alias("label"), "prev")
             .localCheckpoint(eager=True)
         )
