@@ -722,3 +722,71 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "n_tokens", cum.cast("long").alias("cum_tokens"))
         .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
     )
+
+
+_LB_BATCH = 8  # sequences per training batch
+_LB_BUCKET = 64  # token-length bucket width
+
+
+@register(
+    "q_length_batches",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+asn AS (
+  SELECT doc_id, n_tokens, n_tokens // {_LB_BUCKET} AS bucket,
+         (row_number() OVER (PARTITION BY n_tokens // {_LB_BUCKET}
+            ORDER BY n_tokens, doc_id) - 1) // {_LB_BATCH} AS batch
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM asn GROUP BY bucket, batch
+""",
+)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching with a padding-waste ledger —
+    the OTHER corpus-layout strategy beside q_sequence_pack's
+    concat-and-chunk: sequences of similar length are grouped into
+    {b}-sequence batches ({w}-token buckets, deterministic (n_tokens,
+    doc_id) order inside each bucket), and each batch reports how many
+    pad tokens it would burn (n_seqs·max_len − Σlen).  This is the
+    batching every padded-attention trainer/server uses, and the waste
+    column is the metric that decides pack-vs-pad for a corpus.
+
+    All-integer (token counts, floor-div bucket/batch ids, exact waste
+    arithmetic) with a total order, so the assignment is
+    hash-reproducible in both engines.  Shape: one map-side token-count
+    projection, ONE window partitioned by BUCKET (parallel across
+    buckets — never a global sort; at extreme per-bucket cardinality,
+    sub-salt the window and renumber with q_token_budget_select's
+    two-pass per-partition offset discipline, same file), one
+    map-side-combinable closing agg.""".replace("{b}", str(_LB_BATCH)).replace(
+        "{w}", str(_LB_BUCKET)
+    )
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias("n_tokens"),
+    )
+    bucket = (F.col("n_tokens") / _LB_BUCKET).cast("long")
+    w = Window.partitionBy(bucket).orderBy("n_tokens", "doc_id")
+    asn = t.select(
+        "n_tokens",
+        bucket.alias("bucket"),
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("long").alias("batch"),
+    )
+    return asn.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+    )

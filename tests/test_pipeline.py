@@ -265,3 +265,21 @@ def test_semantic_decontamination_matches_exact_cosine(spark, sf_dir):
         r["vec_id"]: r["n_hits"] for r in q_decontaminate_semantic(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_length_batches_bounded_waste(spark, sf_dir):
+    """Dynamic batching contract: batches never exceed _LB_BATCH
+    sequences, every doc lands in exactly one batch, and because a batch
+    never crosses its 64-token length bucket, per-batch padding waste is
+    strictly under n_seqs * bucket_width."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators import pipeline as P
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources.io import load
+
+    rows = P.q_length_batches(spark, sf_dir).collect()
+    assert rows
+    ndocs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_seqs"] for r in rows) == ndocs
+    for r in rows:
+        assert 1 <= r["n_seqs"] <= P._LB_BATCH
+        assert 0 <= r["pad_waste"] < r["n_seqs"] * P._LB_BUCKET
+        assert r["total_tokens"] + r["pad_waste"] == r["n_seqs"] * r["max_len"]
