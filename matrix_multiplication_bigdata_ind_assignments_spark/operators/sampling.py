@@ -231,3 +231,92 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .drop("_k")
     )
+
+
+#: temperature-mixing budget: same half-corpus budget as q_corpus_mix
+_MIXT_SHARES = [
+    "CAST(floor(1000000.0 * chars_s / totchars + 0.5) AS DOUBLE) / 1000000 AS nat_share",
+    "CAST(floor(1000000.0 * w_u / sumw + 0.5) AS DOUBLE) / 1000000 AS temp_share",
+]
+
+
+@register(
+    "q_corpus_mix_temp",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_s FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(chars_s) AS BIGINT) AS totchars FROM per_src),
+wts AS (
+  SELECT source, chars_s, totchars,
+         CAST(floor(sqrt(CAST(chars_s AS DOUBLE) / totchars) * 1000000 + 0.5) AS BIGINT) AS w_u
+  FROM per_src, tot
+),
+s AS (SELECT CAST(sum(w_u) AS BIGINT) AS sumw FROM wts),
+alloc AS (
+  SELECT source, chars_s, totchars, w_u, sumw,
+         (totchars // 2) * w_u // sumw AS base,
+         ((totchars // 2) * w_u) % sumw AS rem
+  FROM wts, s
+),
+fin AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (totchars // 2) - sum(base) OVER () AS leftover
+  FROM alloc
+)
+SELECT source, chars_s, {", ".join(_MIXT_SHARES)},
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_chars
+FROM fin
+""",
+)
+def q_corpus_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 0.5): sampling weight per
+    source ∝ (size share)^τ — the standard multilingual/multi-source
+    rule that upsamples small sources and downsamples dominant ones —
+    with the half-corpus character budget apportioned EXACTLY by the
+    largest-remainder method (floor allocations + the top remainders
+    get the leftover units, deterministic (rem DESC, source)
+    tie-break), so Σ alloc_chars equals the budget to the character.
+
+    Cross-engine determinism: τ = 0.5 means pow is sqrt — correctly
+    rounded under IEEE-754, unlike general pow — over a shared-text
+    double divide, quantized to µunits before any further arithmetic;
+    everything downstream (base, remainder, rank, leftover) is exact
+    BIGINT.  Shape: one map-side-combinable per-source agg (the only
+    corpus-sized pass), then dim-sized scalar joins and one window over
+    the SOURCE table (tens of rows) — nothing past the first exchange
+    scales with the corpus."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars_s"))
+    tot = per_src.agg(F.sum("chars_s").cast("long").alias("totchars"))
+    wts = per_src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "chars_s",
+        "totchars",
+        "CAST(floor(sqrt(CAST(chars_s AS DOUBLE) / totchars) * 1000000 + 0.5) AS BIGINT) AS w_u",
+    )
+    s = wts.agg(F.sum("w_u").cast("long").alias("sumw"))
+    alloc = wts.crossJoin(F.broadcast(s)).selectExpr(
+        "source",
+        "chars_s",
+        "totchars",
+        "w_u",
+        "sumw",
+        "(totchars DIV 2) * w_u DIV sumw AS base",
+        "((totchars DIV 2) * w_u) % sumw AS rem",
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    fin = alloc.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        (
+            (F.col("totchars") / 2).cast("long")
+            - F.sum("base").over(Window.partitionBy())
+        ).alias("leftover"),
+    )
+    return fin.selectExpr(
+        "source",
+        "chars_s",
+        *_MIXT_SHARES,
+        "CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_chars",
+    )

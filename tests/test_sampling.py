@@ -67,3 +67,23 @@ def test_corpus_mix_hits_budget_and_is_deterministic(spark, sf_dir):
     # deterministic under re-run
     again = {r["source"]: r for r in q_corpus_mix(spark, sf_dir).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_corpus_mix_temp_apportionment_exact(spark, sf_dir):
+    """Temperature mixing contract: the largest-remainder allocation
+    sums EXACTLY to the half-corpus budget, every source gets a
+    positive allocation, and τ=0.5 compresses shares toward uniform
+    (small sources boosted, dominant sources damped)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.sampling import q_corpus_mix_temp
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources.io import load
+
+    rows = q_corpus_mix_temp(spark, sf_dir).collect()
+    assert rows
+    total = load(spark, sf_dir, "documents").agg({"n_chars": "sum"}).first()[0]
+    assert sum(r["alloc_chars"] for r in rows) == total // 2
+    for r in rows:
+        assert r["alloc_chars"] > 0
+        if r["nat_share"] < 1 / len(rows):
+            assert r["temp_share"] >= r["nat_share"]  # small sources boosted
+        if r["nat_share"] > 1 / len(rows):
+            assert r["temp_share"] <= r["nat_share"]  # dominant damped
