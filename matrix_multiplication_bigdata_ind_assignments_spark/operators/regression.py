@@ -623,3 +623,83 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             _FC_MAE.replace("sum_err", "sum(e)").replace("nh", "count(*)")
         ).alias("mae"),
     )
+
+
+# ------------------------------------------------------------- Heaps' law
+
+_HEAPS_SELECTS = [
+    "CAST(n AS BIGINT) AS n_points",
+    f"{_rnd(_SLOPE_U, 4)} AS heaps_beta",
+    f"{_rnd(f'({_ICEPT_U} / CAST(1000000 AS DOUBLE))', 4)} AS ln_k",
+    f"{_rnd(_R2, 4)} AS r2",
+]
+
+_HEAPS_POINTS_SQL = f"""
+SELECT {_micro_ln("CAST(ct AS DOUBLE)")} AS x, {_micro_ln("CAST(cv AS DOUBLE)")} AS y
+FROM (
+  SELECT tk.doc_id,
+         sum(tk.n_tokens) OVER (ORDER BY tk.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+         sum(coalesce(nw.new_words, 0)) OVER (ORDER BY tk.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM (
+    SELECT doc_id, count(*) AS n_tokens
+    FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+          FROM documents) GROUP BY doc_id
+  ) tk
+  LEFT JOIN (
+    SELECT fdoc AS doc_id, count(*) AS new_words
+    FROM (SELECT word, min(doc_id) AS fdoc
+          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+                FROM documents) GROUP BY word)
+    GROUP BY fdoc
+  ) nw ON tk.doc_id = nw.doc_id
+)
+"""
+
+
+@register("q_heaps_fit", oracle=_fit_sql(_HEAPS_POINTS_SQL, [], _HEAPS_SELECTS))
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(n) = K·n^β — distinct
+    vocabulary as a function of tokens read, in corpus doc_id order —
+    the diagnostic that sizes tokenizer vocabularies and predicts
+    OOV/UNK rates before training (natural text fits β ≈ 0.4–0.6; the
+    operator reports the corpus as it is, q_zipf_fit's honesty rule).
+
+    Exact inputs: per-doc token counts and NEW-word counts (each word
+    charged to its min-doc_id first appearance — a total attribution),
+    two prefix sums over the per-doc rollup, micro-nat ln points, the
+    shared exact-sum OLS tail (`_fit` / `_SUMS`).  Scale shape: two
+    map-side-combinable corpus aggs (token counts, first-appearance),
+    then everything runs on the DOCS-sized rollup; the prefix sums are
+    one ordered window over that rollup — at extreme doc counts swap in
+    q_sequence_pack's two-pass per-partition offset prefix sum (same
+    numbers, no single-partition window); the fit ships d² integer sums
+    regardless of N."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tk = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    nw = (
+        words.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tk.join(nw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(win).alias("ct"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(win).alias("cv"),
+        )
+    )
+    points = cum.selectExpr(
+        f"{_micro_ln('CAST(ct AS DOUBLE)')} AS x",
+        f"{_micro_ln('CAST(cv AS DOUBLE)')} AS y",
+    )
+    return _fit(points, [], _HEAPS_SELECTS)

@@ -220,3 +220,34 @@ def test_forecast_eval_perfect_seasonal_pattern(spark):
         got = {r["event_type"]: r for r in q_forecast_eval(spark, d).collect()}
     assert got["a"]["mae"] == 0.0 and got["a"]["n_days"] == 7
     assert got["b"]["mae"] == 3.0 and got["b"]["max_err_micro"] == 3_000_000
+
+
+def test_heaps_fit_growing_vocabulary(spark, tmp_path):
+    """On a corpus whose vocabulary genuinely grows (each doc introduces
+    sqrt-ish new words), the Heaps fit must report a clearly positive
+    beta with a strong r2; on the near-closed-vocabulary fixture it
+    reports ~0 (the q_zipf_fit honesty rule — asserted in the oracle
+    sweep, not here)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.regression import q_heaps_fit
+
+    rows = []
+    w = 0
+    for d in range(60):
+        novel = [f"w{w + i}" for i in range(3 + d // 8)]  # growing novelty
+        w += len(novel)
+        common = ["the", "of", "data"] * 5
+        text = " ".join(common + novel)
+        rows.append((d, text, "en", "s0", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_heaps_fit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 60
+    # clearly positive growth with a strong fit (the synthetic ramps
+    # novelty up with doc index, so beta can slightly exceed 1 — the
+    # contract here is "real growth, tight fit", vs the fixture's ~0)
+    assert 0.3 < r["heaps_beta"] < 1.3
+    assert r["r2"] > 0.9
