@@ -726,9 +726,10 @@ def _unroll_stability_check(sql_builder, rounds: int, knob: str):
     return check
 
 
-def _sql_label_prop(rounds: int = _LP_ROUNDS) -> str:
-    """The identical synchronous LPA unrolled into DuckDB CTEs over the
-    co-supply graph."""
+def _lp_ctes(rounds: int = _LP_ROUNDS) -> list:
+    """Shared CTE chain: co-supply edges (und) + the unrolled
+    synchronous LPA rounds (l0..l{rounds}) — consumed by the
+    q_label_prop oracle and reused by q_modularity's."""
     ctes = [
         """sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
 pairs AS MATERIALIZED (
@@ -751,9 +752,15 @@ l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".replace("{q}", str(_TRI_
   ) QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
 )"""
         )
+    return ctes
+
+
+def _sql_label_prop(rounds: int = _LP_ROUNDS) -> str:
+    """The identical synchronous LPA unrolled into DuckDB CTEs over the
+    co-supply graph."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_lp_ctes(rounds))
         + f"""
 SELECT node AS s_suppkey, CAST(label AS BIGINT) AS community
 FROM l{rounds}
@@ -1524,4 +1531,115 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         (F.col("node") / 2).cast("long").alias("key"),
         F.col("dist").cast("long").alias("dist"),
+    )
+
+
+#: modularity closing text — shared verbatim by both engines: exact
+#: integer numerator Σ_c (4m·m_c − d_c²) over 4m², one double divide,
+#: half-up 6 dp.  d_c ≤ 2m keeps d_c² inside int64 up to m ≈ 1.5e9
+#: edges; the DECIMAL(38,0) route in the sum covers everything past it.
+_MODULARITY_Q = (
+    "(CAST(floor((CAST(num AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+    " * 1000000 + 0.5) AS DOUBLE) / 1000000)"
+)
+
+
+def _sql_modularity(rounds: int = _LP_ROUNDS) -> str:
+    """Newman modularity of the LPA communities, unrolled over the SAME
+    CTE chain as the q_label_prop oracle (edges `und`, labels
+    `l{rounds}`)."""
+    return (
+        "WITH "
+        + ",\n".join(_lp_ctes(rounds))
+        + f""",
+lp AS (SELECT node, label FROM l{rounds}),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node
+),
+dc AS (
+  SELECT lp.label, CAST(sum(deg.d) AS BIGINT) AS d_c
+  FROM deg JOIN lp ON deg.node = lp.node GROUP BY lp.label
+),
+mc AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS m_c
+  FROM und e JOIN lp la ON e.u = la.node JOIN lp lb ON e.v = lb.node
+  WHERE la.label = lb.label GROUP BY la.label
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+terms AS (
+  SELECT dc.label,
+         CAST(4 * tot.m * coalesce(mc.m_c, 0) AS DECIMAL(38,0))
+           - CAST(dc.d_c AS DECIMAL(38,0)) * dc.d_c AS term,
+         tot.m AS m
+  FROM dc LEFT JOIN mc ON dc.label = mc.label, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(m) AS BIGINT) AS m_edges,
+       {_MODULARITY_Q.replace("num", "CAST(sum(term) AS BIGINT)").replace("CAST(m AS DOUBLE)", "CAST(max(m) AS DOUBLE)")} AS modularity
+FROM terms
+"""
+    )
+
+
+@register("q_modularity", oracle=_sql_modularity())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q_label_prop communities over the
+    co-supply graph — the quality score that tells you whether the
+    partition the engine just emitted is real structure or noise
+    (Q ≈ 0: no better than random; Q ≳ 0.3: strong communities).
+
+    Exact arithmetic: Q = Σ_c (m_c/m − (d_c/2m)²) is computed as the
+    single integer numerator Σ_c (4m·m_c − d_c²) over 4m² — per-
+    community terms are exact (DECIMAL(38,0) products), the sum is
+    exact, and the ONE closing divide is shared IEEE text, so no
+    cross-engine summation-order risk exists anywhere.  Shape: the LPA
+    DAG + a degree agg, two label equi-joins (labels broadcast-able),
+    and a communities-sized rollup — all map-side-combinable."""
+    edges = cosupply_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return modularity(edges, label_prop(edges).localCheckpoint(eager=True))
+
+
+def modularity(edges: DataFrame, lp: DataFrame) -> DataFrame:
+    """Newman modularity over an undirected (u, v) edge list and a
+    (node, label) partition — q_modularity's engine, exposed so tests
+    can feed hand-checkable graphs (the fixture's LPA collapses to one
+    community, whose Q is trivially 0)."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(F.broadcast(lp), "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    mc = (
+        edges.join(F.broadcast(lp.select(F.col("node").alias("u"), F.col("label").alias("la"))), "u")
+        .join(F.broadcast(lp.select(F.col("node").alias("v"), F.col("label").alias("lb"))), "v")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    terms = (
+        dc.join(mc, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "label",
+            "CAST(4 * m * coalesce(m_c, 0) AS DECIMAL(38,0))"
+            " - CAST(d_c AS DECIMAL(38,0)) * d_c AS term",
+            "m",
+        )
+    )
+    return terms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m_edges"),
+        F.expr(
+            _MODULARITY_Q.replace("num", "CAST(sum(term) AS BIGINT)").replace(
+                "CAST(m AS DOUBLE)", "CAST(max(m) AS DOUBLE)"
+            )
+        ).alias("modularity"),
     )

@@ -472,3 +472,21 @@ def test_label_prop_early_stop_matches_full_unroll(spark, sf_dir):
     assert rows_set(G.label_prop(e, rounds=G._LP_ROUNDS)) == rows_set(
         G.label_prop(e, rounds=50)
     )
+
+
+def test_modularity_two_cliques_hand_value(spark):
+    """Two 4-cliques joined by a single bridge: m = 13, d_c = 13 per
+    clique, m_c = 6 → Q = 2·(6/13 − (13/26)²) = 286/676 = 0.423077."""
+    from itertools import combinations
+
+    cl = [(u, v) for u, v in combinations(range(4), 2)]
+    cl += [(u + 10, v + 10) for u, v in combinations(range(4), 2)]
+    cl.append((3, 10))  # bridge
+    edges = spark.createDataFrame(cl, "u long, v long")
+    labels = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n + 10, 1) for n in range(4)], "node long, label long"
+    )
+    row = G.modularity(edges, labels).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["m_edges"] == 13
+    assert row["modularity"] == 0.423077
