@@ -1582,7 +1582,11 @@ FROM terms
     )
 
 
-@register("q_modularity", oracle=_sql_modularity())
+@register(
+    "q_modularity",
+    oracle=_sql_modularity(),
+    post_check=_unroll_stability_check(_sql_modularity, _LP_ROUNDS, "_LP_ROUNDS"),
+)
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the q_label_prop communities over the
     co-supply graph — the quality score that tells you whether the
