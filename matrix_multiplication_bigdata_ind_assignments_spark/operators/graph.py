@@ -1536,8 +1536,13 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: modularity closing text — shared verbatim by both engines: exact
 #: integer numerator Σ_c (4m·m_c − d_c²) over 4m², one double divide,
-#: half-up 6 dp.  d_c ≤ 2m keeps d_c² inside int64 up to m ≈ 1.5e9
-#: edges; the DECIMAL(38,0) route in the sum covers everything past it.
+#: half-up 6 dp.  Terms AND their sum stay in 128-bit exact types end
+#: to end (Spark DECIMAL(38,0) with operands cast BEFORE the multiply,
+#: DuckDB HUGEINT — its decimal multiply caps combined width at 38), so
+#: the true bound is 4m·m_c < 1e38, i.e. m well past 1e18 edges; no
+#: intermediate ever drops to int64 (ADVICE r11: the old form multiplied
+#: in BIGINT before the cast and re-narrowed the sum, silently wrapping
+#: past m ≈ 1.5e9 in non-ANSI Spark while DuckDB errored).
 _MODULARITY_Q = (
     "(CAST(floor((CAST(num AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
     " * 1000000 + 0.5) AS DOUBLE) / 1000000)"
@@ -1569,14 +1574,14 @@ mc AS (
 tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
 terms AS (
   SELECT dc.label,
-         CAST(4 * tot.m * coalesce(mc.m_c, 0) AS DECIMAL(38,0))
-           - CAST(dc.d_c AS DECIMAL(38,0)) * dc.d_c AS term,
+         CAST(4 AS HUGEINT) * tot.m * coalesce(mc.m_c, 0)
+           - CAST(dc.d_c AS HUGEINT) * dc.d_c AS term,
          tot.m AS m
   FROM dc LEFT JOIN mc ON dc.label = mc.label, tot
 )
 SELECT CAST(count(*) AS BIGINT) AS n_communities,
        CAST(max(m) AS BIGINT) AS m_edges,
-       {_MODULARITY_Q.replace("num", "CAST(sum(term) AS BIGINT)").replace("CAST(m AS DOUBLE)", "CAST(max(m) AS DOUBLE)")} AS modularity
+       {_MODULARITY_Q.replace("num", "sum(term)").replace("CAST(m AS DOUBLE)", "CAST(max(m) AS DOUBLE)")} AS modularity
 FROM terms
 """
     )
@@ -1633,7 +1638,7 @@ def modularity(edges: DataFrame, lp: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "label",
-            "CAST(4 * m * coalesce(m_c, 0) AS DECIMAL(38,0))"
+            "CAST(4 AS DECIMAL(38,0)) * m * coalesce(m_c, 0)"
             " - CAST(d_c AS DECIMAL(38,0)) * d_c AS term",
             "m",
         )
@@ -1642,7 +1647,7 @@ def modularity(edges: DataFrame, lp: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_communities"),
         F.max("m").cast("long").alias("m_edges"),
         F.expr(
-            _MODULARITY_Q.replace("num", "CAST(sum(term) AS BIGINT)").replace(
+            _MODULARITY_Q.replace("num", "sum(term)").replace(
                 "CAST(m AS DOUBLE)", "CAST(max(m) AS DOUBLE)"
             )
         ).alias("modularity"),

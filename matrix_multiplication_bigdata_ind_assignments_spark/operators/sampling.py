@@ -310,7 +310,7 @@ def q_corpus_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.row_number().over(w).alias("rk"),
         (
-            (F.col("totchars") / 2).cast("long")
+            F.expr("totchars DIV 2")
             - F.sum("base").over(Window.partitionBy())
         ).alias("leftover"),
     )
