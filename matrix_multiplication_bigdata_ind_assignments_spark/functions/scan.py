@@ -1,0 +1,109 @@
+"""Distributed prefix-scan machinery (the two-pass exclusive-cumsum
+pattern, generalized from q_sequence_pack — VERDICT r11 item 2).
+
+A global ``sum() OVER (ORDER BY ...)`` or ``row_number() OVER (ORDER BY
+...)`` with no partition key collapses the whole input onto ONE reducer
+(Spark warns "No Partition Defined for Window operation"): fine on a
+reduced rollup at fixture scale, a real single-node sort at 100× part /
+user cardinality.  ``two_pass_scan`` is the classic distributed scan
+instead:
+
+1. range-partition on the requested TOTAL order (Spark's distributed
+   sort machinery) and stamp each row with its partition id;
+2. per-partition count/sum totals → driver (one tiny row per
+   partition) → exclusive base offsets BROADCAST-JOINED back on pid;
+3. local window per partition (keyed by pid — parallel) adds the base.
+
+The offsets return trip is a broadcast join of a tiny DataFrame, not a
+``create_map`` literal — a 2·n_partitions-entry literal becomes a
+Catalyst-expression liability at 10⁵ partitions, while the broadcast
+side stays O(1) in plan size.  Offsets are exact regardless of where
+the sampled range boundaries fall, so the partitioner's sampling never
+affects the result — but the ORDER must be total (include a key
+tie-break) or the within-partition window is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def two_pass_scan(
+    df: DataFrame,
+    order: list,
+    *,
+    sum_col: str | None = None,
+    cum_col: str = "cum",
+    inclusive: bool = True,
+    rn_col: str | None = None,
+    n_parts: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Add a global row number and/or running sum over a total order
+    WITHOUT a single-partition window.
+
+    ``order`` is a list of Column sort expressions (``F.asc``/
+    ``F.desc``) forming a TOTAL order; ``sum_col`` (long-typed) requests
+    a running sum in ``cum_col`` (inclusive or exclusive); ``rn_col``
+    requests a global 1-based row number.  Returns ``(df_out, n_rows,
+    total_sum)`` — the totals ride the same per-partition collect the
+    offsets need, so callers get them with no extra job.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    # materialize the pid stamp once: both consumers (totals + final)
+    # must see the SAME partitioning, and localCheckpoint blocks are
+    # GC-scoped (swap for checkpoint cadence on a real cluster)
+    base = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__s"))
+    per = {r["__pid"]: r for r in base.groupBy("__pid").agg(*aggs).collect()}
+    rows, run_n, run_s = [], 0, 0
+    for pid in sorted(per):
+        rows.append((pid, run_n, run_s))
+        run_n += per[pid]["__n"]
+        run_s += (per[pid]["__s"] or 0) if sum_col is not None else 0
+    offsets = spark.createDataFrame(
+        rows or [(0, 0, 0)], "__pid int, __base_n long, __base_s long"
+    )
+    out = base.join(F.broadcast(offsets), "__pid")
+    if rn_col is not None:
+        w = Window.partitionBy("__pid").orderBy(*order)
+        out = out.withColumn(rn_col, F.row_number().over(w) + F.col("__base_n"))
+    if sum_col is not None:
+        lo = (
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+        )
+        out = out.withColumn(
+            cum_col, F.coalesce(F.sum(sum_col).over(lo), F.lit(0)) + F.col("__base_s")
+        )
+    return out.drop("__pid", "__base_n", "__base_s"), run_n, run_s
+
+
+def ntile_of_rank(rn_col: str, n_rows: int, buckets: int) -> str:
+    """SQL-standard ``ntile(buckets)`` as a closed form over a global
+    1-based row number: the first ``n mod b`` buckets take ``n div b +
+    1`` rows, the rest ``n div b`` — NOT the evenly-spread
+    ``floor((rn-1)·b/n)+1`` approximation, which puts the remainder in
+    the wrong buckets (n=7, b=5: standard is 2,2,1,1,1; the spread form
+    gives rn=4 bucket 3 instead of 2).  ``n_rows`` is driver-side (the
+    two_pass_scan totals), so the split point is a constant in the
+    expression."""
+    q, r = divmod(n_rows, buckets)
+    if q == 0:  # fewer rows than buckets: row i is its own bucket i
+        return f"CAST({rn_col} AS INTEGER)"
+    return (
+        f"CAST(CASE WHEN {rn_col} <= {(q + 1) * r}"
+        f" THEN 1 + ({rn_col} - 1) DIV {q + 1}"
+        f" ELSE {r + 1} + ({rn_col} - 1 - {(q + 1) * r}) DIV {q} END"
+        f" AS INTEGER)"
+    )

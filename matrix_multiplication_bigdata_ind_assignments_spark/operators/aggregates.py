@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import dec_avg, dec_sum
+from ..functions.scan import ntile_of_rank, two_pass_scan
 from ..registry import register
 from ..sources import load
 
@@ -669,9 +670,10 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RFM_ANCHOR = 1_706_745_600
 
 
-@register(
-    "q_rfm_segments",
-    oracle=f"""
+#: shared by q_rfm_segments and its distributed-scan twin — identical
+#: result by construction (scan row_number + closed-form ntile ==
+#: global ntile window), so both register the same oracle
+_RFM_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
          CAST(floor(({_RFM_ANCHOR} - epoch(date_trunc('day', max(ts)))) / 86400) AS BIGINT) AS recency_days,
@@ -691,25 +693,14 @@ SELECT r_score, f_score, m_score,
        CAST(count(*) AS BIGINT) AS n_users,
        (CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100) AS total_monetary
 FROM scored GROUP BY r_score, f_score, m_score
-""",
-)
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per user, Recency (days from last event to the
-    fixed fixture-horizon anchor), Frequency (event count) and Monetary
-    (exact fixed-point purchase-value sum), each scored into quintiles
-    by ntile(5) with a user_id tie-break (total order → deterministic
-    cut points), then aggregated into the segment matrix.  Shape at
-    scale: events collapse to the user dimension FIRST (one combinable
-    agg), so the global ntile sorts |users| rows, not |events| — and
-    past the point where even that sort hurts, the quintile boundaries
-    come from approx_percentile + a bucket join instead (the
-    q_approx_percentiles path); the ntile form is the exact-semantics
-    operator.  Monetary sums are exact µunit longs (the
-    functions.numeric route)."""
-    from pyspark.sql.window import Window
+"""
 
+
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user R/F/M rollup (the combinable first pass both RFM forms
+    share): events collapse to the user dimension before any scoring."""
     e = load(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
+    return e.groupBy("user_id").agg(
         F.expr(
             f"CAST(floor(({_RFM_ANCHOR} - unix_timestamp(date_trunc('DAY', max(ts)))) / 86400) AS BIGINT)"
         ).alias("recency_days"),
@@ -721,6 +712,33 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("monetary_micro"),
     )
+
+
+def _rfm_close(scored: DataFrame) -> DataFrame:
+    """Closing segment-matrix agg shared by both RFM forms."""
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr(
+            "(CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100)"
+        ).alias("total_monetary"),
+    )
+
+
+@register("q_rfm_segments", oracle=_RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, Recency (days from last event to the
+    fixed fixture-horizon anchor), Frequency (event count) and Monetary
+    (exact fixed-point purchase-value sum), each scored into quintiles
+    by ntile(5) with a user_id tie-break (total order → deterministic
+    cut points), then aggregated into the segment matrix.  Shape at
+    scale: events collapse to the user dimension FIRST (one combinable
+    agg), so the global ntile sorts |users| rows, not |events| — and
+    past the point where even that sort hurts,
+    q_rfm_segments_scalable computes the SAME quintiles through the
+    distributed two-pass scan; the ntile form is the exact-semantics
+    operator.  Monetary sums are exact µunit longs (the
+    functions.numeric route)."""
+    per_user = _rfm_per_user(spark, sf_dir)
     scored = per_user.select(
         F.ntile(5)
         .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
@@ -733,12 +751,39 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_score"),
         "monetary_micro",
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.expr(
-            "(CAST(floor((CAST(sum(monetary_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 100 + 0.5) AS DOUBLE) / 100)"
-        ).alias("total_monetary"),
-    )
+    return _rfm_close(scored)
+
+
+@register("q_rfm_segments_scalable", oracle=_RFM_ORACLE)
+def q_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_rfm_segments with the three global ntile(5) windows replaced by
+    three distributed two-pass scans (functions/scan.py — VERDICT r11
+    item 2): each score's total order (recency ASC / frequency DESC /
+    monetary DESC, user_id tie-break) gets a range-partitioned global
+    row_number, and ntile collapses to the closed form over (rn, N) —
+    the SQL-standard remainder-in-the-first-buckets split, computed with
+    driver-side N from the scan's own per-partition totals
+    (scan.ntile_of_rank; NOT the evenly-spread floor((rn-1)·b/N)
+    approximation, which mis-buckets whenever N % 5 ≠ 0).  Identical
+    output to the window form for any range-boundary placement, so this
+    registers the SAME oracle — and no stage sorts more than
+    |users| / n_partitions rows.  Three scans = three shuffles of the
+    users rollup; the window form pays three single-partition global
+    sorts instead, which is the trade this twin exists to flip at
+    scale."""
+    per_user = _rfm_per_user(spark, sf_dir)
+    out, n_users = per_user, None
+    for score, order in (
+        ("r_score", [F.asc("recency_days"), F.asc("user_id")]),
+        ("f_score", [F.desc("frequency"), F.asc("user_id")]),
+        ("m_score", [F.desc("monetary_micro"), F.asc("user_id")]),
+    ):
+        out, n, _ = two_pass_scan(out, order, rn_col="__rn")
+        n_users = n if n_users is None else n_users
+        out = out.withColumn(score, F.expr(ntile_of_rank("__rn", n_users, 5))).drop(
+            "__rn"
+        )
+    return _rfm_close(out.select("r_score", "f_score", "m_score", "monetary_micro"))
 
 
 #: exact-sum mean in ms grain, identical text both engines (sum of µs
@@ -1355,9 +1400,9 @@ _ABC_CLASS = (
 )
 
 
-@register(
-    "q_pareto_abc",
-    oracle=f"""
+#: shared by q_pareto_abc and its distributed-scan twin — identical
+#: result by construction, so both register the same oracle
+_PARETO_ORACLE = f"""
 WITH rev AS (
   SELECT l_partkey, sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS rev_u
   FROM lineitem GROUP BY l_partkey
@@ -1375,8 +1420,33 @@ SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
        (CAST(floor((CAST(sum(rev_u) AS DOUBLE) / max(tot_u)) * 1000000 + 0.5) AS DOUBLE)
         / 1000000) AS share
 FROM classed GROUP BY abc
-""",
-)
+"""
+
+
+def _part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part exact µunit revenue rollup (the combinable first pass
+    both pareto forms share)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("rev_u")
+    )
+
+
+def _abc_close(classed: DataFrame) -> DataFrame:
+    """Closing 3-row segment agg shared by both pareto forms."""
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum("rev_u").cast("double") / 1e6).alias("revenue"),
+        F.expr(
+            "(CAST(floor((CAST(sum(rev_u) AS DOUBLE) / max(tot_u)) * 1000000 + 0.5)"
+            " AS DOUBLE) / 1000000)"
+        ).alias("share"),
+    )
+
+
+@register("q_pareto_abc", oracle=_PARETO_ORACLE)
 def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC inventory analysis: parts ranked by revenue, the
     cumulative-share curve cut at {a}% (class A) and {b}% (class B) —
@@ -1388,14 +1458,10 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hence the classes deterministic.  Shape: one combinable
     per-part revenue agg, one ordered window over the PARTS rollup
     (the global sort is over parts, not lineitems — at extreme part
-    cardinality swap in the equi-depth percentile route), a 3-row
-    closing agg.""".replace("{a}", str(_ABC_A)).replace("{b}", str(_ABC_B))
-    li = load(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)).cast("long")
-        ).alias("rev_u")
-    )
+    cardinality q_pareto_abc_scalable replaces the single-partition
+    window with the two_pass_scan route), a 3-row closing
+    agg.""".replace("{a}", str(_ABC_A)).replace("{b}", str(_ABC_B))
+    rev = _part_revenue(spark, sf_dir)
     w = Window.orderBy(F.desc("rev_u"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1405,14 +1471,34 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_u").over(Window.partitionBy()).alias("tot_u"),
     )
     classed = ranked.selectExpr("rev_u", "tot_u", f"{_ABC_CLASS} AS abc")
-    return classed.groupBy("abc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        (F.sum("rev_u").cast("double") / 1e6).alias("revenue"),
-        F.expr(
-            "(CAST(floor((CAST(sum(rev_u) AS DOUBLE) / max(tot_u)) * 1000000 + 0.5)"
-            " AS DOUBLE) / 1000000)"
-        ).alias("share"),
+    return _abc_close(classed)
+
+
+@register("q_pareto_abc_scalable", oracle=_PARETO_ORACLE)
+def q_pareto_abc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pareto_abc with the global cumulative window replaced by the
+    distributed two-pass prefix scan (functions/scan.py — VERDICT r11
+    item 2): range-partition the parts rollup on the SAME total order
+    (rev DESC, partkey), local cumsum per partition, per-partition
+    totals → driver → exclusive base offsets broadcast back.  The
+    cumulative sums are identical to the window form for ANY range
+    boundary placement, so this registers the SAME oracle — and the
+    single-partition sort that made the window form a documented design
+    debt at billions of parts is gone: every stage is parallel in
+    |parts| / n_partitions.  tot_u rides the scan's own per-partition
+    totals (no extra job)."""
+    rev = _part_revenue(spark, sf_dir)
+    scanned, _, tot_u = two_pass_scan(
+        rev,
+        [F.desc("rev_u"), F.asc("l_partkey")],
+        sum_col="rev_u",
+        cum_col="cum_u",
+        inclusive=True,
     )
+    classed = scanned.withColumn("tot_u", F.lit(tot_u).cast("long")).selectExpr(
+        "rev_u", "tot_u", f"{_ABC_CLASS} AS abc"
+    )
+    return _abc_close(classed)
 
 
 @register(
