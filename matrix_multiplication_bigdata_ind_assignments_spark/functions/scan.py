@@ -38,20 +38,25 @@ def two_pass_scan(
     inclusive: bool = True,
     rn_col: str | None = None,
     n_parts: int | None = None,
+    extra_sums: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Add a global row number and/or running sum over a total order
+    """Add a global row number and/or running sums over a total order
     WITHOUT a single-partition window.
 
     ``order`` is a list of Column sort expressions (``F.asc``/
     ``F.desc``) forming a TOTAL order; ``sum_col`` (long-typed) requests
-    a running sum in ``cum_col`` (inclusive or exclusive); ``rn_col``
-    requests a global 1-based row number.  Returns ``(df_out, n_rows,
-    total_sum)`` — the totals ride the same per-partition collect the
-    offsets need, so callers get them with no extra job.
+    a running sum in ``cum_col``; ``extra_sums`` is a list of further
+    ``(in_col, out_col)`` running sums sharing the same order and ONE
+    shuffle (q_heaps_fit needs two prefix sums over one corpus order);
+    ``inclusive`` applies to all of them; ``rn_col`` requests a global
+    1-based row number.  Returns ``(df_out, n_rows, total_sum)`` — the
+    totals ride the same per-partition collect the offsets need, so
+    callers get them with no extra job (total_sum is ``sum_col``'s).
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
+    sums = ([(sum_col, cum_col)] if sum_col is not None else []) + list(extra_sums or [])
     # materialize the pid stamp once: both consumers (totals + final)
     # must see the SAME partitioning, and localCheckpoint blocks are
     # GC-scoped (swap for checkpoint cadence on a real cluster)
@@ -61,32 +66,38 @@ def two_pass_scan(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("__s"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(in_col).alias(f"__s{i}") for i, (in_col, _) in enumerate(sums)
+    ]
     per = {r["__pid"]: r for r in base.groupBy("__pid").agg(*aggs).collect()}
-    rows, run_n, run_s = [], 0, 0
+    rows, run_n, run_s = [], 0, [0] * len(sums)
     for pid in sorted(per):
-        rows.append((pid, run_n, run_s))
+        rows.append((pid, run_n, *run_s))
         run_n += per[pid]["__n"]
-        run_s += (per[pid]["__s"] or 0) if sum_col is not None else 0
-    offsets = spark.createDataFrame(
-        rows or [(0, 0, 0)], "__pid int, __base_n long, __base_s long"
+        run_s = [run_s[i] + (per[pid][f"__s{i}"] or 0) for i in range(len(sums))]
+    schema = "__pid int, __base_n long" + "".join(
+        f", __base_s{i} long" for i in range(len(sums))
     )
+    offsets = spark.createDataFrame(rows or [(0, 0, *([0] * len(sums)))], schema)
     out = base.join(F.broadcast(offsets), "__pid")
     if rn_col is not None:
         w = Window.partitionBy("__pid").orderBy(*order)
         out = out.withColumn(rn_col, F.row_number().over(w) + F.col("__base_n"))
-    if sum_col is not None:
-        lo = (
-            Window.partitionBy("__pid")
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
-        )
+    lo = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    for i, (in_col, out_col) in enumerate(sums):
         out = out.withColumn(
-            cum_col, F.coalesce(F.sum(sum_col).over(lo), F.lit(0)) + F.col("__base_s")
+            out_col,
+            F.coalesce(F.sum(in_col).over(lo), F.lit(0)) + F.col(f"__base_s{i}"),
         )
-    return out.drop("__pid", "__base_n", "__base_s"), run_n, run_s
+    return (
+        out.drop("__pid", "__base_n", *[f"__base_s{i}" for i in range(len(sums))]),
+        run_n,
+        run_s[0] if sums else 0,
+    )
 
 
 def ntile_of_rank(rn_col: str, n_rows: int, buckets: int) -> str:

@@ -672,12 +672,24 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared exact-sum OLS tail (`_fit` / `_SUMS`).  Scale shape: two
     map-side-combinable corpus aggs (token counts, first-appearance),
     then everything runs on the DOCS-sized rollup; the prefix sums are
-    one ordered window over that rollup — at extreme doc counts swap in
-    q_sequence_pack's two-pass per-partition offset prefix sum (same
-    numbers, no single-partition window); the fit ships d² integer sums
+    one ordered window over that rollup — at extreme doc counts
+    q_heaps_fit_scalable computes the SAME sums through the two-pass
+    scan (no single-partition window); the fit ships d² integer sums
     regardless of N."""
     from pyspark.sql.window import Window
 
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = _heaps_per_doc(spark, sf_dir).select(
+        "doc_id",
+        F.sum("n_tokens").over(win).alias("ct"),
+        F.sum("new_words").over(win).alias("cv"),
+    )
+    return _heaps_close(cum)
+
+
+def _heaps_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token and first-appearance-word counts (the combinable
+    corpus pass both Heaps forms share)."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -689,17 +701,38 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_words"))
     )
-    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        tk.join(nw, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tokens").over(win).alias("ct"),
-            F.sum(F.coalesce("new_words", F.lit(0))).over(win).alias("cv"),
-        )
+    return tk.join(nw, "doc_id", "left").select(
+        "doc_id", "n_tokens", F.coalesce("new_words", F.lit(0)).alias("new_words")
     )
+
+
+def _heaps_close(cum: DataFrame) -> DataFrame:
+    """Micro-nat log points + the shared exact-sum OLS tail."""
     points = cum.selectExpr(
         f"{_micro_ln('CAST(ct AS DOUBLE)')} AS x",
         f"{_micro_ln('CAST(cv AS DOUBLE)')} AS y",
     )
     return _fit(points, [], _HEAPS_SELECTS)
+
+
+@register("q_heaps_fit_scalable", oracle=_fit_sql(_HEAPS_POINTS_SQL, [], _HEAPS_SELECTS))
+def q_heaps_fit_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_heaps_fit with the global ordered window replaced by ONE
+    distributed two-pass prefix scan carrying BOTH running sums
+    (functions/scan.py extra_sums — VERDICT r11 item 2): range-partition
+    the docs rollup on doc_id, local cumsums per partition, tiny
+    per-partition totals → driver → base offsets broadcast back.
+    Bit-identical to the window form for any range-boundary placement
+    (same oracle registered), and no stage sorts more than
+    |docs| / n_partitions rows."""
+    from ..functions.scan import two_pass_scan
+
+    cum, _, _ = two_pass_scan(
+        _heaps_per_doc(spark, sf_dir),
+        [F.asc("doc_id")],
+        sum_col="n_tokens",
+        cum_col="ct",
+        extra_sums=[("new_words", "cv")],
+        inclusive=True,
+    )
+    return _heaps_close(cum.select("doc_id", "ct", "cv"))

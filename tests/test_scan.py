@@ -35,6 +35,13 @@ def test_rfm_twin_equivalence(spark, sf):
     assert twin == base
 
 
+@pytest.mark.parametrize("sf", ALL_SF)
+def test_heaps_twin_equivalence(spark, sf):
+    base = rows_set(REGISTRY["q_heaps_fit"].fn(spark, sf))
+    twin = rows_set(REGISTRY["q_heaps_fit_scalable"].fn(spark, sf))
+    assert twin == base
+
+
 def test_ntile_closed_form_matches_sql_ntile():
     """Every (N, b) shape with N up to 3 buckets' worth of remainder
     patterns, vs DuckDB's SQL-standard ntile — including N < b, N = b,
