@@ -215,15 +215,33 @@ def q_speedup_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proxy results table: user_id plays the thread count."""
     e = load(spark, sf_dir, "events")
     per_run = e.groupBy("event_type", "user_id").agg(dec_avg("value").alias("t"))
-    w = Window.partitionBy("event_type").orderBy("user_id")
+    return speedup_efficiency(
+        per_run, "event_type", "user_id", "t", workers=F.col("user_id") + 1
+    )
+
+
+def speedup_efficiency(
+    per_run: DataFrame, group_col: str, p_col: str, t_col: str, workers=None
+) -> DataFrame:
+    """q_speedup_efficiency's engine, exposed so the strong-scaling
+    harness (tools/strong_scaling.py — VERDICT r11 item 1) derives the
+    ENGINE'S OWN speedup/efficiency curve through the same operator it
+    ships for user results: per group, baseline T1 = the t of the lowest
+    p (first_value over the ordered window), speedup = T1/Tp, efficiency
+    = speedup / workers (``workers`` defaults to the p column itself;
+    q_speedup_efficiency passes user_id+1 because its proxy column is
+    0-based)."""
+    if workers is None:
+        workers = F.col(p_col)
+    w = Window.partitionBy(group_col).orderBy(p_col)
     return (
-        per_run.withColumn("t1", F.first("t").over(w))
+        per_run.withColumn("t1", F.first(t_col).over(w))
         .select(
-            "event_type",
-            "user_id",
-            "t",
-            F.round(F.col("t1") / F.col("t"), 6).alias("speedup"),
-            F.round(F.col("t1") / F.col("t") / (F.col("user_id") + 1), 6).alias("efficiency"),
+            group_col,
+            p_col,
+            t_col,
+            F.round(F.col("t1") / F.col(t_col), 6).alias("speedup"),
+            F.round(F.col("t1") / F.col(t_col) / workers, 6).alias("efficiency"),
         )
     )
 
