@@ -494,6 +494,44 @@ def main() -> int:
             a = a @ a / 1024.0
         return round(time.perf_counter() - t0, 3)
 
+    def mini_sentinel() -> float:
+        """Min of three warmed 1024³ GEMMs (~11 ms each on this box when
+        quiet) — the per-query contention probe (VERDICT r11 item 3):
+        cheap enough (~0.1 s) to run after EVERY query, so a 4× timing
+        outlier carries its own evidence of whether the box was loaded
+        AT THAT MOMENT rather than leaning on the run-global start/end
+        pair.  Min-of-3 because a single ~11 ms GEMM has a heavy
+        scheduling-jitter tail even on an idle guest (measured p90 ≈
+        4× min under invisible hypervisor steal — this is a VM; loadavg
+        can read >5 with no runnable local process); the min only rises
+        when contention is SUSTAINED across the probe, which is the
+        signal that actually corrupts a multi-second query timing."""
+        import numpy as np
+
+        a = np.ones((1024, 1024))
+        a = a @ a / 1024.0  # warm-up, untimed
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a = a @ a / 1024.0
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    def block_of(name: str) -> str:
+        """Bench-section classification for the per-block sentinel
+        rollup (streaming / graph / matmul / relational)."""
+        if name.startswith(("matmul", "spmm")):
+            return "matmul"
+        if name.startswith("q_stream"):
+            return "streaming"
+        if name in {
+            "q_pagerank", "q_pagerank_directed", "q_bfs_hops", "q_kcore",
+            "q_label_prop", "q_widest_path", "q_shortest_path",
+            "q_triangle_count", "q_node_jaccard", "q_matrix_power",
+        }:
+            return "graph"
+        return "relational"
+
     sentinel_start = noise_sentinel()
     load_start = os.getloadavg()[0]
 
@@ -509,6 +547,7 @@ def main() -> int:
     exec_peak_after: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}  # write MB — the compact headline number
     shuffle_full: dict[str, dict] = {}  # read/write/spill breakdown → BENCH_local
+    query_sentinel: dict[str, list] = {}  # per-query [mini_gemm_sec, loadavg]
     for name, thunk in benches.items():
         for _ in range(warmup):
             thunk()
@@ -541,6 +580,7 @@ def main() -> int:
         # methodology choice, not warm-up — record both).
         timings[name] = round(min(times), 3)
         timings_mean[name] = round(sum(times) / len(times), 3)
+        query_sentinel[name] = [mini_sentinel(), round(os.getloadavg()[0], 1)]
         pk = executor_peak_mb()
         if pk is not None:
             # executor peaks are monotonic since JVM start, so this is the
@@ -573,6 +613,32 @@ def main() -> int:
         pass
     sent_now = (sentinel["sentinel_start_sec"] + sentinel["sentinel_end_sec"]) / 2.0
     policy = noise_policy(committed, sent_now)
+    # Per-block rollup of the per-query mini-sentinels + the queries whose
+    # OWN probe ran >1.5× the run's quietest probe (VERDICT r11 item 3:
+    # this round's q_stream_stream_join 4× "regression" was driver-box
+    # contention in untouched code, and nothing in the record proved it —
+    # now each outlier carries its own moment-of-measurement evidence).
+    quiet_min = min((v[0] for v in query_sentinel.values()), default=0.0)
+    by_block: dict[str, list] = {}
+    for name, (s, _load) in query_sentinel.items():
+        by_block.setdefault(block_of(name), []).append(s)
+    block_sentinels = {}
+    for blk, ss in sorted(by_block.items()):
+        ss.sort()
+        block_sentinels[blk] = {
+            "n": len(ss),
+            "min_sec": ss[0],
+            "median_sec": ss[len(ss) // 2],
+            "max_sec": ss[-1],
+        }
+    # suspect = sustained contention at that query's measurement: its
+    # min-of-3 probe ran past BOTH 2× the run's quietest probe and an
+    # absolute 30 ms (≈3× the characterized quiet GEMM) — the double
+    # guard keeps one lucky ultra-quiet probe from flagging half the run
+    suspect_bar = max(2.0 * quiet_min, 0.030)
+    contention_suspect = sorted(
+        name for name, (s, _load) in query_sentinel.items() if s > suspect_bar
+    )
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -589,6 +655,15 @@ def main() -> int:
         "cpus": int(cpus),
         "driver_peak_rss_mb": rss_mb,
         "noise_sentinel": sentinel,
+        # per-query [mini-GEMM sec, loadavg] captured right after each
+        # query's timed reps; block rollup + the >1.5×-quietest suspects.
+        # Read: a query in contention_suspect had a loaded box AT ITS
+        # MEASUREMENT — treat its round-over-round delta as noise unless
+        # reproduced on a quiet probe.
+        "queries_sentinel": query_sentinel,
+        "block_sentinels": block_sentinels,
+        "suspect_bar_sec": round(suspect_bar, 4),
+        "contention_suspect": contention_suspect,
         # sentinel-normalized totals: divide by noise_scale before any
         # round-over-round comparison; a flagged record's raw timings are
         # box noise, not plan signal (VERDICT r8 item 2)
@@ -676,6 +751,9 @@ def main() -> int:
         "noise_scale": policy["noise_scale"],
         "noise_flag": policy["flagged"],
         "value_norm": full["value_normalized"],
+        # count of queries whose own post-query mini-sentinel ran >1.5×
+        # the run's quietest (names + per-block rollup in the full file)
+        "n_contention_suspect": len(contention_suspect),
         "queries": timings,
     }
     print(json.dumps(compact, separators=(",", ":")))
