@@ -486,3 +486,24 @@ def test_pareto_window_runs_over_parts_rollup(spark, sf_dir):
     assert "Window" in plan and "CartesianProduct" not in plan
     # the aggregate must appear below the window in the tree dump
     assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_dedup_simhash_pairs", "q_dedup_simhash_c6", "q_phash_pairs"]
+)
+def test_pair_emission_has_no_distinct_exchange(spark, sf_dir, qs, qname):
+    """The r11 first-untouched-block pair emission (dedup._is_first_block)
+    deleted the post-join distinct over (da, db) — measured 10,587→280 MB
+    shuffle at the 100× decade (SCALING.md "simhash c6 banding").  Guard:
+    no physical aggregate or exchange may key on the emitted pair columns;
+    a regression that bypasses _is_first_block and re-adds
+    .distinct()/dropDuplicates() re-creates exactly that node.  The guard
+    self-verifies: the same detector MUST fire on the df with a distinct
+    appended, so a Spark plan-rendering change can't silently blind it."""
+    import re
+
+    banned = re.compile(r"hashpartitioning\(da#\d+|keys=\[da#\d+")
+    df = qs[qname](spark, sf_dir)
+    assert not banned.search(plan_of(df)), f"{qname}: pair-keyed exchange is back"
+    # detector canary: a reintroduced distinct is visible to this regex
+    assert banned.search(plan_of(df.distinct()))
