@@ -550,3 +550,33 @@ def test_heatmap_foots_to_hourly_totals(spark, sf_dir):
     assert set(bands) == set(range(_HM_VBUCKETS))
     for b, n in bands.items():
         assert n > total // (_HM_VBUCKETS * 3), (b, n)
+
+
+def test_sketch_post_checks_fire_on_injected_violation(spark, sf_dir):
+    """The sweep-side sketch certificates (VERDICT r11 item 6) must fail
+    loudly on an out-of-bound estimate and pass the real results — the
+    test_kcore_post_check_certificate discipline for the sketch family."""
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    registry._load_all()
+    REGISTRY = registry.REGISTRY
+
+    for qname, vcol in (
+        ("q_approx_distinct_users", "n_users_approx"),
+        ("q_hll_union", "approx_users"),
+        ("q_approx_percentiles", None),
+    ):
+        q = REGISTRY[qname]
+        df = q.fn(spark, sf_dir)
+        rows = [tuple(r) for r in df.collect()]
+        cols = list(df.columns)
+        assert q.post_check(rows, cols, sf_dir) is None, qname
+        # inject: double one estimate column of the first row
+        bad_col = vcol or "p90"
+        i = cols.index(bad_col)
+        bad = [tuple(2 * v + 10 if j == i else v for j, v in enumerate(rows[0]))] + rows[1:]
+        msg = q.post_check(bad, cols, sf_dir)
+        assert msg is not None and (bad_col in msg or "approx" in msg or "p90" in msg), (
+            qname,
+            msg,
+        )
