@@ -172,25 +172,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def executor_peak_mb() -> float | None:
-        """Peak executor memory (JVM heap + direct/mapped pools + Python
-        worker RSS) in MB via the Spark REST API; None if unpollable."""
-        try:
-            import urllib.request
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        executor_peak_mb as _exec_peak,
+    )
 
-            base = spark.sparkContext.uiWebUrl
-            app = spark.sparkContext.applicationId
-            with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/executors", timeout=5) as r:
-                execs = json.load(r)
-            peak = 0
-            for e in execs:
-                pm = e.get("peakMemoryMetrics") or {}
-                jvm = pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0)
-                py = pm.get("ProcessTreePythonRSSBytes", 0)
-                peak = max(peak, jvm + py)
-            return round(peak / 1024 / 1024, 1) if peak else None
-        except Exception:
-            return None
+    def executor_peak_mb() -> float | None:
+        """Peak executor memory via the shared REST helper
+        (functions.metrics.executor_peak_mb); None if unpollable."""
+        return _exec_peak(spark)
 
     qs = registry.queries()
 

@@ -190,3 +190,33 @@ def measure_shuffle(spark: SparkSession, thunk) -> dict[str, int]:
     thunk()
     win = settled_snapshot(spark, since_stage_id=floor)
     return {k: win[k] for k in _FIELDS}
+
+
+def executor_peak_mb(spark: SparkSession) -> float | None:
+    """Peak executor memory (JVM heap + off-heap + Python-worker RSS) in
+    MB via the Spark REST metrics API — the per-node resource reporting
+    the reference tracks per process (ref `Stage 1/C Implementation/
+    mm_baseline.c:54-84`, `MMBaseline.java:44-60`) and the Stage-4 PDF
+    spec asks for.  Needs spark.ui.enabled=true (+
+    spark.executor.processTreeMetrics.enabled for the Python RSS term);
+    returns None when the UI is off or the poll fails, so callers can
+    degrade to a NULL column instead of breaking the run."""
+    try:
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/executors", timeout=5
+        ) as r:
+            execs = _json.load(r)
+        peak = 0
+        for e in execs:
+            pm = e.get("peakMemoryMetrics") or {}
+            jvm = pm.get("JVMHeapMemory", 0) + pm.get("JVMOffHeapMemory", 0)
+            py = pm.get("ProcessTreePythonRSSBytes", 0)
+            peak = max(peak, jvm + py)
+        return round(peak / 1024 / 1024, 1) if peak else None
+    except Exception:
+        return None
