@@ -32,10 +32,20 @@ ALGOS = ("basic", "transposed", "blocked", "sparse", "broadcast", "auto")
 def _cmd_run(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
+    from .functions.metrics import executor_peak_mb, settled_snapshot, shuffle_delta
     from .operators import matrix as M
     from .session import get_spark
 
-    spark = get_spark("mmbd-cli")
+    # UI on: the REST metrics endpoint is how Spark exposes per-executor
+    # peak memory — the per-node resource reporting the Stage-4 PDF spec
+    # asks for and the reference tracks per process (VERDICT r11 item 8)
+    spark = get_spark(
+        "mmbd-cli",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.executor.processTreeMetrics.enabled": "true",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     threads = spark.sparkContext.defaultParallelism
 
@@ -71,12 +81,19 @@ def _cmd_run(args: argparse.Namespace) -> int:
         }[args.algo]
         left = M.transpose(M.transpose(A)) if args.algo == "transposed" else A
         times = []
+        snap0 = settled_snapshot(spark)
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             M.multiply(left, B, strategy=strategy, block_size=args.block).write.format(
                 "noop"
             ).mode("overwrite").save()
             times.append((time.perf_counter() - t0) * 1000)
+        # per-node resources for this size's reps: shuffle bytes from the
+        # stage-total deltas (deterministic plan signal), executor peak
+        # memory from the REST metrics API (monotonic since JVM start —
+        # the peak-so-far AFTER this size attributes a jump to it)
+        d = shuffle_delta(snap0, settled_snapshot(spark))
+        peak = executor_peak_mb(spark)
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         extra = json.dumps({"block": args.block, "density": args.density, "sf_dir": args.sf_dir})
         rows.append(
@@ -88,12 +105,18 @@ def _cmd_run(args: argparse.Namespace) -> int:
                 args.repeats,
                 round(statistics.mean(times), 3),
                 round(rss_mb, 1),
+                "" if peak is None else peak,
+                round(d["shuffle_read_bytes"] / 1048576, 2),
+                round(d["shuffle_write_bytes"] / 1048576, 2),
                 extra,
             )
         )
         A.unpersist(), B.unpersist()
 
-    header = "lang,algo,size,threads,repeats,avg_time_ms,rss_mb,extra"
+    header = (
+        "lang,algo,size,threads,repeats,avg_time_ms,rss_mb,"
+        "exec_peak_mb,shuffle_read_mb,shuffle_write_mb,extra"
+    )
     with open(args.out, "w") as f:
         f.write(header + "\n")
         for r in rows:

@@ -58,6 +58,14 @@ def _write_corpus(spark: SparkSession, sf_dir: str, root: str) -> list[str]:
 # heap_peak_mb / memory_mb.
 _MEM_COLS = ("rss_mb", "rss_peak_mb", "psutil_peak_rss_mb", "memory_mb", "heap_peak_mb")
 
+#: per-node resource columns the engine's own `run` CLI emits (VERDICT
+#: r11 item 8: executor peak memory via the REST metrics API, shuffle
+#: read/write from the stage-total deltas).  Carried through the corpus
+#: union and the derived table ONLY when some source file has them —
+#: reference CSVs don't, so q_analyze_derived's fixture schema (and its
+#: oracle) is unchanged.
+_NODE_COLS = ("exec_peak_mb", "shuffle_read_mb", "shuffle_write_mb")
+
 
 def read_results_corpus(spark: SparkSession, pattern: str) -> DataFrame:
     """Read a results-CSV corpus with HETEROGENEOUS schemas (the
@@ -77,6 +85,11 @@ def read_results_corpus(spark: SparkSession, pattern: str) -> DataFrame:
         except OSError:
             by_header.setdefault("", []).append(p)
 
+    # node-resource columns appear in the output only if SOME file group
+    # carries them (the engine's own run CSVs do; reference CSVs don't)
+    any_node_cols = any(
+        c in {h.strip() for h in hdr.split(",")} for hdr in by_header for c in _NODE_COLS
+    )
     parts = []
     for _, files in sorted(by_header.items()):
         raw = (
@@ -86,6 +99,13 @@ def read_results_corpus(spark: SparkSession, pattern: str) -> DataFrame:
         )
         cols = set(raw.columns)
         mem = next((c for c in _MEM_COLS if c in cols), None)
+        node_sel = [
+            (
+                F.expr(f"try_cast({c} AS DOUBLE)") if c in cols else F.lit(None).cast("double")
+            ).alias(c)
+            for c in _NODE_COLS
+            if any_node_cols
+        ]
         # locale fix + coercion (ref `Stage 1/Visualization/mm_perf_visualizer.py:39-46`)
         parts.append(
             raw.select(
@@ -101,6 +121,7 @@ def read_results_corpus(spark: SparkSession, pattern: str) -> DataFrame:
                     if mem
                     else F.lit(None).cast("double")
                 ).alias("rss_mb"),
+                *node_sel,
                 "source_file",
             )
         )
@@ -119,6 +140,7 @@ def derive_metrics(cleaned: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("lang", "algo", "size").orderBy("threads", "avg_time_ms")
+    node_cols = [c for c in _NODE_COLS if c in cleaned.columns]
     return cleaned.withColumn("t1", F.first("avg_time_ms").over(w)).select(
         "lang",
         "algo",
@@ -126,6 +148,7 @@ def derive_metrics(cleaned: DataFrame) -> DataFrame:
         "threads",
         "avg_time_ms",
         "rss_mb",
+        *node_cols,
         F.round(F.col("t1") / F.col("avg_time_ms"), 3).alias("speedup"),
         F.round(F.col("t1") / F.col("avg_time_ms") / F.col("threads"), 3).alias("efficiency"),
     )

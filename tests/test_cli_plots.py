@@ -130,7 +130,10 @@ def test_run_cli_writes_harness_csv_then_analyze_consumes_it(tmp_path, monkeypat
     )
     assert main() == 0
     lines = out_csv.read_text().strip().split("\n")
-    assert lines[0] == "lang,algo,size,threads,repeats,avg_time_ms,rss_mb,extra"
+    assert lines[0] == (
+        "lang,algo,size,threads,repeats,avg_time_ms,rss_mb,"
+        "exec_peak_mb,shuffle_read_mb,shuffle_write_mb,extra"
+    )
     cells = lines[1].split(",")
     assert cells[0] == "pyspark" and cells[1] == "basic" and int(cells[2]) == 64
     assert float(cells[5]) > 0  # a real timing
@@ -139,3 +142,52 @@ def test_run_cli_writes_harness_csv_then_analyze_consumes_it(tmp_path, monkeypat
     monkeypatch.setattr(sys, "argv", ["mmbd", "analyze", str(out_csv), "--out", str(report)])
     assert main() == 0
     assert any((report / "derived_metrics").glob("*.csv"))
+
+
+def test_run_cli_records_per_node_resources(tmp_path, monkeypatch):
+    """`run` must emit per-executor peak memory + shuffle read/write per
+    benched size (VERDICT r11 item 8 — the Stage-4 per-node resource
+    reporting), and `analyze` must carry those columns into the derived
+    table; the reference-shaped fixture corpus, which lacks them, must
+    keep q_analyze_derived's schema (and oracle) unchanged."""
+    import csv as csvmod
+
+    out_csv = tmp_path / "results_pyspark.csv"
+    from matrix_multiplication_bigdata_ind_assignments_spark.__main__ import main
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["mmbd", "run", "64", "--algo", "basic", "-r", "1",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out_csv)],
+    )
+    assert main() == 0
+    with open(out_csv) as f:
+        rows = list(csvmod.DictReader(f))
+    assert rows
+    for col in ("exec_peak_mb", "shuffle_read_mb", "shuffle_write_mb"):
+        assert col in rows[0], col
+    # shuffle bytes are a plan property — the COO join must move >0 MB
+    assert float(rows[0]["shuffle_write_mb"]) > 0
+
+    out = tmp_path / "report"
+    monkeypatch.setattr(sys, "argv", ["mmbd", "analyze", str(out_csv), "--out", str(out)])
+    assert main() == 0
+    derived_csv = next((out / "derived_metrics").glob("*.csv"))
+    with open(derived_csv) as f:
+        dcols = f.readline().strip().split(",")
+    for col in ("exec_peak_mb", "shuffle_read_mb", "shuffle_write_mb"):
+        assert col in dcols, col
+
+    # reference-shaped corpus: schema unchanged (no node columns)
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    registry._load_all()
+    from matrix_multiplication_bigdata_ind_assignments_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=8)
+    df = registry.REGISTRY["q_analyze_derived"].fn(spark, "/root/testdata/sf0.001")
+    assert df.columns == [
+        "lang", "algo", "size", "threads", "avg_time_ms", "rss_mb",
+        "speedup", "efficiency",
+    ]
