@@ -39,6 +39,7 @@ def two_pass_scan(
     rn_col: str | None = None,
     n_parts: int | None = None,
     extra_sums: list[tuple[str, str]] | None = None,
+    extra_maxes: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Add a global row number and/or running sums over a total order
     WITHOUT a single-partition window.
@@ -48,7 +49,9 @@ def two_pass_scan(
     a running sum in ``cum_col``; ``extra_sums`` is a list of further
     ``(in_col, out_col)`` running sums sharing the same order and ONE
     shuffle (q_heaps_fit needs two prefix sums over one corpus order);
-    ``inclusive`` applies to all of them; ``rn_col`` requests a global
+    ``extra_maxes`` likewise requests running MAXes (long-cast — the
+    skyline-frontier primitive); ``inclusive`` applies to all of them;
+    ``rn_col`` requests a global
     1-based row number.  Returns ``(df_out, n_rows, total_sum)`` — the
     totals ride the same per-partition collect the offsets need, so
     callers get them with no extra job (total_sum is ``sum_col``'s).
@@ -66,19 +69,36 @@ def two_pass_scan(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(in_col).alias(f"__s{i}") for i, (in_col, _) in enumerate(sums)
-    ]
+    maxes = list(extra_maxes or [])
+    aggs = (
+        [F.count(F.lit(1)).alias("__n")]
+        + [F.sum(in_col).alias(f"__s{i}") for i, (in_col, _) in enumerate(sums)]
+        + [
+            F.max(F.col(in_col).cast("long")).alias(f"__m{i}")
+            for i, (in_col, _) in enumerate(maxes)
+        ]
+    )
     per = {r["__pid"]: r for r in base.groupBy("__pid").agg(*aggs).collect()}
     rows, run_n, run_s = [], 0, [0] * len(sums)
+    run_m: list = [None] * len(maxes)  # prefix max starts undefined
     for pid in sorted(per):
-        rows.append((pid, run_n, *run_s))
+        rows.append((pid, run_n, *run_s, *run_m))
         run_n += per[pid]["__n"]
         run_s = [run_s[i] + (per[pid][f"__s{i}"] or 0) for i in range(len(sums))]
-    schema = "__pid int, __base_n long" + "".join(
-        f", __base_s{i} long" for i in range(len(sums))
+        run_m = [
+            max(v for v in (run_m[i], per[pid][f"__m{i}"]) if v is not None)
+            if (run_m[i] is not None or per[pid][f"__m{i}"] is not None)
+            else None
+            for i in range(len(maxes))
+        ]
+    schema = (
+        "__pid int, __base_n long"
+        + "".join(f", __base_s{i} long" for i in range(len(sums)))
+        + "".join(f", __base_m{i} long" for i in range(len(maxes)))
     )
-    offsets = spark.createDataFrame(rows or [(0, 0, *([0] * len(sums)))], schema)
+    offsets = spark.createDataFrame(
+        rows or [(0, 0, *([0] * len(sums)), *([None] * len(maxes)))], schema
+    )
     out = base.join(F.broadcast(offsets), "__pid")
     if rn_col is not None:
         w = Window.partitionBy("__pid").orderBy(*order)
@@ -93,8 +113,23 @@ def two_pass_scan(
             out_col,
             F.coalesce(F.sum(in_col).over(lo), F.lit(0)) + F.col(f"__base_s{i}"),
         )
+    for i, (in_col, out_col) in enumerate(maxes):
+        # greatest() skips NULLs, so the first partition (NULL base) and
+        # a frame-empty first row (NULL local) degrade exactly like the
+        # global window's leading NULLs
+        out = out.withColumn(
+            out_col,
+            F.greatest(
+                F.max(F.col(in_col).cast("long")).over(lo), F.col(f"__base_m{i}")
+            ),
+        )
     return (
-        out.drop("__pid", "__base_n", *[f"__base_s{i}" for i in range(len(sums))]),
+        out.drop(
+            "__pid",
+            "__base_n",
+            *[f"__base_s{i}" for i in range(len(sums))],
+            *[f"__base_m{i}" for i in range(len(maxes))],
+        ),
         run_n,
         run_s[0] if sums else 0,
     )

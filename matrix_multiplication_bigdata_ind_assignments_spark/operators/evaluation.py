@@ -68,9 +68,10 @@ def _clf_cte() -> str:
     return str(REGISTRY["q_quality_classifier"].oracle)
 
 
-@register(
-    "q_classifier_auc",
-    oracle=lambda sf_dir: f"""
+def _auc_oracle(sf_dir: str) -> str:
+    """Shared by q_classifier_auc and its distributed-scan twin —
+    identical result by construction, same oracle text."""
+    return f"""
 WITH clf AS ({_clf_cte()}),
 pts AS (
   SELECT log_odds_micro AS s, CAST(weak_keep AS INT) AS y,
@@ -97,8 +98,10 @@ g AS (
   FROM walk
 )
 SELECT {", ".join(_AUC_FINAL)} FROM g, conf
-""",
-)
+"""
+
+
+@register("q_classifier_auc", oracle=_auc_oracle)
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training AUC + confusion metrics for the in-plan-trained quality
     classifier — the eval row a curation pipeline logs beside every
@@ -160,6 +163,43 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(guard))
         .selectExpr(*guarded_final)
     )
+
+
+@register("q_classifier_auc_scalable", oracle=_auc_oracle)
+def q_classifier_auc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_classifier_auc with the SinglePartition rank walk replaced by
+    the distributed two-pass prefix scan (functions/scan.py — the r12
+    scale-safe-twin family): the exclusive cumulative count over the
+    distinct-score rollup becomes range-partition + local cumsum +
+    broadcast base offsets, so no stage sorts more than
+    |distinct scores| / n_partitions rows and the _AUC_MAX_DISTINCT
+    guard (and its escape hatch) is unnecessary — this IS the escape
+    hatch, exact instead of binned.  Identical output for any range
+    boundary placement; registers the SAME oracle."""
+    from ..functions.scan import two_pass_scan
+
+    clf = q_quality_classifier(spark, sf_dir)
+    pts = clf.select(
+        F.col("log_odds_micro").alias("s"),
+        F.col("weak_keep").cast("int").alias("y"),
+        F.col("pred_keep").cast("int").alias("p"),
+    ).localCheckpoint(eager=True)
+    grp = pts.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    walk, _, _ = two_pass_scan(
+        grp, [F.asc("s")], sum_col="cnt", cum_col="cprev", inclusive=False
+    )
+    g = walk.agg(
+        F.sum(F.col("pos") * (2 * F.col("cprev") + F.col("cnt") + 1)).alias("r2pos"),
+        F.sum("pos").alias("npos"),
+        (F.sum("cnt") - F.sum("pos")).alias("nneg"),
+    )
+    conf = pts.agg(
+        F.sum(F.col("y") * F.col("p")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p"))).alias("tn"),
+    )
+    return g.crossJoin(F.broadcast(conf)).selectExpr(*_AUC_FINAL)
 
 
 # ---------------------------------------------------------------- calibration

@@ -244,9 +244,8 @@ def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_skyline_2d",
-    oracle="""
+#: shared by q_skyline_2d and its distributed-scan twin
+_SKYLINE_ORACLE = """
 WITH r AS (
   SELECT p_partkey, p_brand, p_retailprice, p_size,
          max(p_size) OVER (
@@ -259,8 +258,22 @@ SELECT p_partkey, p_brand, round(p_retailprice, 6) AS p_retailprice,
        CAST(p_size AS BIGINT) AS p_size
 FROM r
 WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
-""",
-)
+"""
+
+
+def _skyline_close(r: DataFrame) -> DataFrame:
+    """Frontier filter + projection shared by both skyline forms."""
+    return r.where(
+        F.col("best_size_cheaper").isNull() | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 6).alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+@register("q_skyline_2d", oracle=_SKYLINE_ORACLE)
 def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier) over part: the parts no other part
     dominates on (cheaper price, bigger size) — the multi-criteria
@@ -272,10 +285,11 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-PRECEDING frame with size DESC ordering means an equal-price
     larger row DOES shadow smaller ones — strict dominance on price is
     relaxed to ≤ within a price tie only for the frame's max, matching
-    the oracle text exactly).  The global window is the honest cost: a
-    skyline is a global property; at 100 TB pre-filter per-partition
-    skylines first (local pareto ⊇ none pruned) then run this pass on
-    the union — the standard two-phase refinement."""
+    the oracle text exactly).  A skyline is a global property; at scale
+    q_skyline_2d_scalable runs the SAME pass as a distributed prefix-max
+    scan (and the classic refinement — local per-partition skylines
+    first, which prune nothing wrongly — composes in front of either
+    form)."""
     p = load(spark, sf_dir, "part")
     w = (
         Window.orderBy(
@@ -289,14 +303,30 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.max("p_size").over(w).alias("best_size_cheaper"),
     )
-    return r.where(
-        F.col("best_size_cheaper").isNull() | (F.col("p_size") > F.col("best_size_cheaper"))
-    ).select(
-        "p_partkey",
-        "p_brand",
-        F.round("p_retailprice", 6).alias("p_retailprice"),
-        F.col("p_size").cast("long").alias("p_size"),
+    return _skyline_close(r)
+
+
+@register("q_skyline_2d_scalable", oracle=_SKYLINE_ORACLE)
+def q_skyline_2d_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_skyline_2d with the global exclusive running max replaced by
+    the distributed two-pass scan's prefix-MAX arm (functions/scan.py
+    extra_maxes — the r12 scale-safe-twin family): range-partition on
+    the same (price ASC, size DESC, partkey ASC) total order, local
+    exclusive running max per partition, per-partition maxes → driver →
+    prefix-max base offsets broadcast back (greatest() skips NULLs, so
+    the first partition degrades exactly like the window's leading
+    NULL).  Identical output for any range-boundary placement; SAME
+    oracle; no stage sorts more than |parts| / n_partitions rows."""
+    from ..functions.scan import two_pass_scan
+
+    p = load(spark, sf_dir, "part")
+    r, _, _ = two_pass_scan(
+        p.select("p_partkey", "p_brand", "p_retailprice", "p_size"),
+        [F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")],
+        inclusive=False,
+        extra_maxes=[("p_size", "best_size_cheaper")],
     )
+    return _skyline_close(r)
 
 
 @register(
@@ -356,9 +386,8 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_peak_concurrency",
-    oracle="""
+#: shared by q_peak_concurrency and its distributed-scan twin
+_PEAK_ORACLE = """
 WITH sess AS (
   SELECT user_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us
   FROM events
@@ -377,8 +406,34 @@ run AS (
 SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
        CAST(max_by(us, live * 10000000000000000 - us) AS BIGINT) AS peak_at_us
 FROM run
-""",
-)
+"""
+
+
+def _peak_boundary_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct boundary points with merged +1/−1 deltas (the combinable
+    first pass both peak-concurrency forms share)."""
+    e = load(spark, sf_dir, "events")
+    sess = e.select(
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + 1_800_000_000).alias("e_us"),
+    )
+    pts = sess.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    return pts.groupBy("us").agg(F.sum("delta").alias("d"))
+
+
+def _peak_close(run: DataFrame) -> DataFrame:
+    """Closing high-water-mark agg shared by both forms."""
+    return run.agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        F.expr("max_by(us, live * 10000000000000000 - us)")
+        .cast("long")
+        .alias("peak_at_us"),
+    )
+
+
+@register("q_peak_concurrency", oracle=_PEAK_ORACLE)
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency via the +1/−1 sweep: every event opens a
     30-minute activity interval; the answer is the maximum number of
@@ -390,25 +445,33 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     handled consistently in both engines), the running sum is one
     ordered window over DISTINCT boundary points (not events), and
     the argmax packs (live DESC, us ASC) into one long.  The global
-    window is the honest cost of a global high-water mark; per-key
-    (e.g. per-tenant) peaks would partition it."""
-    e = load(spark, sf_dir, "events")
-    sess = e.select(
-        F.unix_micros("ts").alias("s_us"),
-        (F.unix_micros("ts") + 1_800_000_000).alias("e_us"),
-    )
-    pts = sess.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionAll(
-        sess.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
-    )
-    agg = pts.groupBy("us").agg(F.sum("delta").alias("d"))
+    window is the honest cost of a global high-water mark at fixture
+    scale; q_peak_concurrency_scalable runs the SAME sweep through the
+    distributed two-pass scan, and per-key (e.g. per-tenant) peaks
+    would partition it."""
+    agg = _peak_boundary_deltas(spark, sf_dir)
     w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
     run = agg.select("us", F.sum("d").over(w).alias("live"))
-    return run.agg(
-        F.max("live").cast("long").alias("peak_concurrent"),
-        F.expr("max_by(us, live * 10000000000000000 - us)")
-        .cast("long")
-        .alias("peak_at_us"),
+    return _peak_close(run)
+
+
+@register("q_peak_concurrency_scalable", oracle=_PEAK_ORACLE)
+def q_peak_concurrency_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_peak_concurrency with the global running sum replaced by the
+    distributed two-pass prefix scan (functions/scan.py — the r12
+    scale-safe-twin family): the +1/−1 sweep's cumulative 'live' count
+    is an inclusive cumsum over the distinct boundary points, so no
+    stage sorts more than |boundaries| / n_partitions rows (boundaries
+    ~ 2·|events| distinct µs at worst — exactly the input a
+    single-partition window would choke on at 100×).  Identical output
+    for any range-boundary placement; registers the SAME oracle."""
+    from ..functions.scan import two_pass_scan
+
+    agg = _peak_boundary_deltas(spark, sf_dir)
+    run, _, _ = two_pass_scan(
+        agg, [F.asc("us")], sum_col="d", cum_col="live", inclusive=True
     )
+    return _peak_close(run.select("us", "live"))
 
 
 # burst threshold: an hour is bursty when its count beats 1.25x the

@@ -507,3 +507,28 @@ def test_pair_emission_has_no_distinct_exchange(spark, sf_dir, qs, qname):
     assert not banned.search(plan_of(df)), f"{qname}: pair-keyed exchange is back"
     # detector canary: a reintroduced distinct is visible to this regex
     assert banned.search(plan_of(df.distinct()))
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_pareto_abc_scalable",
+        "q_rfm_segments_scalable",
+        "q_heaps_fit_scalable",
+        "q_classifier_auc_scalable",
+        "q_peak_concurrency_scalable",
+        "q_skyline_2d_scalable",
+    ],
+)
+def test_scalable_twins_window_only_per_pid(spark, sf_dir, qs, qname):
+    """The distributed-scan twins must never run a GLOBAL window: every
+    windowspecdefinition in their plans is partitioned by the scan's
+    __pid stamp (benign SinglePartition exchanges remain only in the
+    tiny closing aggregates, which partial-combine first)."""
+    import re
+
+    plan = plan_of(qs[qname](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, f"{qname}: expected at least one per-pid window"
+    for s in specs:
+        assert s.startswith("windowspecdefinition(__pid#"), (qname, s[:80])

@@ -21,25 +21,25 @@ from conftest import rows_set  # noqa: E402
 ALL_SF = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-@pytest.mark.parametrize("sf", ALL_SF)
-def test_pareto_twin_equivalence(spark, sf):
-    base = rows_set(REGISTRY["q_pareto_abc"].fn(spark, sf))
-    twin = rows_set(REGISTRY["q_pareto_abc_scalable"].fn(spark, sf))
-    assert twin == base
+TWINS = [
+    "q_pareto_abc",
+    "q_rfm_segments",
+    "q_heaps_fit",
+    "q_classifier_auc",
+    "q_peak_concurrency",
+    "q_skyline_2d",
+]
 
 
 @pytest.mark.parametrize("sf", ALL_SF)
-def test_rfm_twin_equivalence(spark, sf):
-    base = rows_set(REGISTRY["q_rfm_segments"].fn(spark, sf))
-    twin = rows_set(REGISTRY["q_rfm_segments_scalable"].fn(spark, sf))
-    assert twin == base
-
-
-@pytest.mark.parametrize("sf", ALL_SF)
-def test_heaps_twin_equivalence(spark, sf):
-    base = rows_set(REGISTRY["q_heaps_fit"].fn(spark, sf))
-    twin = rows_set(REGISTRY["q_heaps_fit_scalable"].fn(spark, sf))
-    assert twin == base
+@pytest.mark.parametrize("qname", TWINS)
+def test_twin_equivalence(spark, qname, sf):
+    """Every window-form query and its distributed-scan twin must be
+    bit-identical on every fixture (same schema, same rows)."""
+    base_df = REGISTRY[qname].fn(spark, sf)
+    twin_df = REGISTRY[f"{qname}_scalable"].fn(spark, sf)
+    assert twin_df.columns == base_df.columns
+    assert rows_set(twin_df) == rows_set(base_df)
 
 
 def test_ntile_closed_form_matches_sql_ntile():
