@@ -105,3 +105,34 @@ def test_two_pass_scan_matches_window(spark):
             inc.join(exc.select("id", "c_ex"), "id").select("id", "rn", "c_in", "c_ex")
         )
         assert got == expect, n_parts
+
+
+def test_two_pass_scan_empty_and_null_edges(spark):
+    """Edge cases the offsets path must survive: an empty input (dummy
+    offsets row, empty result), and a running max whose leading
+    partition is all-NULL (greatest() must pass the base through)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    empty = spark.createDataFrame([], schema)
+    out, n, tot = two_pass_scan(
+        empty, [F.asc("k")], sum_col="v", cum_col="c", rn_col="rn"
+    )
+    assert n == 0 and tot == 0 and out.count() == 0
+
+    # max col NULL in the first range partition only: rows 0..499 NULL,
+    # 500.. carry values; the exclusive prefix max at row i>500 must see
+    # the true max of 500..i-1 and rows <=500 must be NULL
+    df = spark.range(0, 1000).select(
+        "id", F.when(F.col("id") >= 500, F.col("id") % 97).alias("m")
+    )
+    got, _, _ = two_pass_scan(
+        df, [F.asc("id")], inclusive=False, extra_maxes=[("m", "pm")], n_parts=8
+    )
+    rows = {r["id"]: r["pm"] for r in got.collect()}
+    run = None
+    for i in range(1000):
+        assert rows[i] == run, (i, rows[i], run)
+        v = i % 97 if i >= 500 else None
+        if v is not None:
+            run = v if run is None else max(run, v)
