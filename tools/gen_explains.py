@@ -235,8 +235,17 @@ AUDIT = {
     "stage rescans events",
     "q_pareto_abc": "the one intended SinglePartition window runs over the PER-PART revenue "
     "rollup, never lineitems (the revenue agg is partial/final before it); at extreme part "
-    "cardinality the documented swap is the equi-depth percentile route — the rollup window is "
-    "the exactness-first operating point",
+    "cardinality q_pareto_abc_scalable swaps the window for the distributed two-pass scan — "
+    "the rollup window is the exactness-first operating point",
+    "q_pareto_abc_scalable": "the scale-safe twin: range-partition on (rev DESC, partkey), "
+    "pid-local cumulative window (every windowspecdefinition keyed on __pid), offsets return "
+    "via BroadcastHashJoin — no SinglePartition over data anywhere in the scan "
+    "(tests/test_plans.py::test_scalable_twins_window_only_per_pid pins all six twins)",
+    "q_rfm_segments_scalable": "three two-pass scans, one per score order — each a "
+    "range-exchange + pid-local row_number + broadcast offsets; ntile collapses to the "
+    "closed form over (rn, N), so no global ntile window survives in the plan",
+    "q_peak_concurrency_scalable": "the +1/-1 sweep's running sum as a pid-local window over "
+    "range-partitioned boundary points; the closing high-water agg partial/final-combines",
     "q_rolling_active_users": "window-distinct WITHOUT a spine self-join: the (user, day) dedupe "
     "is a combinable agg, the x7 contribution explode is a narrow per-row projection, and the "
     "closing distinct-count is the only two-phase stage — no join in the plan at all beyond the "
