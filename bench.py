@@ -413,6 +413,16 @@ def main() -> int:
         # integer threshold over the media table) — the heaviest
         # mapInPandas kernel that now carries a correctness row
         "q_phash_values",
+        # r12: the distributed two-pass scan family (functions/scan.py)
+        # — the window form + its heaviest twins, so a plan regression
+        # in the scan (extra exchange, lost broadcast offsets) shows as
+        # a perf delta: pareto pairs window-vs-scan directly, RFM runs
+        # three chained scans, the AUC twin stacks the classifier DAG
+        # under a scan
+        "q_pareto_abc",
+        "q_pareto_abc_scalable",
+        "q_rfm_segments_scalable",
+        "q_classifier_auc_scalable",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
