@@ -310,6 +310,7 @@ def _load_all() -> None:
         aggregates,
         windows,
         setops,
+        setsim,
         dedup,
         graph,
         clustering,

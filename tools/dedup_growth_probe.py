@@ -15,6 +15,16 @@ leans on:
    while bucket count grows, which is exactly the c6 layout's 100 TB
    posture (bucket width ~ corpus/2^16).  Claim: index + candidate join
    bytes ~linear, no quadratic bucket blow-up.
+3. **q_dedup_jaccard_prefix** — prefix-filtered EXACT Jaccard≥0.7 join
+   (operators/setsim.py).  Disjoint copies multiply shingle volume by k
+   with per-copy-distinct hashes, so posting lists stay base-width and
+   true pairs grow linearly.  Claim: index entries, candidates and
+   shuffle bytes all ~linear; the exact route needs no hot-cap because
+   rarest-first prefixes never index the frequent shingles.  (A
+   mega-cluster of true duplicates is out of scope here by design: its
+   PAIR OUTPUT is inherently quadratic for any exact pair-listing
+   operator — the engine's answer to that shape is
+   q_dedup_components/_star group contraction, probed in section 1.)
 
 Copies are node-shifted (doc_id + k·off) and text-tagged (every token
 prefixed ``c<k>x``), so nothing cancels and nothing pairs across copies
@@ -113,6 +123,36 @@ def main() -> int:
         # prove the OPERATOR avoids (first run OOMed doing that)
         row = (
             simhash_pairs(docs, blocks=6)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(
+                    F.when(
+                        (F.col("da") / off).cast("long") != (F.col("db") / off).cast("long"),
+                        1,
+                    )
+                ).alias("cross"),
+            )
+            .first()
+        )
+        wall = time.perf_counter() - t0
+        mb = shuffle_delta(snap0, settled_snapshot(spark))["shuffle_write_bytes"] / 1048576
+        print(
+            f"| {label} | {nd:,} | {row['n']:,} | {row['cross']:,} | {mb:.2f} | {wall:.2f} |",
+            flush=True,
+        )
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.setsim import jaccard_prefix_pairs
+
+    print()
+    print("### jaccard_prefix_pairs exact t=0.7 (disjoint text copies)")
+    print("| corpus | docs | pairs | cross-copy pairs | shuffle write (MB) | wall (s) |")
+    print("|---|---|---|---|---|---|")
+    for label, docs in graphs:
+        nd = docs.count()
+        snap0 = settled_snapshot(spark)
+        t0 = time.perf_counter()
+        row = (
+            jaccard_prefix_pairs(docs)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(
