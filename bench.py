@@ -423,6 +423,13 @@ def main() -> int:
         "q_pareto_abc_scalable",
         "q_rfm_segments_scalable",
         "q_classifier_auc_scalable",
+        # r12 second wave: the prefix-filtered EXACT Jaccard join (the
+        # candidate-generation shape that replaces the full inverted
+        # index — a regression that loses the prefix/length filters
+        # shows here as candidate-volume wall time) and the one-rollup
+        # k-anonymity lattice audit
+        "q_dedup_jaccard_prefix",
+        "q_k_anonymity",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 
