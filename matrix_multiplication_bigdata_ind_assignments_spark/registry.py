@@ -313,6 +313,7 @@ def _load_all() -> None:
         setsim,
         dedup,
         graph,
+        ppr,
         clustering,
         similarity,
         text,

@@ -532,3 +532,39 @@ def test_scalable_twins_window_only_per_pid(spark, sf_dir, qs, qname):
     assert specs, f"{qname}: expected at least one per-pid window"
     for s in specs:
         assert s.startswith("windowspecdefinition(__pid#"), (qname, s[:80])
+
+
+def test_jaccard_prefix_filters_in_join_and_semi_broadcast(spark, sf_dir):
+    """q_dedup_jaccard_prefix's two scale invariants (SCALING.md
+    'jaccard_prefix'): (a) the length + positional filters live INSIDE
+    the candidate join condition — as post-join Filters they'd run after
+    the unfiltered pair blow-up materializes; (b) the verify side prunes
+    the corpus-sized shingle-set table through a BroadcastHashJoin
+    LeftSemi (the explicit hint), never an exchange-backed semi.  A
+    regression that drops the hint re-pays the measured 3.6 GB corpus
+    exchange at the 100x growth arm.  Built with materialize=False: the
+    operator's eager checkpoints otherwise execute each stage at build
+    time and truncate the assertable plan."""
+    import re
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.setsim import jaccard_prefix_pairs
+    from matrix_multiplication_bigdata_ind_assignments_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    plan = plan_of(jaccard_prefix_pairs(d, materialize=False))
+    # the candidate join: one equi-join on doc_id-ordered pairs whose
+    # CONDITION carries the length filter's size products and the
+    # positional bound's exact integer division by (t_num + t_den) = 17
+    cand_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "* 10" in ln and "* 7" in ln
+    ]
+    assert cand_joins, "candidate join with inline length filter missing"
+    assert any("div 17" in ln for ln in cand_joins), cand_joins[0][:300]
+    # no post-join Filter may re-host those predicates
+    for ln in plan.splitlines():
+        if ln.strip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "div 17" not in ln and "* 10" not in ln, ln[:200]
+    # the semi prune must be a broadcast build, not exchange-backed
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:400]

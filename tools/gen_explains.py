@@ -250,6 +250,14 @@ AUDIT = {
     "is a combinable agg, the x7 contribution explode is a narrow per-row projection, and the "
     "closing distinct-count is the only two-phase stage — no join in the plan at all beyond the "
     "1-row span scalar",
+    "q_dedup_jaccard_prefix": "candidate SMJ keyed on the prefix-token hash with the length AND "
+    "PPJoin positional filters inside the join condition (never post-join); the verify side is "
+    "sets semi-joined through an explicit BroadcastHashJoin LeftSemi on the candidate doc_id "
+    "list — the corpus-sized shingle-set table must never appear under an Exchange "
+    "(SCALING.md 'jaccard_prefix': the AQE-reliant form paid a 3.6 GB corpus exchange)",
+    "q_k_anonymity": "one Expand (rollup) feeding a partial/final count-distinct — all four "
+    "lattice levels in a single shuffle pass over events; the per-level audit agg runs over "
+    "QI-cell counts (|cells| rows), never re-scanning events",
 }
 
 
