@@ -430,6 +430,16 @@ def main() -> int:
         # k-anonymity lattice audit
         "q_dedup_jaccard_prefix",
         "q_k_anonymity",
+        # r12 third wave: the two-vector mutual-recursion centrality
+        # (10 rounds × two broadcast join+agg steps — iterative-loop
+        # regression cover beside q_pagerank) and the MG-sketch heavy
+        # hitters (candidate pass + broadcast-semi exact verify; a lost
+        # map-side candidate filter shows here as a full-vocab exchange)
+        "q_hits",
+        "q_heavy_hitters",
+        # hybrid retrieval: dense cosine ⊕ sparse Jaccard → RRF; prices
+        # both retriever plans plus the fusion merge in one row
+        "q_rrf_fusion",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -1,0 +1,186 @@
+"""HITS (hubs & authorities) — Kleinberg, JACM'99 ("Authoritative
+sources in a hyperlinked environment") — over the DIRECTED
+supplier→customer trade graph (SURVEY.md §2.3 'iterative algorithms'
+class, beside q_pagerank/q_trustrank in the centrality family; the
+reference has no graph surface, so the parity anchor is the shared
+Pregel-style loop shape of `Stage 3`'s iterative partitioned kernels,
+e.g. `Stage 3/Python Implementation/mm_opt_par.py:43-86`'s fixed-round
+sweep — cited for loop structure only, nothing is ported).
+
+Mutual recursion distinguishes HITS from the PageRank family: each
+round updates TWO interleaved vectors — auth(v) = Σ_{u→v} hub(u) then
+hub(u) = Σ_{u→v} auth(v) — each L2-normalized.  On the bipartite
+supplier→customer graph this is the power iteration of AᵀA / AAᵀ, i.e.
+the principal left/right singular vectors of the trade incidence
+matrix: authorities = customers central to the trade flow, hubs =
+suppliers feeding them.
+
+ORACLE-CHECKED like q_pagerank: fixed 10 rounds, every aggregate
+(contribution sums, squared-norm sums) rounded to 12 dp IN-PLAN in both
+engines before use, so differing summation orders cannot drift across
+rounds; the DuckDB side is the same method unrolled into MATERIALIZED
+CTEs (each iterate is referenced twice — materialization keeps the
+unrolled plan linear, matching Spark's per-round localCheckpoint).
+
+Scale shape (= q_pagerank's broadcast arm): the static directed edge
+list is hash-clustered on src once and persisted; each round exchanges
+only the |V|-row score vectors (broadcast joins against the resident
+edges — zero edge movement), the two norm scalars are 1-row broadcast
+crossJoins (in-plan, no collect), and lineage truncates every
+``truncate_every`` rounds.  The copartition fallback for rank vectors
+too big to broadcast is the same switch documented on `pagerank`
+(operators/graph.py) and applies identically — the state here is two
+doubles per node instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .graph import _PR_ITERS
+
+_HITS_ITERS = _PR_ITERS  # 10 — same fixed-unroll contract as PageRank
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = _HITS_ITERS,
+    truncate_every: int = 2,
+) -> DataFrame:
+    """Power-method HITS over a directed edge list ``(src, dst)``.
+
+    Per round: auth_raw(v) = round(Σ_{u→v} hub(u), 12); auth =
+    round(auth_raw / ‖auth_raw‖₂, 12) with the norm itself computed as
+    round(sqrt(round(Σ auth_raw², 12)), 12); then the hub step reads the
+    FRESH auth (textbook update order).  The 12-dp rounding after every
+    aggregate is the determinism contract with the unrolled-CTE oracle —
+    identical inputs + identical IEEE ops in identical order ⇒ both
+    engines stay bit-comparable round by round (same recipe as
+    `pagerank`, operators/graph.py).
+
+    Returns (node, hub, auth); nodes on the zero side of the bipartite
+    split keep exact 0.0 (0/norm = 0, stable under rounding)."""
+    import os
+
+    if truncate_every < 1:
+        raise ValueError(f"truncate_every must be >= 1, got {truncate_every}")
+    n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
+    ed = edges.select("src", "dst").distinct().repartition(int(n_part), "src").persist()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    old_part = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_part)
+    try:
+        state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+        for it in range(iters):
+            araw = (
+                ed.join(F.broadcast(state.select("node", "hub")), ed.src == F.col("node"))
+                .groupBy("dst")
+                .agg(F.round(F.sum("hub"), 12).alias("ar"))
+            )
+            na = araw.agg(
+                F.round(F.sqrt(F.round(F.sum(F.col("ar") * F.col("ar")), 12)), 12).alias("nrm_a")
+            )
+            auth = araw.crossJoin(F.broadcast(na)).select(
+                F.col("dst").alias("node"),
+                F.round(F.col("ar") / F.col("nrm_a"), 12).alias("auth"),
+            )
+            hraw = (
+                ed.join(F.broadcast(auth), ed.dst == auth.node)
+                .groupBy("src")
+                .agg(F.round(F.sum("auth"), 12).alias("hr"))
+            )
+            nh = hraw.agg(
+                F.round(F.sqrt(F.round(F.sum(F.col("hr") * F.col("hr")), 12)), 12).alias("nrm_h")
+            )
+            hub = hraw.crossJoin(F.broadcast(nh)).select(
+                F.col("src").alias("node"),
+                F.round(F.col("hr") / F.col("nrm_h"), 12).alias("hub"),
+            )
+            new_state = (
+                nodes.join(F.broadcast(hub), "node", "left")
+                .join(F.broadcast(auth), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+                )
+            )
+            if (it + 1) % truncate_every == 0 or it == iters - 1:
+                new_state = new_state.localCheckpoint(eager=True)
+            state = new_state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        ed.unpersist()
+    return state
+
+
+def _sql_hits(iters: int = _HITS_ITERS) -> str:
+    """The identical mutual-recursion power method as unrolled DuckDB
+    MATERIALIZED CTEs — arithmetic parenthesized EXACTLY as the Spark
+    side (round the contribution sum, round the squared-norm sum, sqrt,
+    round, divide, round) so both engines stay bit-identical."""
+    ctes = [
+        """ed AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT ed.dst AS node, round(sum(h{i - 1}.hub), 12) AS ar
+  FROM ed JOIN h{i - 1} ON ed.src = h{i - 1}.node GROUP BY ed.dst
+),
+na{i} AS MATERIALIZED (SELECT round(sqrt(round(sum(ar * ar), 12)), 12) AS n FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT node, round(ar / (SELECT n FROM na{i}), 12) AS auth FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT ed.src AS node, round(sum(a{i}.auth), 12) AS hr
+  FROM ed JOIN a{i} ON ed.dst = a{i}.node GROUP BY ed.src
+),
+nh{i} AS MATERIALIZED (SELECT round(sqrt(round(sum(hr * hr), 12)), 12) AS n FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT node, round(hr / (SELECT n FROM nh{i}), 12) AS hub FROM hr{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN nodes.node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+       CAST(nodes.node // 2 AS BIGINT) AS key,
+       round(coalesce(h.hub, 0.0), 6) AS hub,
+       round(coalesce(a.auth, 0.0), 6) AS auth
+FROM nodes LEFT JOIN h{iters} h ON nodes.node = h.node
+           LEFT JOIN a{iters} a ON nodes.node = a.node
+"""
+    )
+
+
+@register("q_hits", oracle=_sql_hits())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed supplier→customer trade
+    graph, 10 L2-normalized rounds — the two-vector mutual-recursion
+    centrality (principal singular pair of the trade incidence matrix),
+    oracle-checked against the same method unrolled into DuckDB CTEs."""
+    from .graph import trade_edges
+
+    state = hits(spark, trade_edges(spark, sf_dir))
+    return state.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier")).otherwise(F.lit("customer")).alias("kind"),
+        (F.col("node") / 2).cast("bigint").alias("key"),
+        F.round(F.col("hub"), 6).alias("hub"),
+        F.round(F.col("auth"), 6).alias("auth"),
+    )

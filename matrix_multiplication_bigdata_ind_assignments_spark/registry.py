@@ -314,8 +314,11 @@ def _load_all() -> None:
         dedup,
         graph,
         ppr,
+        hits,
+        heavyhitters,
         clustering,
         similarity,
+        fusion,
         text,
         tokenizer,
         multimodal,

@@ -1,0 +1,65 @@
+"""HITS hubs/authorities (operators/hits.py)."""
+
+import math
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.hits import hits  # noqa: E402
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import trade_edges  # noqa: E402
+
+
+def test_hits_hand_fixture(spark):
+    """Bipartite star: supplier 2 feeds customers {1,3,5}; supplier 4
+    feeds {1} only.  Hand-checkable structure: customer 1 (fed by both
+    hubs) is the top authority, customers 3 and 5 tie below it;
+    supplier 2 (3 out-edges) out-hubs supplier 4; the off-sides stay
+    exactly 0.0 (suppliers get no in-edges, customers no out-edges)."""
+    edges = spark.createDataFrame([(2, 1), (2, 3), (2, 5), (4, 1)], "src long, dst long")
+    state = {r["node"]: (r["hub"], r["auth"]) for r in hits(spark, edges).collect()}
+    assert state[1][1] > state[3][1] == state[5][1] > 0
+    assert state[2][0] > state[4][0] > 0
+    assert state[2][1] == 0.0 and state[4][1] == 0.0  # suppliers: no in-edges
+    assert state[1][0] == 0.0 and state[3][0] == 0.0  # customers: no out-edges
+
+
+def test_hits_norms_are_unit(spark, sf_dir):
+    """Each round L2-normalizes both vectors; after the final round both
+    norms must sit at 1 (±12-dp rounding accumulation)."""
+    state = hits(spark, trade_edges(spark, sf_dir)).collect()
+    nh = math.sqrt(sum(r["hub"] ** 2 for r in state))
+    na = math.sqrt(sum(r["auth"] ** 2 for r in state))
+    assert abs(nh - 1.0) < 1e-6, nh
+    assert abs(na - 1.0) < 1e-6, na
+
+
+def test_hits_truncate_cadence_invariant(spark):
+    """Lineage truncation is an execution knob, not a semantic one: the
+    12-dp in-plan rounding makes every cadence produce bit-identical
+    scores (the same invariant the pagerank cadence A/B relies on)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (6, 1), (6, 5), (6, 7)], "src long, dst long"
+    )
+    a = sorted(tuple(r) for r in hits(spark, edges, truncate_every=1).collect())
+    b = sorted(tuple(r) for r in hits(spark, edges, truncate_every=3).collect())
+    assert a == b
+
+
+def test_hits_rejects_bad_cadence(spark):
+    edges = spark.createDataFrame([(2, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="truncate_every"):
+        hits(spark, edges, truncate_every=0)
+
+
+def test_hits_bipartite_sides_zero_on_trade_graph(spark, sf_dir):
+    """On the supplier→customer graph every supplier is a pure hub and
+    every customer a pure authority — the encoded parity decides the
+    zero side exactly (0/norm = 0 survives rounding)."""
+    state = hits(spark, trade_edges(spark, sf_dir)).collect()
+    assert all(r["auth"] == 0.0 for r in state if r["node"] % 2 == 0)
+    assert all(r["hub"] == 0.0 for r in state if r["node"] % 2 == 1)
+    # and the nonzero sides are genuinely populated
+    assert any(r["hub"] > 0 for r in state)
+    assert any(r["auth"] > 0 for r in state)

@@ -568,3 +568,26 @@ def test_jaccard_prefix_filters_in_join_and_semi_broadcast(spark, sf_dir):
             assert "div 17" not in ln and "* 10" not in ln, ln[:200]
     # the semi prune must be a broadcast build, not exchange-backed
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:400]
+
+
+def test_heavy_hitters_candidate_filter_precedes_exchange(spark, sf_dir, qs):
+    """The exact verify pass must filter the token stream through the
+    BROADCAST candidate set BEFORE the aggregate exchange — the whole
+    point of the MG sketch is that the shuffle carries O(m·P) candidate
+    partials, never the full vocabulary.  And the fused total must not
+    add another corpus scan: the checkpointed summary frame (an
+    ExistingRDD in the final plan — the sketch pass ran at build time)
+    feeds BOTH the candidate set and the stream total, so the assertable
+    plan holds exactly ONE parquet scan (the verify pass)."""
+    plan = plan_of(qs["q_heavy_hitters"](spark, sf_dir))
+    lines = plan.splitlines()
+    # the BroadcastHashJoin on the candidate key appears below the partial
+    # aggregate's exchange side: assert order BHJ -> HashAggregate -> Exchange
+    bhj = next(i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln)
+    assert any("HashAggregate" in ln for ln in lines[:bhj]), plan[:400]
+    # one corpus scan (verify); candidates AND totals read the tiny
+    # checkpointed summary frame, not the corpus again
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("Scan ExistingRDD") == 2, plan.count("Scan ExistingRDD")
+    # the total-count limb is the 1-row broadcast cross join, not a collect
+    assert "BroadcastNestedLoopJoin" in plan

@@ -258,6 +258,20 @@ AUDIT = {
     "q_k_anonymity": "one Expand (rollup) feeding a partial/final count-distinct — all four "
     "lattice levels in a single shuffle pass over events; the per-level audit agg runs over "
     "QI-cell counts (|cells| rows), never re-scanning events",
+    "q_hits": "like q_pagerank the final frame explains as an ExistingRDD scan — the 10 "
+    "mutual-recursion rounds (auth join+agg, hub join+agg, two 1-row norm crossJoins each) ran "
+    "against the resident src-clustered edge list with every score-vector side broadcast; per-round "
+    "exchange is O(|V|) twice over, zero edge movement, norms in-plan (no collect)",
+    "q_rrf_fusion": "both retriever limbs keep the corpus resident: the dense limb is the "
+    "q_cosine_topk shape (10-row query side under BroadcastExchange into the scored crossJoin), "
+    "the sparse limb equi-joins corpus tokens against BROADCAST query tokens and set sizes join "
+    "back as broadcast dims; every rank window partitions on query_id over candidate lists; the "
+    "fused merge is a full-outer SortMergeJoin over two <=depth*|Q|-row lists (tiny), never the corpus",
+    "q_heavy_hitters": "the exact verify pass filters the token stream through the BROADCAST "
+    "candidate set BEFORE the partial aggregate's exchange — the shuffle carries O(m*P) candidate "
+    "partials, never the full vocabulary; ONE parquet scan in the final plan (the MG sketch pass "
+    "ran at build time and its checkpointed summary frame feeds both the candidate set and the "
+    "fused stream total, a 1-row broadcast crossJoin)",
 }
 
 
