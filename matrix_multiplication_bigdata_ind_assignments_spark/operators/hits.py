@@ -26,8 +26,9 @@ Scale shape (= q_pagerank's broadcast arm): the static directed edge
 list is hash-clustered on src once and persisted; each round exchanges
 only the |V|-row score vectors (broadcast joins against the resident
 edges — zero edge movement), the two norm scalars are 1-row broadcast
-crossJoins (in-plan, no collect), and lineage truncates every
-``truncate_every`` rounds.  The copartition fallback for rank vectors
+crossJoins (in-plan, no collect), and each half-round's raw vector is
+eagerly materialized (see `hits` for why that cadence is forced here,
+unlike pagerank's knob).  The copartition fallback for rank vectors
 too big to broadcast is the same switch documented on `pagerank`
 (operators/graph.py) and applies identically — the state here is two
 doubles per node instead of one.
@@ -48,7 +49,6 @@ def hits(
     spark: SparkSession,
     edges: DataFrame,
     iters: int = _HITS_ITERS,
-    truncate_every: int = 2,
 ) -> DataFrame:
     """Power-method HITS over a directed edge list ``(src, dst)``.
 
@@ -61,12 +61,27 @@ def hits(
     engines stay bit-comparable round by round (same recipe as
     `pagerank`, operators/graph.py).
 
-    Returns (node, hub, auth); nodes on the zero side of the bipartite
-    split keep exact 0.0 (0/norm = 0, stable under rounding)."""
+    Loop discipline differs from pagerank's cadence knob for a reason:
+    each round reads its two contribution vectors TWICE each (the norm
+    aggregate and the divide), so naive per-round chaining squares the
+    plan — measured 29 s warm at sf0.01 for a 2-round cadence.  One
+    eager localCheckpoint of the |V|-row hub vector per round is the
+    measured sweet spot (10.8 s vs 13.7 s for checkpointing both
+    half-rounds): WITHIN the round's single materialization the twice-
+    referenced araw/hraw aggregates deduplicate through Spark's
+    exchange reuse (one shuffle each, verified bit-identical to the
+    both-halves-checkpointed form), and lineage never exceeds one
+    round.  Only score vectors are ever exchanged/materialized — the
+    edge list stays resident and is never moved (broadcast joins on
+    both steps).
+
+    Score frames carry only the NONZERO side each round (nodes absent
+    from ``hub`` contribute nothing to the next auth sum — identical
+    semantics, no per-round recombine join); the full (node, hub, auth)
+    frame with exact 0.0 on the off sides is assembled once at the
+    end."""
     import os
 
-    if truncate_every < 1:
-        raise ValueError(f"truncate_every must be >= 1, got {truncate_every}")
     n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
     ed = edges.select("src", "dst").distinct().repartition(int(n_part), "src").persist()
     nodes = (
@@ -79,10 +94,11 @@ def hits(
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
-        state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+        hub = nodes.select("node", F.lit(1.0).alias("hub"))
+        auth = None
         for it in range(iters):
             araw = (
-                ed.join(F.broadcast(state.select("node", "hub")), ed.src == F.col("node"))
+                ed.join(F.broadcast(hub), ed.src == hub.node)
                 .groupBy("dst")
                 .agg(F.round(F.sum("hub"), 12).alias("ar"))
             )
@@ -93,6 +109,10 @@ def hits(
                 F.col("dst").alias("node"),
                 F.round(F.col("ar") / F.col("nrm_a"), 12).alias("auth"),
             )
+            if it == iters - 1:
+                # the final auth feeds the output frame: materialize it so
+                # the closing join does not re-run the round's two shuffles
+                auth = auth.localCheckpoint(eager=True)
             hraw = (
                 ed.join(F.broadcast(auth), ed.dst == auth.node)
                 .groupBy("src")
@@ -101,22 +121,24 @@ def hits(
             nh = hraw.agg(
                 F.round(F.sqrt(F.round(F.sum(F.col("hr") * F.col("hr")), 12)), 12).alias("nrm_h")
             )
-            hub = hraw.crossJoin(F.broadcast(nh)).select(
-                F.col("src").alias("node"),
-                F.round(F.col("hr") / F.col("nrm_h"), 12).alias("hub"),
-            )
-            new_state = (
-                nodes.join(F.broadcast(hub), "node", "left")
-                .join(F.broadcast(auth), "node", "left")
+            hub = (
+                hraw.crossJoin(F.broadcast(nh))
                 .select(
-                    "node",
-                    F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
-                    F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+                    F.col("src").alias("node"),
+                    F.round(F.col("hr") / F.col("nrm_h"), 12).alias("hub"),
                 )
+                .localCheckpoint(eager=True)
             )
-            if (it + 1) % truncate_every == 0 or it == iters - 1:
-                new_state = new_state.localCheckpoint(eager=True)
-            state = new_state
+        state = (
+            nodes.join(F.broadcast(hub), "node", "left")
+            .join(F.broadcast(auth), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         ed.unpersist()
