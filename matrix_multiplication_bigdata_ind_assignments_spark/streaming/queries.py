@@ -1293,3 +1293,126 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max(n_events)").cast("long").alias("n_events"),
         F.expr("max_by(ewma, n_events)").alias("ewma"),
     )
+
+
+@register(
+    "q_stream_heavy_hitters",
+    oracle=lambda sf_dir: str(_REG["q_heavy_hitters"].oracle),
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters — the escape route
+    q_stream_word_topk's docstring names ("past vocabulary-sized state,
+    swap in a SpaceSaving/MG sketch, keep the same query surface"):
+    tokens shard by hash(word) and each shard keeps a BOUNDED m-counter
+    MG summary plus its exact token total in keyed state
+    (applyInPandasWithState) — state is O(shards·m) forever, independent
+    of vocabulary growth, where the word_topk form's state is the whole
+    running frequency table.
+
+    Losslessness is TIGHTER than the batch argument
+    (operators/heavyhitters.py): a word lives in exactly ONE shard, so
+    absence from that shard's summary bounds its full corpus frequency
+    by n_shard/(m+1) ≤ n/(m+1) — no summing over partitions.  At stream
+    end the shard-candidate union is verified EXACTLY against the
+    static corpus (the same broadcast-filtered verify pass), so the
+    final frame equals q_heavy_hitters and shares its oracle verbatim.
+
+    A directory corpus replays at maxFilesPerTrigger=1 so every file is
+    its own micro-batch — the state merge path is exercised for real
+    (tests/test_streaming.py drives a 3-file replay); the single-file
+    fixtures drain in one batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    from ..operators.heavyhitters import _HH_COUNTERS, _HH_K
+
+    m = _HH_COUNTERS
+    n_shards = 16
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType()),
+            StructField("seq", LongType()),
+            StructField("cands", ArrayType(StringType())),
+            StructField("total", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("words", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("total", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def mg_update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            words, counts, total, seq = state.get
+            s = pd.Series([float(c) for c in counts], index=list(words))
+        else:
+            s, total, seq = None, 0, 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+            vc = pdf["w"].value_counts()
+            s = vc.astype("float64") if s is None else s.add(vc, fill_value=0)
+            if len(s) > m:
+                pivot = s.nlargest(m + 1).iloc[-1]
+                s = s - pivot
+                s = s[s > 0]
+        seq += 1
+        words = [] if s is None else list(s.index.astype(str))
+        counts = [] if s is None else [int(c) for c in s]
+        state.update((words, counts, total, seq))
+        yield pd.DataFrame(
+            {"shard": [key[0]], "seq": [seq], "cands": [words], "total": [total]}
+        )
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(doc_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(doc_path):
+        raw = reader.option("maxFilesPerTrigger", 1).parquet(doc_path)
+    else:
+        raw = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    words = raw.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("w")
+    ).withColumn("shard", F.pmod(F.hash("w"), F.lit(n_shards)).cast("int"))
+    summaries = words.groupBy("shard").applyInPandasWithState(
+        mg_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(summaries, "update")
+    # update-mode sinks append one row per (shard, batch); the sketch at
+    # stream end is each shard's LAST emission (max seq)
+    w_last = Window.partitionBy("shard").orderBy(F.desc("seq"))
+    last = (
+        res.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .localCheckpoint(eager=True)  # ≤ shards rows, read twice below
+    )
+    cands = last.select(F.explode("cands").alias("w")).distinct()
+    tot = last.agg(F.sum("total").alias("n"))
+    static = spark.read.parquet(doc_path)
+    toks = static.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") > F.expr(f"n DIV {_HH_K}"))
+        .select(F.col("w").alias("word"), "cnt")
+    )

@@ -414,3 +414,29 @@ def test_stream_ewma_and_word_topk_state_envelopes(spark, sf_dir):
     rows = sum(o.get("numRowsTotal", 0) for o in ops)
     assert rows == vocab
     assert vocab < n_tokens / 10  # the Heaps'-law point: state << stream
+
+
+def test_stream_heavy_hitters_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """3-file replay at maxFilesPerTrigger=1 → three micro-batches per
+    shard: the MG state MERGE path (decrement across batches, running
+    total) must still land exactly on the batch heavy-hitter set over
+    the unioned corpus."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.heavyhitters import q_heavy_hitters
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import q_stream_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r["word"], r["cnt"]) for r in q_stream_heavy_hitters(spark, str(tmp_path)).collect()}
+    want = {(r["word"], r["cnt"]) for r in q_heavy_hitters(spark, str(tmp_path)).collect()}
+    assert got == want
+    assert want, "fixture produced no heavy hitters — test is vacuous"
+
+
+def test_stream_heavy_hitters_rerun_same_session(spark, sf_dir):
+    """Unique memory sinks: the same streaming query must run twice in
+    one session (regression probe from the verify recipe)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming.queries import q_stream_heavy_hitters
+
+    a = q_stream_heavy_hitters(spark, sf_dir).count()
+    b = q_stream_heavy_hitters(spark, sf_dir).count()
+    assert a == b > 0
