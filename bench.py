@@ -440,6 +440,9 @@ def main() -> int:
         # hybrid retrieval: dense cosine ⊕ sparse Jaccard → RRF; prices
         # both retriever plans plus the fusion merge in one row
         "q_rrf_fusion",
+        # distance centrality: per-(node, landmark) frontier BFS — the
+        # pair-state generalization of q_bfs_hops's loop
+        "q_closeness_landmarks",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -315,6 +315,7 @@ def _load_all() -> None:
         graph,
         ppr,
         hits,
+        closeness,
         heavyhitters,
         clustering,
         similarity,

@@ -1,0 +1,76 @@
+"""Landmark harmonic closeness (operators/closeness.py)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from matrix_multiplication_bigdata_ind_assignments_spark.operators.closeness import (  # noqa: E402
+    landmark_distances,
+    q_closeness_landmarks,
+)
+
+
+def _harmonic(spark, edges):
+    dists = landmark_distances(edges)
+    return {
+        r["node"]: r["h"]
+        for r in dists.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 12).alias("h"))
+        .collect()
+    }
+
+
+def test_single_landmark_path_graph(spark):
+    """Chain 20—1—4—3 with landmark 20 (the only node ≡ 0 mod 20):
+    H(1)=1, H(4)=1/2, H(3)=1/3; the landmark itself gets no self term."""
+    edges = spark.createDataFrame([(20, 1), (1, 4), (4, 3)], "src long, dst long")
+    h = _harmonic(spark, edges)
+    assert h[1] == 1.0 and h[4] == 0.5
+    assert abs(h[3] - 1 / 3) < 1e-9
+    assert 20 not in h  # dist>0 filter removes the self pair
+
+
+def test_two_landmarks_sum(spark):
+    """Chain 20—1—40: node 1 is adjacent to both landmarks (H=2); each
+    landmark sees the other at distance 2 (H=1/2)."""
+    edges = spark.createDataFrame([(20, 1), (1, 40)], "src long, dst long")
+    h = _harmonic(spark, edges)
+    assert h[1] == 2.0
+    assert h[20] == h[40] == 0.5
+
+
+def test_unreachable_component_emits_zero(spark, tmp_path):
+    """A component with no landmark contributes harmonic 0.0 rows, not
+    missing rows — exercised through the registered query by writing a
+    fixture whose trade graph has a landmark-free island."""
+    # suppliers 10 (node 20, landmark) and 3 (node 6); customers 1 (node 3)
+    # and 7 (node 15).  Orders: landmark island {20,3}; island {6,15} has
+    # no supplier ≡ 0 (mod 10) → harmonic 0.0 for both its nodes.
+    li = spark.createDataFrame(
+        [(1, 10), (2, 3)], "l_orderkey long, l_suppkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 7)], "o_orderkey long, o_custkey long"
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = {(r["kind"], r["key"]): r["harmonic"] for r in q_closeness_landmarks(spark, str(tmp_path)).collect()}
+    assert rows[("supplier", 10)] == 0.0  # the sole landmark: no other landmark to see
+    assert rows[("customer", 1)] == 1.0
+    assert rows[("supplier", 3)] == 0.0
+    assert rows[("customer", 7)] == 0.0
+
+
+def test_extra_rounds_invariant(spark, sf_dir):
+    """6 rounds already reaches fixpoint on the trade graph: doubling
+    the unroll must be bit-identical (the R+1 certificate's local
+    twin)."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import trade_edges
+
+    edges = trade_edges(spark, sf_dir)
+    a = sorted(tuple(r) for r in landmark_distances(edges, rounds=6).collect())
+    b = sorted(tuple(r) for r in landmark_distances(edges, rounds=12).collect())
+    assert a == b

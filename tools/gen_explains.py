@@ -262,6 +262,10 @@ AUDIT = {
     "mutual-recursion rounds (auth join+agg, hub join+agg, two 1-row norm crossJoins each) ran "
     "against the resident src-clustered edge list with every score-vector side broadcast; per-round "
     "exchange is O(|V|) twice over, zero edge movement, norms in-plan (no collect)",
+    "q_closeness_landmarks": "the bfs_hops delta/frontier discipline on (node, landmark) pair "
+    "state: every round's expansion joins the resident symmetric edge list against the BROADCAST "
+    "frontier only (never the settled table), first-reach anti-join per pair, per-round eager "
+    "checkpoints — the final frame explains as the harmonic agg over an ExistingRDD distance table",
     "q_rrf_fusion": "both retriever limbs keep the corpus resident: the dense limb is the "
     "q_cosine_topk shape (10-row query side under BroadcastExchange into the scored crossJoin), "
     "the sparse limb equi-joins corpus tokens against BROADCAST query tokens and set sizes join "
