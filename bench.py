@@ -443,6 +443,10 @@ def main() -> int:
         # distance centrality: per-(node, landmark) frontier BFS — the
         # pair-state generalization of q_bfs_hops's loop
         "q_closeness_landmarks",
+        # Kneser-Ney bigram LM: bigram-type model table + stream probe —
+        # prices the pair-space training aggs next to q_lm_perplexity's
+        # vocab-sized unigram row
+        "q_lm_kn_perplexity",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -321,6 +321,7 @@ def _load_all() -> None:
         similarity,
         fusion,
         text,
+        ngram_lm,
         tokenizer,
         multimodal,
         bench_results,

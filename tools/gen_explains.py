@@ -262,6 +262,12 @@ AUDIT = {
     "mutual-recursion rounds (auth join+agg, hub join+agg, two 1-row norm crossJoins each) ran "
     "against the resident src-clustered edge list with every score-vector side broadcast; per-round "
     "exchange is O(|V|) twice over, zero edge movement, norms in-plan (no collect)",
+    "q_lm_kn_perplexity": "ONE bigram construction (array transform + explode, no positional "
+    "self-join) feeds both training and scoring; the bigram-TYPE table materializes once "
+    "(ExistingRDD) and its three model aggs (left-context totals, continuation fans, type count) "
+    "join back as broadcasts; every reduction is a BIGINT micro-nat sum (map-side combinable); "
+    "the probe joins stream vs model on (w1, w2) — broadcast at fixture scale, documented "
+    "shuffle-join degradation at real model sizes",
     "q_closeness_landmarks": "the bfs_hops delta/frontier discipline on (node, landmark) pair "
     "state: every round's expansion joins the resident symmetric edge list against the BROADCAST "
     "frontier only (never the settled table), first-reach anti-join per pair, per-round eager "
