@@ -45,19 +45,52 @@ _CL_SEED_MOD = 20  # landmarks = trusted suppliers (node % 20 == 0), ~10% of sup
 
 
 def landmark_distances(
-    edges: DataFrame, rounds: int = _CL_ROUNDS, seed_mod: int = _CL_SEED_MOD
+    edges: DataFrame,
+    rounds: int = _CL_ROUNDS,
+    seed_mod: int = _CL_SEED_MOD,
+    join_strategy: str = "broadcast",
 ) -> DataFrame:
     """(node, lm, dist): exact hop distance from every landmark to every
     node reachable within ``rounds``, via the multi-source delta/frontier
     BFS of graph.bfs_hops generalized to per-landmark state — the
     frontier carries (node, lm, dist) triples and first-reach per PAIR
-    is minimal (unit weights), so relaxation is integer and monotone."""
+    is minimal (unit weights), so relaxation is integer and monotone.
+
+    ``join_strategy`` (the graph.pagerank switch, and NOT theoretical
+    here: tools/centrality_growth_probe.py's disjoint-10x arm BLEW the
+    broadcast build — the pair frontier peaks at |V|·|L| scale, far
+    bigger than any single-vector frontier):
+
+    - ``'broadcast'`` (default): the frontier side broadcasts — zero
+      edge movement; right while the PAIR frontier fits an executor.
+      (The settled-pair table is never broadcast in either arm — it is
+      the largest frame; the first-reach anti-join always shuffles on
+      the (node, lm) key.)
+    - ``'copartition'``: the symmetric edge list is hash-clustered on
+      src ONCE (persisted) and the loop pins shuffle partitions to its
+      count, so each round's expansion exchanges ONLY the frontier side
+      (EnsureRequirements reuses the edges' clustering), and the
+      first-reach anti-join shuffles pair-state — per-round cost
+      O(|frontier| + touched edges), never a driver-memory broadcast.
+      The probe's growth arms run this arm; results are bit-identical
+      (integer monotone relaxation is join-order-invariant; asserted in
+      tests/test_closeness.py)."""
+    if join_strategy not in ("broadcast", "copartition"):
+        raise ValueError(f"unknown join_strategy {join_strategy!r}")
+    import os
+
+    bc = F.broadcast if join_strategy == "broadcast" else (lambda df: df)
+    n_part = int(os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8"))
+    spark = edges.sparkSession
     ck = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    sym = ck(
-        edges.select("src", "dst").unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if join_strategy == "copartition":
+        sym = sym.repartition(n_part, "src").persist()
+        sym.count()  # materialize the one-time clustering
+    else:
+        sym = ck(sym)
     dist = ck(
         sym.select("src")
         .where(F.col("src") % seed_mod == 0)
@@ -69,18 +102,29 @@ def landmark_distances(
         )
     )
     frontier = dist
-    for r in range(rounds):
-        reached = (
-            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
-            .select(F.col("dst").alias("node"), "lm", (F.col("dist") + 1).alias("dist"))
-            .groupBy("node", "lm")
-            .agg(F.min("dist").alias("dist"))
-        )
-        new = ck(reached.join(dist, ["node", "lm"], "left_anti"))
-        if r < rounds - 2 and new.isEmpty():
-            break  # pair-frontier fixpoint: remaining rounds relax nothing
-        dist = ck(dist.unionAll(new))
-        frontier = new
+    old_part = spark.conf.get("spark.sql.shuffle.partitions")
+    if join_strategy == "copartition":
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        for r in range(rounds):
+            reached = (
+                sym.join(bc(frontier.withColumnRenamed("node", "src")), "src")
+                .select(F.col("dst").alias("node"), "lm", (F.col("dist") + 1).alias("dist"))
+                .groupBy("node", "lm")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # the settled-pair table is the LARGEST frame (peaks at
+            # |V|·|L|): the first-reach anti-join is never broadcast in
+            # either arm — it shuffles on the (node, lm) key
+            new = ck(reached.join(dist, ["node", "lm"], "left_anti"))
+            if r < rounds - 2 and new.isEmpty():
+                break  # pair-frontier fixpoint: remaining rounds relax nothing
+            dist = ck(dist.unionAll(new))
+            frontier = new
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        if join_strategy == "copartition":
+            sym.unpersist()
     return dist
 
 

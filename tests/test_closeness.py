@@ -74,3 +74,19 @@ def test_extra_rounds_invariant(spark, sf_dir):
     a = sorted(tuple(r) for r in landmark_distances(edges, rounds=6).collect())
     b = sorted(tuple(r) for r in landmark_distances(edges, rounds=12).collect())
     assert a == b
+
+
+def test_copartition_arm_bit_identical(spark, sf_dir):
+    """The copartition fallback (the arm the growth probe's 10x graphs
+    need — the pair frontier outgrows the broadcast build) must produce
+    the identical distance table: integer monotone relaxation is
+    join-strategy-invariant."""
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import trade_edges
+
+    edges = trade_edges(spark, sf_dir)
+    a = sorted(tuple(r) for r in landmark_distances(edges).collect())
+    b = sorted(
+        tuple(r)
+        for r in landmark_distances(edges, join_strategy="copartition").collect()
+    )
+    assert a == b
