@@ -440,3 +440,28 @@ def test_stream_heavy_hitters_rerun_same_session(spark, sf_dir):
     a = q_stream_heavy_hitters(spark, sf_dir).count()
     b = q_stream_heavy_hitters(spark, sf_dir).count()
     assert a == b > 0
+
+
+def test_stream_heavy_hitters_state_is_shard_bounded(spark, tmp_path):
+    """State rows ≤ shard count even when the vocabulary explodes — the
+    whole point of the MG swap over q_stream_word_topk's exact table.
+    5k docs × 10 unique words = 50k distinct tokens; state must stay at
+    one row per shard (16), not grow with the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.streaming import queries as SQ
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("hot"),
+            *[F.concat(F.lit(f"w{j}_"), F.col("id").cast("string")) for j in range(10)],
+        ).alias("text"),
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = SQ.q_stream_heavy_hitters(spark, str(tmp_path)).collect()
+    assert {r["word"] for r in out} == {"hot"}  # 5000 > 55000//100; singletons are not heavy
+    ops = SQ.last_state_metrics()
+    rows = sum(o.get("numRowsTotal", 0) for o in ops)
+    assert 0 < rows <= 16, rows
