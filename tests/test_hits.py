@@ -72,3 +72,35 @@ def test_hits_bipartite_sides_zero_on_trade_graph(spark, sf_dir):
     # and the nonzero sides are genuinely populated
     assert any(r["hub"] > 0 for r in state)
     assert any(r["auth"] > 0 for r in state)
+
+
+def test_hits_loop_shuffle_is_score_sized(spark, sf_dir):
+    """Loop-only shuffle must stay O(|V|) per round — the edge list is
+    exchanged once (setup) and never again; each round moves only the
+    two partial-agg score vectors.  Isolated as (bytes@11 − bytes@1)/10
+    like the pagerank envelope test; pins the measured 29,118 B/iter at
+    sf0.001 (|V|=160) with the same 0.4×–1.6× band.  A regression that
+    re-exchanges the |E|-row edge list each round lands far over the
+    ceiling."""
+    import pytest
+
+    from matrix_multiplication_bigdata_ind_assignments_spark.functions.metrics import (
+        ShuffleMetricsUnavailable,
+        measure_shuffle,
+    )
+    from matrix_multiplication_bigdata_ind_assignments_spark.operators.graph import trade_edges
+
+    edges = trade_edges(spark, sf_dir)
+    per = {}
+    for iters in (1, 11):
+
+        def run(it=iters):
+            hits(spark, edges, iters=it).write.format("noop").mode("overwrite").save()
+
+        run()  # warm
+        try:
+            per[iters] = measure_shuffle(spark, run)["shuffle_write_bytes"]
+        except ShuffleMetricsUnavailable as e:
+            pytest.skip(f"shuffle metrics unavailable on this Spark build: {e}")
+    per_iter = (per[11] - per[1]) / 10
+    assert 0.4 * 29_118 <= per_iter <= 1.6 * 29_118, per
