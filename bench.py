@@ -447,6 +447,10 @@ def main() -> int:
         # prices the pair-space training aggs next to q_lm_perplexity's
         # vocab-sized unigram row
         "q_lm_kn_perplexity",
+        # graph moment stats + the single-pass AMS F2 sketch (30 sum
+        # columns, one agg — a lost map-side combine shows here)
+        "q_assortativity",
+        "q_f2_ams",
     ):
         benches[name] = (lambda nm: lambda: run(qs[nm](spark, sf_dir)))(name)
 

@@ -1652,3 +1652,87 @@ def modularity(edges: DataFrame, lp: DataFrame) -> DataFrame:
             )
         ).alias("modularity"),
     )
+
+
+_ASSORT_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ed AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM ed GROUP BY src),
+pairs AS (
+  SELECT d1.d AS x, d2.d AS y
+  FROM ed JOIN deg d1 ON ed.src = d1.node JOIN deg d2 ON ed.dst = d2.node
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sx2,
+         sum(CAST(y AS HUGEINT) * y) AS sy2
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS m_pairs,
+       round(CAST(m * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)
+                    * CAST(m * sy2 - sy * sy AS DOUBLE)), 6) AS assortativity
+FROM s
+"""
+
+
+@register("q_assortativity", oracle=_ASSORT_SQL)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002 "Assortative mixing in
+    networks"): the Pearson correlation of endpoint degrees over every
+    directed listing of the symmetric trade graph — do high-degree
+    nodes attach to high-degree nodes (social nets, r > 0) or to leaves
+    (technological/bipartite nets, r < 0)?  The diagnostic that decides
+    whether hub-targeting remedies (degree orientation, hot-key
+    salting) matter for the graph family, complementing
+    q_degree_powerlaw's tail exponent.
+
+    Exactness contract (the q_modularity DECIMAL discipline, ADVICE
+    r11): every moment (Σx, Σxy, Σx², …) accumulates in Spark
+    DECIMAL(38,0) with operands cast BEFORE multiplying, and the
+    Newman-formula products (M·Σxy − Σx·Σy, …) stay 128-bit-exact;
+    DuckDB mirrors in HUGEINT (its decimal multiply caps combined width
+    at 38).  Both engines convert the SAME exact integers to DOUBLE for
+    the one closing divide+sqrt, so results match bit-for-bit to the
+    6-dp round.  Headroom: at M ~ 1e12 endpoint pairs and degrees ~1e4
+    the largest product is ~1e32 — six orders inside DECIMAL(38,0).
+
+    Scale shape: one distinct + two broadcast-degree joins + ONE
+    combinable moment agg — nothing after the first exchange scales
+    with |E|."""
+    edges = trade_edges(spark, sf_dir)
+    ed = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        ed.join(F.broadcast(deg.select(F.col("src").alias("node"), F.col("d").alias("x"))),
+                ed.src == F.col("node"))
+        .drop("node")
+        .join(F.broadcast(deg.select(F.col("src").alias("node"), F.col("d").alias("y"))),
+              ed.dst == F.col("node"))
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        F.sum(dec("y") * F.col("y")).cast("decimal(38,0)").alias("sy2"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")
+    den2 = F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("m").cast("long").alias("m_pairs"),
+        F.round(
+            num.cast("double") / F.sqrt(den1.cast("double") * den2.cast("double")), 6
+        ).alias("assortativity"),
+    )

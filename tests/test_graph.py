@@ -490,3 +490,22 @@ def test_modularity_two_cliques_hand_value(spark):
     assert row["n_communities"] == 2
     assert row["m_edges"] == 13
     assert row["modularity"] == 0.423077
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A star is perfectly disassortative: every edge joins the hub
+    (degree 3) to a leaf (degree 1), so endpoint degrees are perfectly
+    anti-correlated — r = −1 exactly.  Driven through the registered
+    query via a written fixture (supplier 1 trades with customers
+    1,2,3)."""
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "l_orderkey long, l_suppkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "o_orderkey long, o_custkey long"
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = G.q_assortativity(spark, str(tmp_path)).collect()[0]
+    assert row["m_pairs"] == 6  # 3 undirected edges, both listings
+    assert row["assortativity"] == -1.0

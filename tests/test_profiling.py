@@ -580,3 +580,37 @@ def test_sketch_post_checks_fire_on_injected_violation(spark, sf_dir):
             qname,
             msg,
         )
+
+
+def test_f2_ams_certificate_and_injection(spark, sf_dir):
+    """The AMS F2 sketch: real output passes its sweep certificate,
+    an injected 2x-off estimate fails it loudly, the estimate is
+    deterministic across runs/partitionings (fixed seeds, integer Z
+    sums), and it actually lands within the documented 25% of exact."""
+    import duckdb
+
+    from matrix_multiplication_bigdata_ind_assignments_spark import registry
+
+    registry._load_all()
+    q = registry.REGISTRY["q_f2_ams"]
+    df = q.fn(spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    cols = list(df.columns)
+    assert q.post_check(rows, cols, sf_dir) is None
+    i = cols.index("f2_est")
+    bad = [tuple(2 * v + 10 if j == i else v for j, v in enumerate(rows[0]))]
+    assert q.post_check(bad, cols, sf_dir) is not None
+    # determinism: a second run is bit-identical
+    rows2 = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
+    assert rows == rows2
+    # and the bound is honest, not just certified
+    (f2,) = (
+        duckdb.connect()
+        .execute(
+            "SELECT sum(c * c) FROM (SELECT count(*) AS c FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS w"
+            f" FROM '{sf_dir}/documents.parquet') WHERE w <> '' GROUP BY w)"
+        )
+        .fetchone()
+    )
+    assert abs(rows[0][i] - f2) <= 0.25 * f2

@@ -262,6 +262,12 @@ AUDIT = {
     "mutual-recursion rounds (auth join+agg, hub join+agg, two 1-row norm crossJoins each) ran "
     "against the resident src-clustered edge list with every score-vector side broadcast; per-round "
     "exchange is O(|V|) twice over, zero edge movement, norms in-plan (no collect)",
+    "q_assortativity": "one distinct + two BROADCAST degree joins + a single combinable moment "
+    "agg (six DECIMAL(38,0) sums) — nothing after the first exchange scales with |E|; the Newman "
+    "formula's 128-bit products and the closing divide are all in the one-row tail",
+    "q_f2_ams": "the WHOLE sketch is one single-pass partial/final HashAggregate over the token "
+    "stream (30 sign-sum columns + the count) — no per-key state, no second scan; the "
+    "median-of-means fold is a one-row array expression",
     "q_lm_kn_perplexity": "ONE bigram construction (array transform + explode, no positional "
     "self-join) feeds both training and scoring; the bigram-TYPE table materializes once "
     "(ExistingRDD) and its three model aggs (left-context totals, continuation fans, type count) "
