@@ -812,7 +812,19 @@ def kcore(edges: DataFrame, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> D
     (swap for .checkpoint() cadence on a real cluster, the
     graph.pagerank checkpoint_every discipline).  At 100 TB this is the
     standard distributed peeling: O(rounds) passes, each linear in the
-    surviving edges."""
+    surviving edges.
+
+    Early stop (r12): the per-round degree table is materialized and
+    probed — if NO vertex sits below the bound, peeling has reached its
+    monotone fixpoint: this round (and every remaining one) removes
+    nothing, and the degree table itself IS the answer the closing agg
+    would recompute, so it is returned directly.  Identical rows to the
+    full fixed unroll (the label_prop short-circuit discipline; peeling
+    is monotone, post-fixpoint rounds are identities) — asserted in
+    tests/test_graph.py::test_kcore_fixpoint_margin, and the probe swaps
+    the old per-round ``keep`` checkpoint for a ``deg`` checkpoint (same
+    count of materializations per non-fixpoint round; ``keep`` becomes a
+    cheap filter over the materialized degree blocks)."""
     live = edges.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = (
@@ -820,8 +832,13 @@ def kcore(edges: DataFrame, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> D
             .unionAll(live.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
         )
-        keep = deg.where(F.col("d") >= k).select("node").localCheckpoint(eager=True)
+        if deg.where(F.col("d") < k).isEmpty():
+            # fixpoint: every surviving vertex already has degree >= k,
+            # so the final count-agg over live would reproduce deg exactly
+            return deg.select("node", F.col("d").cast("long").alias("core_deg"))
+        keep = deg.where(F.col("d") >= k).select("node")
         live = (
             live.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
@@ -998,7 +1015,8 @@ _BFS_ROUNDS = 6  # fixed unroll; the trade graph settles in ≤3 (dense bipartit
 
 
 def bfs_hops(
-    edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS, truncate: bool = True
+    edges: DataFrame, seeds: DataFrame, rounds: int = _BFS_ROUNDS, truncate: bool = True,
+    report_fixpoint: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distance over an undirected edge list
     ``(src, dst)`` from a ``(node)`` seed set: returns (node, dist) for
@@ -1025,7 +1043,21 @@ def bfs_hops(
     same BFS levels).  The caller certifies fixpoint (q_bfs_hops runs
     one extra expansion and fails loudly on any improvement) so a
     regenerated fixture needing deeper search cannot hash green
-    wrong-together (the q_kcore / ADVICE-r9 lesson)."""
+    wrong-together (the q_kcore / ADVICE-r9 lesson).
+
+    ``report_fixpoint=True`` returns ``(dist, observed)`` where
+    ``observed`` records whether the loop SAW an empty frontier.  An
+    empty frontier is itself a fixpoint PROOF, not just a stopping
+    heuristic: every settled node entered some round's frontier when its
+    distance last improved and was expanded in the following round, so
+    by the time a frontier comes back empty, every (settled node →
+    neighbor) relaxation has already been offered and rejected — a full
+    re-expansion of the settled set can improve nothing.  Callers that
+    otherwise pay an O(|E|) certificate join (q_bfs_hops and the
+    widest/shortest twins) skip it when ``observed`` is True and run it
+    only on the uncertified path (loop exhausted ``rounds`` with a
+    non-empty frontier) — measured r12: the certificate was ~1/4 of
+    q_bfs_hops' wall at sf0.1."""
     ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
     sym = ck(
         edges.select("src", "dst").unionAll(
@@ -1034,6 +1066,7 @@ def bfs_hops(
     )
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
+    observed_fixpoint = False
     for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
@@ -1042,21 +1075,22 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
         )
         new = ck(reached.join(dist, "node", "left_anti"))
-        if truncate and r < rounds - 2 and new.isEmpty():
+        if truncate and new.isEmpty():
             # empty frontier = fixpoint: every remaining round relaxes
             # nothing, so stopping returns the identical fixed-unroll
             # result (the label_prop short-circuit discipline).  The probe
             # (isEmpty ~60 ms on the materialized checkpoint; limit.count
-            # measured 145 ms) only runs while it can still save >= 2
-            # rounds — post-fixpoint rounds are cheap locally, so probing
-            # to save one is a net loss, while on a real cluster every
-            # skipped round is a full scheduling wave.  Only on the
-            # truncating path — truncate=False exists for plan-shape
-            # tests that must see every round's join.
+            # measured 145 ms) runs EVERY round since r12: besides the
+            # skipped rounds it now also buys the caller's O(|E|)
+            # certificate skip (see report_fixpoint above), so even a
+            # last-round probe pays for itself.  Only on the truncating
+            # path — truncate=False exists for plan-shape tests that
+            # must see every round's join.
+            observed_fixpoint = True
             break
         dist = ck(dist.unionAll(new))
         frontier = new
-    return dist
+    return (dist, observed_fixpoint) if report_fixpoint else dist
 
 
 def _sql_bfs_hops(rounds: int = _BFS_ROUNDS) -> str:
@@ -1094,6 +1128,32 @@ FROM d{rounds}
     )
 
 
+def _certify_bfs_fixpoint(edges: DataFrame, dist: DataFrame) -> None:
+    """The O(|E|) BFS fixpoint certificate: expand the FULL settled set
+    once; raise if anything improves.  Called by q_bfs_hops only on the
+    uncertified path (loop exhausted its unroll without an observed
+    empty frontier); tested directly on an under-iterated dist."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    relaxed = (
+        sym.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+        .groupBy("node")
+        .agg(F.min("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(dist, "node", "left_outer")
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_bfs_hops: {improved} vertices still improvable after "
+            f"{_BFS_ROUNDS} rounds — raise _BFS_ROUNDS for this fixture"
+        )
+
+
 @register(
     "q_bfs_hops",
     oracle=_sql_bfs_hops(),
@@ -1118,29 +1178,19 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % 20 == 0)
         .distinct()
     )
-    dist = bfs_hops(edges, seeds)
-    # fixpoint certificate: expanding the full settled set once more
+    dist, at_fixpoint = bfs_hops(edges, seeds, report_fixpoint=True)
+    # Fixpoint certificate: expanding the full settled set once more
     # must improve nothing (monotone relaxation => this proves ALL
-    # shortest paths within the unroll are final)
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    relaxed = (
-        sym.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
-        .groupBy("node")
-        .agg(F.min("cand").alias("cand"))
-    )
-    improved = (
-        relaxed.join(dist, "node", "left_outer")
-        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-        .count()
-    )
-    if improved:
-        raise AssertionError(
-            f"q_bfs_hops: {improved} vertices still improvable after "
-            f"{_BFS_ROUNDS} rounds — raise _BFS_ROUNDS for this fixture"
-        )
+    # shortest paths within the unroll are final).  When the loop itself
+    # OBSERVED an empty frontier, that observation is already a proof of
+    # the same fact (every settled node was expanded after its last
+    # improvement — see bfs_hops' report_fixpoint contract), so the
+    # O(|E|) certificate join runs only on the uncertified path: loop
+    # exhausted _BFS_ROUNDS while still improving (r12 optimization;
+    # tests/test_graph.py::test_frontier_certificate_fires_when_rounds_short
+    # pins that the certificate still fires there).
+    if not at_fixpoint:
+        _certify_bfs_fixpoint(edges, dist)
     return dist.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
@@ -1158,7 +1208,7 @@ _WP_SEED_CAP = 1 << 40  # seed sentinel, far above any edge weight
 
 
 def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
-                truncate: bool = True) -> DataFrame:
+                truncate: bool = True, report_fixpoint: bool = False) -> DataFrame:
     """Maximum-bottleneck (widest-path) capacity from a seed set over a
     weighted undirected edge list ``(src, dst, w)``: cap(v) = max over
     paths of the minimum edge weight — the supply-chain robustness /
@@ -1166,7 +1216,13 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
     (per-round work O(|frontier|·deg)); caps only ever INCREASE, so
     propagating from improved nodes alone reaches the same monotone
     fixpoint as whole-vector relaxation (the unrolled oracle's form) —
-    all-integer, so the engines agree exactly."""
+    all-integer, so the engines agree exactly.
+
+    ``report_fixpoint=True`` returns ``(cap, observed)`` — same contract
+    and proof as bfs_hops: every improved node re-enters the frontier
+    and is expanded the following round, so an observed empty frontier
+    means every (settled → neighbor) relaxation was already offered and
+    rejected; the caller's O(|E|) certificate join is redundant then."""
     sym = edges_w.select("src", "dst", "w").unionAll(
         edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
@@ -1174,6 +1230,7 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
     sym = ck(sym)
     cap = ck(seeds.select("node", F.lit(_WP_SEED_CAP).cast("long").alias("cap")))
     frontier = cap
+    observed_fixpoint = False
     for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
@@ -1189,13 +1246,17 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
             .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
             .select("node", F.col("cand").alias("cap"))
         )
-        if truncate and r < rounds - 2 and improved.isEmpty():
-            break  # empty frontier = monotone fixpoint; rest are no-ops
+        if truncate and improved.isEmpty():
+            # empty frontier = monotone fixpoint; rest are no-ops.  Probed
+            # every round since r12 — besides skipped rounds the probe now
+            # buys the caller's certificate skip (report_fixpoint above).
+            observed_fixpoint = True
+            break
         cap = ck(
             cap.join(improved.select("node"), "node", "left_anti").unionAll(improved)
         )
         frontier = improved
-    return cap
+    return (cap, observed_fixpoint) if report_fixpoint else cap
 
 
 def trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,6 +1312,30 @@ FROM c{rounds}
     )
 
 
+def _certify_widest_fixpoint(ew: DataFrame, cap: DataFrame) -> None:
+    """Max-min twin of _certify_bfs_fixpoint (one full relaxation of the
+    settled capacities; raise on any improvement)."""
+    sym = ew.unionAll(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    relaxed = (
+        sym.join(cap.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), F.least(F.col("cap"), F.col("w")).alias("cand"))
+        .groupBy("node")
+        .agg(F.max("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(cap, "node", "left_outer")
+        .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_widest_path: {improved} vertices still improvable after "
+            f"{_WP_ROUNDS} rounds — raise _WP_ROUNDS for this fixture"
+        )
+
+
 @register(
     "q_widest_path",
     oracle=_sql_widest_path(),
@@ -1272,26 +1357,11 @@ def q_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % 20 == 0)
         .distinct()
     )
-    cap = widest_path(ew, seeds)
-    sym = ew.unionAll(
-        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    relaxed = (
-        sym.join(cap.withColumnRenamed("node", "src"), "src")
-        .select(F.col("dst").alias("node"), F.least(F.col("cap"), F.col("w")).alias("cand"))
-        .groupBy("node")
-        .agg(F.max("cand").alias("cand"))
-    )
-    improved = (
-        relaxed.join(cap, "node", "left_outer")
-        .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
-        .count()
-    )
-    if improved:
-        raise AssertionError(
-            f"q_widest_path: {improved} vertices still improvable after "
-            f"{_WP_ROUNDS} rounds — raise _WP_ROUNDS for this fixture"
-        )
+    cap, at_fixpoint = widest_path(ew, seeds, report_fixpoint=True)
+    # certificate only on the uncertified path — an observed empty
+    # frontier is already a fixpoint proof (see q_bfs_hops' comment)
+    if not at_fixpoint:
+        _certify_widest_fixpoint(ew, cap)
     return cap.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
@@ -1400,7 +1470,7 @@ _SP_COST = "1000000 // w + 1"  # inverse-strength latency: strong links cheap
 
 
 def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS,
-                  truncate: bool = True) -> DataFrame:
+                  truncate: bool = True, report_fixpoint: bool = False) -> DataFrame:
     """Min-plus (Bellman-Ford) shortest-path distance from a seed set
     over a weighted undirected edge list ``(src, dst, cost)``: dist(v)
     = min over paths of the edge-cost sum.  The additive twin of
@@ -1409,7 +1479,12 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
     monotone fixpoint as whole-vector Bellman-Ford), all-integer so
     the engines agree exactly.  Per-round shuffle is O(|frontier|·deg);
     lineage truncation per round (swap localCheckpoint for checkpoint
-    cadence on a real cluster)."""
+    cadence on a real cluster).
+
+    ``report_fixpoint=True`` returns ``(dist, observed)`` — same
+    contract and proof as widest_path: an observed empty frontier means
+    every settled value was already expanded after its last improvement,
+    so the caller's full-relaxation certificate is redundant."""
     sym = edges_w.select("src", "dst", "cost").unionAll(
         edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
     )
@@ -1417,6 +1492,7 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
     sym = ck(sym)
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
+    observed_fixpoint = False
     for r in range(rounds):
         reached = (
             sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
@@ -1432,13 +1508,16 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
             .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
         )
-        if truncate and r < rounds - 2 and improved.isEmpty():
-            break  # empty frontier = monotone fixpoint; rest are no-ops
+        if truncate and improved.isEmpty():
+            # empty frontier = monotone fixpoint; rest are no-ops.  Probed
+            # every round since r12 (buys the certificate skip too).
+            observed_fixpoint = True
+            break
         dist = ck(
             dist.join(improved.select("node"), "node", "left_anti").unionAll(improved)
         )
         frontier = improved
-    return dist
+    return (dist, observed_fixpoint) if report_fixpoint else dist
 
 
 def _sql_shortest_path(rounds: int = _SP_ROUNDS) -> str:
@@ -1480,6 +1559,30 @@ FROM c{rounds}
     )
 
 
+def _certify_shortest_fixpoint(ew: DataFrame, dist: DataFrame) -> None:
+    """Min-plus twin of _certify_bfs_fixpoint (one full relaxation of
+    the settled distances; raise on any improvement)."""
+    sym = ew.unionAll(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    )
+    relaxed = (
+        sym.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("cand"))
+        .groupBy("node")
+        .agg(F.min("cand").alias("cand"))
+    )
+    improved = (
+        relaxed.join(dist, "node", "left_outer")
+        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+        .count()
+    )
+    if improved:
+        raise AssertionError(
+            f"q_shortest_path: {improved} vertices still improvable after "
+            f"{_SP_ROUNDS} rounds — raise _SP_ROUNDS for this fixture"
+        )
+
+
 @register(
     "q_shortest_path",
     oracle=_sql_shortest_path(),
@@ -1505,26 +1608,11 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % 20 == 0)
         .distinct()
     )
-    dist = shortest_path(ew, seeds)
-    sym = ew.unionAll(
-        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
-    )
-    relaxed = (
-        sym.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("cand"))
-        .groupBy("node")
-        .agg(F.min("cand").alias("cand"))
-    )
-    improved = (
-        relaxed.join(dist, "node", "left_outer")
-        .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-        .count()
-    )
-    if improved:
-        raise AssertionError(
-            f"q_shortest_path: {improved} vertices still improvable after "
-            f"{_SP_ROUNDS} rounds — raise _SP_ROUNDS for this fixture"
-        )
+    dist, at_fixpoint = shortest_path(ew, seeds, report_fixpoint=True)
+    # certificate only on the uncertified path — an observed empty
+    # frontier is already a fixpoint proof (see q_bfs_hops' comment)
+    if not at_fixpoint:
+        _certify_shortest_fixpoint(ew, dist)
     return dist.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))

@@ -509,3 +509,70 @@ def test_assortativity_star_is_minus_one(spark, tmp_path):
     row = G.q_assortativity(spark, str(tmp_path)).collect()[0]
     assert row["m_pairs"] == 6  # 3 undirected edges, both listings
     assert row["assortativity"] == -1.0
+
+
+def test_frontier_certificate_fires_when_rounds_short(spark):
+    """r12 optimization guard: the O(|E|) fixpoint certificate is
+    SKIPPED when the loop observes an empty frontier (the observation
+    is itself a proof — every settled node was expanded after its last
+    improvement), but it MUST still fire on the uncertified path: an
+    under-iterated run whose frontier never emptied."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    # rounds=2 on a 4-hop path: frontier is non-empty at every probed
+    # round, so no fixpoint is observed and the certificate must raise
+    short, observed = G.bfs_hops(edges, seeds, rounds=2, report_fixpoint=True)
+    assert not observed
+    with pytest.raises(AssertionError, match="improvable"):
+        G._certify_bfs_fixpoint(edges, short)
+    # the full unroll observes the empty frontier AND the (now skipped)
+    # certificate would also pass — the two proofs agree
+    full, observed_full = G.bfs_hops(edges, seeds, rounds=6, report_fixpoint=True)
+    assert observed_full
+    G._certify_bfs_fixpoint(edges, full)  # must not raise
+    assert {(r["node"], r["dist"]) for r in full.collect()} == {
+        (1, 0), (2, 1), (3, 2), (4, 3), (5, 4)
+    }
+
+
+def test_frontier_certificate_weighted_twins(spark):
+    """Same guard for the weighted frontier loops (widest / shortest):
+    under-iterated state fails its certificate, full unroll both
+    observes the fixpoint and passes it."""
+    ew = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 5), (3, 4, 7), (1, 4, 2)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    short, observed = G.widest_path(ew, seeds, rounds=1, report_fixpoint=True)
+    assert not observed
+    with pytest.raises(AssertionError, match="improvable"):
+        G._certify_widest_fixpoint(ew, short)
+    full, observed_full = G.widest_path(ew, seeds, rounds=8, report_fixpoint=True)
+    assert observed_full
+    G._certify_widest_fixpoint(ew, full)
+
+    ewc = ew.selectExpr("src", "dst", "w AS cost")
+    shortd, observed = G.shortest_path(ewc, seeds, rounds=1, report_fixpoint=True)
+    assert not observed
+    with pytest.raises(AssertionError, match="improvable"):
+        G._certify_shortest_fixpoint(ewc, shortd)
+    fulld, observed_full = G.shortest_path(ewc, seeds, rounds=10, report_fixpoint=True)
+    assert observed_full
+    G._certify_shortest_fixpoint(ewc, fulld)
+
+
+def test_kcore_early_stop_equals_full_unroll(spark):
+    """r12: kcore's per-round fixpoint probe (return the degree table
+    when no vertex is below the bound) must be invisible in the result —
+    a clique hits the fixpoint on round 1 (early-return path), and the
+    deep-peeling path graph still peels to empty through the probe."""
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(sorted(clique), "u long, v long")
+    got = {(r["node"], r["core_deg"]) for r in G.kcore(df, k=4, rounds=6).collect()}
+    assert got == {(i, 4) for i in range(5)}
+    assert [f.name for f in G.kcore(df, k=4, rounds=6).schema.fields] == [
+        "node", "core_deg"
+    ]
+    assert dict(G.kcore(df, k=4, rounds=6).dtypes)["core_deg"] == "bigint"
