@@ -69,12 +69,39 @@ def landmark_distances(
     - ``'copartition'``: the symmetric edge list is hash-clustered on
       src ONCE (persisted) and the loop pins shuffle partitions to its
       count, so each round's expansion exchanges ONLY the frontier side
-      (EnsureRequirements reuses the edges' clustering), and the
-      first-reach anti-join shuffles pair-state — per-round cost
+      (EnsureRequirements reuses the edges' clustering) — per-round cost
       O(|frontier| + touched edges), never a driver-memory broadcast.
       The probe's growth arms run this arm; results are bit-identical
       (integer monotone relaxation is join-order-invariant; asserted in
-      tests/test_closeness.py)."""
+      tests/test_closeness.py).
+
+    r12 optimization — BITMASK level sets instead of pair rows (the
+    guide-§8 proxy-shuffle move: decide with small rows, emit big rows
+    once).  The old form shuffled one row per (node, landmark) candidate
+    through every round's min-agg and anti-join: at sf0.1 the supplier
+    expansion round alone pushed ~59M rows through the hash agg (|E_f| ·
+    landmarks-per-node), 96 MB shuffle / ~7 s for the query.  Per-pair
+    rows are redundant for SYNCHRONOUS unit-weight BFS: every pair
+    reached in round r has dist exactly r, so the only per-round state
+    that matters is WHICH landmarks reached each node — a bitset.
+    Landmark ids are numbered once (row_number over the BOUNDED landmark
+    set — Eppstein–Wang: |L| = O(log n / ε²)), packed 64/word into
+    (node, wi, word) rows; the expansion becomes one equi-join + a
+    ``bit_or`` hash agg on (node, wi) — fixed-width rows, map-side
+    combinable, so the agg input collapses from |E_f|·|L_node| pair rows
+    to |E_f| word rows and the shuffle to O(|touched nodes| · |L|/64).
+    First-reach dedup is ``word & ~settled_word`` (a join on (node, wi)
+    against word-state 64× smaller than the pair table — the new memory
+    envelope is |V|·⌈|L|/64⌉ words).  Pairs are EXPLODED once per round
+    from the new words (dist = the round index — the synchronous-BFS
+    level) and unioned lazily; the returned (node, lm, dist) table is
+    bit-identical to the pair-row form (same level sets by induction:
+    OR-expansion ≡ min-agg + anti-join for uniform-dist frontiers).
+    Measured r12 at sf0.1: shuffle write 96.2 → 16.4 MB (read 107 → 27),
+    wall 14.3 → 5.6 s min-of-3 interleaved same-box; job count rises
+    39 → 49 (the word-state rounds checkpoint settled+new separately and
+    probe isEmpty) but each job moves 64×-narrower rows — the win is
+    bytes, not job count (plans/r12/q_closeness_landmarks_*)."""
     if join_strategy not in ("broadcast", "copartition"):
         raise ValueError(f"unknown join_strategy {join_strategy!r}")
     import os
@@ -91,41 +118,91 @@ def landmark_distances(
         sym.count()  # materialize the one-time clustering
     else:
         sym = ck(sym)
-    dist = ck(
+    # landmark index table (lm, wi, bit): one word index + bit position
+    # per landmark, assigned by a row_number over the BOUNDED landmark
+    # set (|L| = O(log n / ε²) by the estimator's contract — the single-
+    # partition window is over |L| rows, not data).  Broadcast wherever
+    # joined in BOTH arms: it is O(|L|), not |V|-sized state.
+    from pyspark.sql.window import Window
+
+    lm_tbl = ck(
         sym.select("src")
         .where(F.col("src") % seed_mod == 0)
         .distinct()
+        .select(F.col("src").alias("lm"))
         .select(
-            F.col("src").alias("node"),
-            F.col("src").alias("lm"),
-            F.lit(0).cast("long").alias("dist"),
+            "lm", (F.row_number().over(Window.orderBy("lm")) - 1).alias("ix")
+        )
+        .select(
+            "lm",
+            F.expr("ix DIV 64").alias("wi"),
+            F.expr("ix % 64").alias("bit"),
         )
     )
-    frontier = dist
+    # seed state: each landmark's own node carries its bit
+    seed_words = ck(
+        lm_tbl.select(
+            F.col("lm").alias("node"),
+            "wi",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"),
+        )
+    )
+    settled = seed_words
+    frontier = seed_words
+    parts = [
+        lm_tbl.select(F.col("lm").alias("node"), "lm", F.lit(0).cast("long").alias("dist"))
+    ]
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     if join_strategy == "copartition":
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         for r in range(rounds):
-            reached = (
+            # OR together the frontier words arriving at each node — one
+            # equi-join + one fixed-width map-side-combinable agg
+            cand = (
                 sym.join(bc(frontier.withColumnRenamed("node", "src")), "src")
-                .select(F.col("dst").alias("node"), "lm", (F.col("dist") + 1).alias("dist"))
-                .groupBy("node", "lm")
-                .agg(F.min("dist").alias("dist"))
+                .groupBy(F.col("dst").alias("node"), "wi")
+                .agg(F.bit_or("m").alias("cm"))
             )
-            # the settled-pair table is the LARGEST frame (peaks at
-            # |V|·|L|): the first-reach anti-join is never broadcast in
-            # either arm — it shuffles on the (node, lm) key
-            new = ck(reached.join(dist, ["node", "lm"], "left_anti"))
-            if r < rounds - 2 and new.isEmpty():
-                break  # pair-frontier fixpoint: remaining rounds relax nothing
-            dist = ck(dist.unionAll(new))
+            new = ck(
+                cand.join(settled.withColumnRenamed("m", "sm"), ["node", "wi"], "left")
+                .select(
+                    "node",
+                    "wi",
+                    F.expr("cm & ~coalesce(sm, CAST(0 AS BIGINT))").alias("m"),
+                )
+                .where(F.col("m") != 0)
+            )
+            if new.isEmpty():
+                break  # level-set fixpoint: remaining rounds reach nothing
+            # explode this round's new bits to (node, lm, dist=r+1) —
+            # every pair first reached in a synchronous round sits at
+            # exactly that BFS level, so no min-agg or anti-join is needed
+            parts.append(
+                new.join(F.broadcast(lm_tbl), "wi")
+                .where(F.expr("(shiftright(m, bit) & 1) = 1"))
+                .select("node", "lm", F.lit(r + 1).cast("long").alias("dist"))
+            )
+            settled = ck(
+                settled.withColumnRenamed("m", "sm")
+                .join(new.withColumnRenamed("m", "nm"), ["node", "wi"], "full")
+                .select(
+                    "node",
+                    "wi",
+                    F.expr(
+                        "coalesce(sm, CAST(0 AS BIGINT)) | coalesce(nm, CAST(0 AS BIGINT))"
+                    ).alias("m"),
+                )
+            )
             frontier = new
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         if join_strategy == "copartition":
             sym.unpersist()
-    return dist
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _sql_closeness(rounds: int = _CL_ROUNDS) -> str:

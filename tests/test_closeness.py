@@ -76,6 +76,26 @@ def test_extra_rounds_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_bitmask_multiword_crosses_64_landmarks(spark):
+    """r12 bitmask internals: 65 landmarks force a second mask word
+    (ix 64 → wi=1, bit=0) and use bit 63 of word 0 — the word-boundary
+    paths of the packed level-set state.  Hub-and-spoke closed form:
+    hub node 1 is adjacent to all 65 landmarks (H(1)=65); every landmark
+    sees the other 64 landmarks at distance 2 (the hub is NOT a
+    landmark, so it contributes nothing): H(lm)=64/2=32."""
+    lms = [20 * (i + 1) for i in range(65)]
+    edges = spark.createDataFrame([(lm, 1) for lm in lms], "src long, dst long")
+    dists = landmark_distances(edges)
+    assert dists.where(F.col("dist") > 2).count() == 0
+    h = _harmonic(spark, edges)
+    assert h[1] == 65.0
+    assert all(h[lm] == 32.0 for lm in lms)
+    # every (node, lm) pair is distinct exactly once — the exploded
+    # union must not re-emit a settled pair in a later round
+    pairs = landmark_distances(edges).groupBy("node", "lm").count()
+    assert pairs.where(F.col("count") > 1).count() == 0
+
+
 def test_copartition_arm_bit_identical(spark, sf_dir):
     """The copartition fallback (the arm the growth probe's 10x graphs
     need — the pair frontier outgrows the broadcast build) must produce
