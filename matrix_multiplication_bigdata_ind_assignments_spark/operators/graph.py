@@ -636,52 +636,79 @@ def label_prop(edges: DataFrame, rounds: int = _LP_ROUNDS) -> DataFrame:
     side broadcast-able; at billion-node scale use the copartition
     discipline of graph.pagerank) + one map-side-combinable (node,
     label) count agg + one (node) argmax agg.  Label state is
-    localCheckpoint'ed per round."""
-    edges = edges.localCheckpoint(eager=True)
-    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).localCheckpoint(eager=True)
+    localCheckpoint'ed per round.
+
+    r12 optimization (guide §2.4: two operations keyed the same way
+    share one exchange): the symmetric edge list is hash-clustered on
+    ``node`` ONCE and persist()ed — persist keeps the repartition node
+    in the plan (localCheckpoint's LogicalRDD forgets outputPartitioning,
+    the graph.pagerank lesson), so the broadcast label join preserves the
+    clustering and BOTH per-round aggregations (the (node, label) vote
+    count AND the per-node argmax) satisfy their distribution from the
+    edges' one-time exchange — zero per-round Exchange over the message
+    volume.  The only per-round shuffle left is the ghost-row union's
+    argmax input (≤|V| partial-agg rows, label-state-sized, not
+    message-sized).  The one-time |E| exchange is amortized over every
+    round; per-round cost drops from 2 AQE exchange stages over the
+    2|E|-row message table to none (plans/r12/q_label_prop_*)."""
+    import os
+
+    n_part = int(os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8"))
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition(n_part, "node")
+        .persist()
+    )
+    # distinct rides sym's node-clustering (no exchange)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        msgs = sym.join(
-            F.broadcast(labels.select(F.col("node").alias("nbr"), "label")), "nbr"
-        ).select("node", "label")
-        votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        # prev label rides the argmax agg as a ghost row (cnt NULL) —
-        # one union into the shuffle the round already pays, instead of
-        # a per-round broadcast-build job for a prev-label join
-        aug = votes.unionByName(
-            labels.select("node", "label", F.lit(None).cast("long").alias("cnt"))
-        )
-        stepped = (
-            aug.groupBy("node")
-            .agg(
-                F.min(
-                    F.when(
-                        F.col("cnt").isNotNull(),
-                        F.struct((-F.col("cnt")).alias("nc"), F.col("label")),
-                    )
-                ).alias("m"),
-                F.max(F.when(F.col("cnt").isNull(), F.col("label"))).alias("prev"),
+    old_part = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        for _ in range(rounds):
+            msgs = sym.join(
+                F.broadcast(labels.select(F.col("node").alias("nbr"), "label")), "nbr"
+            ).select("node", "label")
+            votes = msgs.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            # prev label rides the argmax agg as a ghost row (cnt NULL) —
+            # one union into the shuffle the round already pays, instead of
+            # a per-round broadcast-build job for a prev-label join
+            aug = votes.unionByName(
+                labels.select("node", "label", F.lit(None).cast("long").alias("cnt"))
             )
-            .select("node", F.col("m.label").alias("label"), "prev")
-            .localCheckpoint(eager=True)
-        )
-        labels = stepped.select("node", "label")
-        # Convergence short-circuit (VERDICT r10 item 3): if a synchronous
-        # round changed NO label, every remaining round is the identity, so
-        # stopping early returns a result bit-identical to the full
-        # fixed-round unroll (and hence to the oracle) — this is NOT the
-        # convergence-seeking async variant the determinism contract rules
-        # out, just skipping provably-no-op rounds.  The change count rides
-        # the round's own eager checkpoint: the prev-label join is folded
-        # into the round's plan, and the delta probe below scans the
-        # already-materialized checkpoint blocks (no extra shuffle).
-        if stepped.where(F.col("label") != F.col("prev")).isEmpty():
-            break
+            stepped = (
+                aug.groupBy("node")
+                .agg(
+                    F.min(
+                        F.when(
+                            F.col("cnt").isNotNull(),
+                            F.struct((-F.col("cnt")).alias("nc"), F.col("label")),
+                        )
+                    ).alias("m"),
+                    F.max(F.when(F.col("cnt").isNull(), F.col("label"))).alias("prev"),
+                )
+                .select("node", F.col("m.label").alias("label"), "prev")
+                .localCheckpoint(eager=True)
+            )
+            labels = stepped.select("node", "label")
+            # Convergence short-circuit (VERDICT r10 item 3): if a synchronous
+            # round changed NO label, every remaining round is the identity, so
+            # stopping early returns a result bit-identical to the full
+            # fixed-round unroll (and hence to the oracle) — this is NOT the
+            # convergence-seeking async variant the determinism contract rules
+            # out, just skipping provably-no-op rounds.  The change count rides
+            # the round's own eager checkpoint: the prev-label join is folded
+            # into the round's plan, and the delta probe below scans the
+            # already-materialized checkpoint blocks (no extra shuffle).
+            if stepped.where(F.col("label") != F.col("prev")).isEmpty():
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        sym.unpersist()  # labels is an eager checkpoint — no lineage into sym
     return labels
 
 
