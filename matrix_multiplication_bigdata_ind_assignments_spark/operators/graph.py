@@ -962,7 +962,24 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The supplier co-supply graph (u < v, distinct): suppliers linked
     when their shared-distinct-part count clears the in-plan p90
-    threshold.  Shared by q_triangle_count and q_kcore."""
+    threshold.  Shared by q_triangle_count, q_kcore, q_label_prop and
+    q_modularity.
+
+    r12 optimization (guide §2.3: narrower types through the hot agg):
+    the co-occurrence self-join explodes to Σ C(k,2) ≈ 8.7M pair rows at
+    sf0.1 (k = suppliers per part, median 29 in this fixture), all of
+    which pass through the (u, v) count agg — the query's hottest hash
+    map.  Packing the pair into ONE BIGINT (u<<32 | v; suppkeys are
+    32-bit-positive) halves the key bytes and replaces the two-column
+    struct hash with a single long hash for every one of those updates,
+    unpacked only after the agg (bit-identical pairs, A/B'd ~8% off the
+    warm pairs stage).  A wider repartition of the exploding stage was
+    TRIED AND REJECTED: AQE runs it at ~5 tasks (input-byte sizing), but
+    at 64 partitions the per-partition pair multiplicity (~17× global /
+    64) drops below 1 and map-side combine collapses — measured shuffle
+    36 → 89 MB and three of the four consumer queries slower; the
+    combine-friendly narrow stage is also the 100 TB-correct shape
+    (shuffle fewer bytes beats more tasks, guide §2.2)."""
     sp = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
@@ -972,8 +989,14 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = sp.alias("a"), sp.alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .select(F.expr("shiftleft(a.s, 32) | b.s").alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            F.expr("shiftright(k, 32)").alias("u"),
+            F.expr("k & 4294967295").alias("v"),
+            "shared",
+        )
         .localCheckpoint(eager=True)  # read twice: the quantile scalar + the filter
     )
     thr = pairs.agg(F.percentile("shared", F.lit(_TRI_Q)).alias("m"))
