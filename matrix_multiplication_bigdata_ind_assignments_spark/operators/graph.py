@@ -1480,10 +1480,21 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     a, b = sp.alias("a"), sp.alias("b")
+    # r12: the Σ C(k,2) pair fan-out all passes this count agg — pack the
+    # pair into ONE BIGINT key (u<<32 | v, suppkeys are 32-bit-positive)
+    # so the 8.7M-update hash map hashes a single long and the exchange
+    # carries half the key bytes (the cosupply_edges move, guide §2.3);
+    # unpacked right after the agg — pair set bit-identical.
     inter = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .select(F.expr("shiftleft(a.s, 32) | b.s").alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("i"))
+        .select(
+            F.expr("shiftright(k, 32)").alias("u"),
+            F.expr("k & 4294967295").alias("v"),
+            "i",
+        )
     )
     sym = inter.selectExpr("u AS s", "v AS partner", "i").unionAll(
         inter.selectExpr("v AS s", "u AS partner", "i")
@@ -1493,7 +1504,9 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(deg.selectExpr("s AS partner", "d AS db")), "partner")
         .select("s", "partner", "i", (F.col("da") + F.col("db") - F.col("i")).alias("un"))
     )
-    w = Window.partitionBy("s").orderBy(F.expr(_NJ_EXPR).desc(), F.col("partner"))
+    # order by the PROJECTED jac_micro column (identical values) instead
+    # of re-evaluating the floor/divide expression inside the window sort
+    w = Window.partitionBy("s").orderBy(F.col("jac_micro").desc(), F.col("partner"))
     return (
         j.withColumn("jac_micro", F.expr(_NJ_EXPR))
         .withColumn("rk", F.row_number().over(w))
