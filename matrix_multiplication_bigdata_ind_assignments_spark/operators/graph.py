@@ -141,11 +141,17 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # r12 (guide §2.4): repartition FIRST, then dedup — the distinct's
+    # ClusteredDistribution(src, dst) is satisfied by Hash(src), so it
+    # rides the clustering exchange the loop needs anyway instead of
+    # paying its own (2 exchanges → 1 in the walk build; set-identical
+    # output, and the persisted partitioning the iterations rely on is
+    # preserved through the aggregate).
     if directed:
         walk = (
             edges.select("src", "dst")
-            .distinct()
             .repartition(int(n_part), "src")
+            .distinct()
             .persist()
         )
         nodes = materialize(
@@ -157,8 +163,8 @@ def pagerank(
         walk = (
             edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .distinct()
             .repartition(int(n_part), "src")
+            .distinct()
             .persist()
         )
         nodes = materialize(walk.select(F.col("src").alias("node")).distinct())

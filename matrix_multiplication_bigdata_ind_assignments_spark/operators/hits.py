@@ -83,7 +83,10 @@ def hits(
     import os
 
     n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
-    ed = edges.select("src", "dst").distinct().repartition(int(n_part), "src").persist()
+    # r12: repartition BEFORE distinct — the dedup rides the one-time
+    # src-clustering exchange instead of paying its own (set-identical;
+    # the graph.pagerank move).
+    ed = edges.select("src", "dst").repartition(int(n_part), "src").distinct().persist()
     nodes = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))

@@ -51,11 +51,14 @@ def personalized_pagerank(
     import os
 
     n_part = os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8")
+    # r12: repartition BEFORE distinct — Hash(src) satisfies the dedup's
+    # clustering, so it rides the loop's one-time exchange instead of
+    # paying its own (set-identical; the graph.pagerank move).
     walk = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .repartition(int(n_part), "src")
+        .distinct()
         .persist()
     )
     nodes = walk.select(F.col("src").alias("node")).distinct()
