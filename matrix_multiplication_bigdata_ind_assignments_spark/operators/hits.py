@@ -87,6 +87,17 @@ def hits(
     # src-clustering exchange instead of paying its own (set-identical;
     # the graph.pagerank move).
     ed = edges.select("src", "dst").repartition(int(n_part), "src").distinct().persist()
+    # r12 (guide §2.4): a SECOND resident copy clustered on dst.  The
+    # mutual recursion aggregates on BOTH endpoints every round — hub
+    # rides ed's src-clustering, but auth's groupBy(dst) paid a fresh
+    # exchange per round (10 AQE shuffle stages over the contribution
+    # vector).  Keeping a dst-clustered twin makes BOTH half-round aggs
+    # exchange-free: per-round shuffle drops to ZERO, at the one-time
+    # cost of one more |E| exchange + a second resident copy (the
+    # broadcast arm already keeps edges resident; at copartition scale
+    # the twin is the same O(|E|) storage class).  Derived FROM ed (not
+    # the raw input) so the dedup work is not repeated.
+    ed_dst = ed.repartition(int(n_part), "dst").persist()
     nodes = (
         ed.select(F.col("src").alias("node"))
         .unionByName(ed.select(F.col("dst").alias("node")))
@@ -101,7 +112,7 @@ def hits(
         auth = None
         for it in range(iters):
             araw = (
-                ed.join(F.broadcast(hub), ed.src == hub.node)
+                ed_dst.join(F.broadcast(hub), ed_dst.src == hub.node)
                 .groupBy("dst")
                 .agg(F.round(F.sum("hub"), 12).alias("ar"))
             )
@@ -144,6 +155,7 @@ def hits(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
+        ed_dst.unpersist()
         ed.unpersist()
     return state
 
