@@ -147,10 +147,18 @@ def lloyd_cents(points: DataFrame, k: int, updates: int) -> DataFrame:
 def kmeans_assignments(points: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
     """Fixed-iteration deterministic Lloyd over ``points`` (vec_id,
     v: array<double>) → (vec_id, cluster, dist) after ``iters``
-    assignment rounds (= iters−1 centroid updates + one final
-    assignment).  See the module docstring for the determinism contract
-    and the per-iteration plan shape."""
-    assigned = _assign(points, lloyd_cents(points, k, iters - 1))
+    assignment rounds (= iters−1 updates + one final assignment).  See
+    the module docstring for the determinism contract and the
+    per-iteration plan shape.
+
+    r12 (guide §5: persist when reuse beats recompute): the points feed
+    FIVE passes (init + 3 update assignments + the final assignment) —
+    materialize them once instead of re-running the parquet scan +
+    cast-transform per pass; the kmeans_centroids_frame trainer already
+    followed this discipline (clustering.py:189), this aligns the
+    oracle-checked path."""
+    pts = points.localCheckpoint(eager=True)
+    assigned = _assign(pts, lloyd_cents(pts, k, iters - 1))
     return assigned.select("vec_id", "cluster", _half_up(F.col("dist"), 6).alias("dist"))
 
 

@@ -1194,9 +1194,12 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clustering.lloyd_cents docstring)."""
     from .clustering import _allc, _half_up, lloyd_cents
 
+    # r12: materialized once — the vectors feed the training loop's
+    # init + update assignments AND the final ranking pass (the
+    # kmeans_assignments discipline)
     pts = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     allc = _allc(lloyd_cents(pts, _IVFA_K, _IVFA_UPDATES))
 
     def d2(c):
