@@ -480,7 +480,12 @@ def _kmeans_fit(X, k: int, rounds: int | None = None):
 _IVF_DIST_TRAIN_MIN_CELLS = 4096
 
 
-def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
+def _ivf_train_centroids(
+    unit: DataFrame,
+    cells: int,
+    n_rows: int | None = None,
+    sample_out: list | None = None,
+) -> list[list[float]]:
     """Coarse k-means over unit vectors: Lloyd on a bounded md5-ordered
     deterministic sample (the coarse quantizer is ALWAYS sample-trained
     in practice — FAISS trains IVF lists on ~cells·39..256 points).  The
@@ -488,6 +493,16 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
     big corpus can't request more centroids than training points (the r7
     review caught np.resize silently padding duplicates past
     N ≈ (2048/6)² ≈ 116k).
+
+    r12 (guide §1.2 step 1): ``n_rows`` lets a caller that already knows
+    the corpus count (the _EMB_COUNTS memo) skip the sample builder's
+    count job; ``sample_out`` (a list to append to) hands the collected
+    driver-path sample rows back so _pq_train_codebook can reuse the
+    PREFIX instead of collecting its own — the two samples share the
+    (h, vec_id) order, so the codebook's first-_PQ_TRAIN rows are
+    bit-identical to what its own collect would return whenever the
+    threshold filter keeps ≥ _PQ_TRAIN rows (always, at gate scales the
+    filter never even fires: every fixture corpus < 4·_PQ_TRAIN).
 
     The trainer has TWO equivalent paths gated on geometry (VERDICT r8
     item 3; the tokenizer-precedent bounded switch):
@@ -523,7 +538,9 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
     if dist == "1" or (dist == "auto" and cells > _IVF_DIST_TRAIN_MIN_CELLS):
         from .clustering import kmeans_centroids_frame
 
-        sample = _pq_train_sample_df(unit, n_sample).select(F.col("u").alias("v"))
+        sample = _pq_train_sample_df(unit, n_sample, n_rows=n_rows).select(
+            F.col("u").alias("v")
+        )
         rows = kmeans_centroids_frame(sample, cells, _PQ_ROUNDS).orderBy("cl").collect()
         if not rows:
             # empty training sample: cents[...] below would IndexError
@@ -540,7 +557,10 @@ def _ivf_train_centroids(unit: DataFrame, cells: int) -> list[list[float]]:
         while len(cents) < cells:
             cents.append(cents[len(cents) % len(rows)])
         return cents
-    X = np.array([r["u"] for r in _pq_train_sample(unit, n_sample)])
+    rows = _pq_train_sample(unit, n_sample, n_rows=n_rows)
+    if sample_out is not None:
+        sample_out.extend(rows)
+    X = np.array([r["u"] for r in rows])
     return [[float(x) for x in row] for row in _kmeans_fit(X, cells)]
 
 
@@ -598,10 +618,17 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _EMB_COUNTS:  # corpus-size stat, memoized per fixture
         _EMB_COUNTS[sf_dir] = e.count()
-    cells = _ivf_cells(_EMB_COUNTS[sf_dir])
+    n_rows = _EMB_COUNTS[sf_dir]
+    cells = _ivf_cells(n_rows)
     ckey = (sf_dir, cells)
+    # r12: one cold build used to pay FOUR sample jobs (count + collect,
+    # twice) — the memoized corpus count skips both counts, and the
+    # codebook reuses the prefix of the centroid trainer's sample
+    shared_sample: list = []
     if ckey not in _IVF_CENTS:
-        _IVF_CENTS[ckey] = _ivf_train_centroids(unit, cells)
+        _IVF_CENTS[ckey] = _ivf_train_centroids(
+            unit, cells, n_rows=n_rows, sample_out=shared_sample
+        )
     CC = np.array(_IVF_CENTS[ckey])  # (cells, 64)
 
     # PQ half: memoized codebook (shared with q_ann_pq) + one Arrow
@@ -609,7 +636,9 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str):
     # at serving scale codes+cell ids are written once, scanned many times
     bkey = (sf_dir, _PQ_K)
     if bkey not in _PQ_BOOKS:
-        _PQ_BOOKS[bkey] = _pq_train_codebook(unit)
+        _PQ_BOOKS[bkey] = _pq_train_codebook(
+            unit, sample_rows=shared_sample or None, n_rows=n_rows
+        )
     C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
     for s, k, cw in _PQ_BOOKS[bkey]:
         C[s, k] = cw
@@ -812,16 +841,25 @@ def _ivf2_candidates(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _EMB_COUNTS:  # corpus-size stat, memoized per fixture
         _EMB_COUNTS[sf_dir] = e.count()
-    l1, l2 = _ivf2_geometry(_EMB_COUNTS[sf_dir])
+    n_rows = _EMB_COUNTS[sf_dir]
+    l1, l2 = _ivf2_geometry(n_rows)
     ckey = (sf_dir, l1)
+    # r12: same cold-build sample sharing as _ivf_candidates — skip the
+    # count jobs via the memoized corpus count, reuse the centroid
+    # trainer's sample prefix for the codebook
+    shared_sample: list = []
     if ckey not in _IVF2_CENTS:
-        _IVF2_CENTS[ckey] = _ivf_train_centroids(unit, l1)
+        _IVF2_CENTS[ckey] = _ivf_train_centroids(
+            unit, l1, n_rows=n_rows, sample_out=shared_sample
+        )
     CC = np.array(_IVF2_CENTS[ckey])  # (l1, 64)
     CC_n2 = (CC**2).sum(axis=1)
 
     bkey = (sf_dir, _PQ_K)
     if bkey not in _PQ_BOOKS:
-        _PQ_BOOKS[bkey] = _pq_train_codebook(unit)
+        _PQ_BOOKS[bkey] = _pq_train_codebook(
+            unit, sample_rows=shared_sample or None, n_rows=n_rows
+        )
     C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
     for s, k, cw in _PQ_BOOKS[bkey]:
         C[s, k] = cw
@@ -976,7 +1014,9 @@ _PQ_SHORTLIST = 200
 _PQ_BOOKS: dict[tuple[str, int], list] = {}
 
 
-def _pq_train_sample_df(unit: DataFrame, n_sample: int = _PQ_TRAIN) -> DataFrame:
+def _pq_train_sample_df(
+    unit: DataFrame, n_sample: int = _PQ_TRAIN, n_rows: int | None = None
+) -> DataFrame:
     """Bounded deterministic training sample (≤ ``n_sample`` unit-vector
     rows, md5-hash order — unbiased, RNG-free, O(1) in corpus size) as a
     DATAFRAME: the candidate set is first cut by a hash-THRESHOLD
@@ -988,7 +1028,8 @@ def _pq_train_sample_df(unit: DataFrame, n_sample: int = _PQ_TRAIN) -> DataFrame
     per requested centroid, consumed as a frame by the distributed
     trainer)."""
     hashed = unit.select("vec_id", "u", F.md5(F.col("vec_id").cast("string")).alias("h"))
-    n_rows = hashed.count()
+    if n_rows is None:  # r12: callers that already know the corpus count
+        n_rows = hashed.count()  # (the _EMB_COUNTS memo) skip this job
     if n_rows > 4 * n_sample:
         # keep hashes below the fraction that yields ~4×n_sample rows in
         # expectation (md5 hex is uniform); 2-hex-digit granularity keeps
@@ -998,13 +1039,19 @@ def _pq_train_sample_df(unit: DataFrame, n_sample: int = _PQ_TRAIN) -> DataFrame
     return hashed.orderBy("h", "vec_id").limit(n_sample)
 
 
-def _pq_train_sample(unit: DataFrame, n_sample: int = _PQ_TRAIN) -> list:
+def _pq_train_sample(
+    unit: DataFrame, n_sample: int = _PQ_TRAIN, n_rows: int | None = None
+) -> list:
     """_pq_train_sample_df, collected (the PQ codebook path — bounded at
     _PQ_TRAIN rows, so the collect is O(1) in corpus size)."""
-    return _pq_train_sample_df(unit, n_sample).collect()
+    return _pq_train_sample_df(unit, n_sample, n_rows=n_rows).collect()
 
 
-def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
+def _pq_train_codebook(
+    unit: DataFrame,
+    sample_rows: list | None = None,
+    n_rows: int | None = None,
+) -> list[tuple[int, int, list[float]]]:
     """Per-subspace k-means codebooks, trained on a bounded deterministic
     sample: (sub, code, codeword) rows.
 
@@ -1020,10 +1067,21 @@ def _pq_train_codebook(unit: DataFrame) -> list[tuple[int, int, list[float]]]:
     first-K distinct-subvector init, distinct-point empty-cluster
     re-seeding; the r8 review found this function still carried its own
     pre-fix loop with the stale-d2 reseed) — no RNG anywhere, so codes
-    and recall are reproducible."""
+    and recall are reproducible.
+
+    r12: ``sample_rows`` reuses an already-collected (h, vec_id)-ordered
+    sample from the SAME unit frame (its first _PQ_TRAIN rows are what
+    this function's own collect would return — see _ivf_train_centroids);
+    ``n_rows`` skips the sample builder's count job when known."""
     import numpy as np
 
-    X = np.array([r["u"] for r in _pq_train_sample(unit)])  # (n, 64)
+    if sample_rows is not None and len(sample_rows) >= min(
+        _PQ_TRAIN, n_rows if n_rows is not None else len(sample_rows)
+    ):
+        rows = sample_rows[:_PQ_TRAIN]
+    else:
+        rows = _pq_train_sample(unit, n_rows=n_rows)
+    X = np.array([r["u"] for r in rows])  # (n, 64)
     sub_dim = X.shape[1] // _PQ_M
     book: list[tuple[int, int, list[float]]] = []
     for s in range(_PQ_M):
@@ -1064,7 +1122,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bkey = (sf_dir, _PQ_K)
     if bkey not in _PQ_BOOKS:
-        _PQ_BOOKS[bkey] = _pq_train_codebook(unit)
+        _PQ_BOOKS[bkey] = _pq_train_codebook(
+            unit, n_rows=_EMB_COUNTS.get(sf_dir)
+        )
     # (M, K, sub_dim) codebook tensor — tiny, rides the closure like a
     # broadcast variable
     C = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
