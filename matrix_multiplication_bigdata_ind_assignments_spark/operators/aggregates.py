@@ -1108,11 +1108,22 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     n = op.agg(F.count_distinct("o").alias("n_ord"))
     a, b = op.alias("a"), op.alias("b")
+    # r12: the basket fan-out all passes this count agg — pack the pair
+    # into ONE BIGINT key (pa<<32 | pb; partkeys are 32-bit-positive) so
+    # the hot hash map hashes a single long and the exchange carries
+    # half the key bytes (the graph.cosupply_edges move, guide §2.3);
+    # unpacked right after the agg — pair set bit-identical.
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .select(F.expr("shiftleft(a.p, 32) | b.p").alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cab"))
         .where(F.col("cab") >= _LIFT_MIN_PAIRS)
+        .select(
+            F.expr("shiftright(k, 32)").alias("pa"),
+            F.expr("k & 4294967295").alias("pb"),
+            "cab",
+        )
     )
     sym = pairs.selectExpr("pa AS part", "pb AS partner", "cab").unionAll(
         pairs.selectExpr("pb AS part", "pa AS partner", "cab")
