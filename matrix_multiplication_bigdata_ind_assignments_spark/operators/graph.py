@@ -459,15 +459,29 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
     and SCALING.md records the blow-up).  Both arms return identical
     counts; only the wedge volume differs."""
     deg, oriented, wedges = oriented_wedges(edges, orient)
-    closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    tris = wedges.join(closer, ["x", "y"])
+    # r12 (guide §2.3): the close join shuffles EVERY wedge by its
+    # (x, y) pair — the query's dominant exchange (O(m^1.5) wedge rows).
+    # Packing the pair into one BIGINT (x<<32 | y; node ids are
+    # 32-bit-positive suppkeys) halves the key bytes through that
+    # exchange and joins on a single long; x/y are unpacked from the key
+    # after the join, so the triangle set is bit-identical.
+    pk = lambda c1, c2: F.expr(f"shiftleft({c1}, 32) | {c2}")  # noqa: E731
+    wk = wedges.select("ctr", pk("x", "y").alias("k"))
+    ck_join = oriented.select(pk("lo", "hi").alias("k"))
+    tris = wk.join(ck_join, "k").select(
+        "ctr",
+        F.expr("shiftright(k, 32)").alias("x"),
+        F.expr("k & 4294967295").alias("y"),
+    )
     corners = (
         tris.select(F.col("ctr").alias("node"))
         .unionAll(tris.select(F.col("x").alias("node")))
         .unionAll(tris.select(F.col("y").alias("node")))
     )
     tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri"))
-    out = deg.join(tri, "node", "left").select(
+    # r12: tri is ≤|V| rows — broadcast it into the left join instead of
+    # exchanging+sorting both |V|-row sides
+    out = deg.join(F.broadcast(tri), "node", "left").select(
         "node",
         F.col("d").cast("long").alias("deg"),
         F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
@@ -503,9 +517,14 @@ def oriented_wedges(edges: DataFrame, orient: str = "degree"):
         .localCheckpoint(eager=True)  # O(|V|), read three times below
     )
     du, dv = deg.alias("du"), deg.alias("dv")
+    # r12: BROADCAST the |V|-row degree table into both attach joins —
+    # its checkpoint scans carry no stats, so the planner was SMJ-ing
+    # the whole edge list against a 1000-row frame (two edge-list
+    # exchanges + sorts, visible as the Exchange(6)/(10)/(14)/(19)
+    # cluster in plans/r12/q_triangle_count_before.txt)
     e = (
-        edges.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
+        edges.join(F.broadcast(du), F.col("u") == F.col("du.node"))
+        .join(F.broadcast(dv), F.col("v") == F.col("dv.node"))
         .select(
             "u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v")
         )
