@@ -1115,7 +1115,9 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpacked right after the agg — pair set bit-identical.
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.expr("shiftleft(a.p, 32) | b.p").alias("k"))
+        # CAST AS BIGINT (ADVICE r12): shiftleft on an int32 column would
+        # silently no-op (Java shift masking) — cast keeps the pack lossless
+        .select(F.expr("shiftleft(CAST(a.p AS BIGINT), 32) | CAST(b.p AS BIGINT)").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cab"))
         .where(F.col("cab") >= _LIFT_MIN_PAIRS)

@@ -177,11 +177,18 @@ def landmark_distances(
                 break  # level-set fixpoint: remaining rounds reach nothing
             # explode this round's new bits to (node, lm, dist=r+1) —
             # every pair first reached in a synchronous round sits at
-            # exactly that BFS level, so no min-agg or anti-join is needed
+            # exactly that BFS level, so no min-agg or anti-join is needed.
+            # Each part is eagerly checkpointed (ADVICE r12): the returned
+            # union is then materialized state — a caller running several
+            # actions never re-executes the explode joins, and no stage of
+            # the result runs after the finally block restores the session
+            # shuffle partitions.
             parts.append(
-                new.join(F.broadcast(lm_tbl), "wi")
-                .where(F.expr("(shiftright(m, bit) & 1) = 1"))
-                .select("node", "lm", F.lit(r + 1).cast("long").alias("dist"))
+                ck(
+                    new.join(F.broadcast(lm_tbl), "wi")
+                    .where(F.expr("(shiftright(m, bit) & 1) = 1"))
+                    .select("node", "lm", F.lit(r + 1).cast("long").alias("dist"))
+                )
             )
             settled = ck(
                 settled.withColumnRenamed("m", "sm")

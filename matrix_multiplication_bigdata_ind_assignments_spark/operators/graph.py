@@ -142,15 +142,25 @@ def pagerank(
         return df.localCheckpoint(eager=True)
 
     # r12 (guide §2.4): repartition FIRST, then dedup — the distinct's
-    # ClusteredDistribution(src, dst) is satisfied by Hash(src), so it
-    # rides the clustering exchange the loop needs anyway instead of
-    # paying its own (2 exchanges → 1 in the walk build; set-identical
-    # output, and the persisted partitioning the iterations rely on is
-    # preserved through the aggregate).
+    # ClusteredDistribution(src, dst) is satisfied by hashing on either
+    # single endpoint, so it rides the clustering exchange the loop needs
+    # anyway instead of paying its own (2 exchanges → 1 in the walk
+    # build; set-identical output, and the persisted partitioning the
+    # iterations rely on is preserved through the aggregate).
+    #
+    # r13 clustering KEY per arm: the broadcast arm's only per-iteration
+    # aggregate is the contribution sum groupBy(dst) — clustering the
+    # resident walk on ``dst`` lets it ride the one-time exchange (the
+    # hits.py half-round move), making the whole iteration exchange-free;
+    # the rank side is broadcast, so src-clustering bought that arm
+    # nothing.  The copartition arm keeps ``src``: there the rank vector
+    # is SHUFFLED to meet the walk each iteration (walk.src == ranks.node)
+    # and src-clustering is what keeps the |E| side unmoved.
+    walk_key = "dst" if join_strategy == "broadcast" else "src"
     if directed:
         walk = (
             edges.select("src", "dst")
-            .repartition(int(n_part), "src")
+            .repartition(int(n_part), walk_key)
             .distinct()
             .persist()
         )
@@ -163,7 +173,7 @@ def pagerank(
         walk = (
             edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-            .repartition(int(n_part), "src")
+            .repartition(int(n_part), walk_key)
             .distinct()
             .persist()
         )
@@ -176,10 +186,27 @@ def pagerank(
     # ~25% off the 10-iteration wall, bit-identical ranks).  deg itself
     # rides walk's src-clustering: no exchange to compute.
     deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    statics = materialize(
-        nodes.join(deg, nodes.node == deg.src, "left").select("node", "outdeg")
-    )
-    n_nodes = statics.count()  # one O(|V|) stat job; the teleport term needs the scalar
+    statics = nodes.join(deg, nodes.node == deg.src, "left").select("node", "outdeg")
+    # r13, BROADCAST arm only: persist-clustered statics — persist keeps
+    # outputPartitioning (localCheckpoint forgot it), and that arm's
+    # iteration has NO exchange anywhere (contribs rides the dst-clustered
+    # walk), so the statics ⋈ contribs merge join sees both sides already
+    # hash-partitioned at n_part and needs NO exchange and NO broadcast
+    # build.  The COPARTITION arm measured WORSE with a clustered statics
+    # (3,568 → 8,650 B/iter at sf0.001): its contribs aggregate pays a
+    # real exchange, AQE coalesces that stage below n_part partitions, and
+    # the cached 8-partition statics then mismatches — AQE re-exchanges a
+    # side per iteration.  That arm keeps the r12 shape (checkpointed
+    # statics, both join sides planned as AQE shuffle stages that coalesce
+    # together).  The reliable-checkpoint knob also keeps the r12 shape —
+    # a checkpoint is the fault-tolerance contract.
+    statics_clustered = join_strategy == "broadcast" and not checkpoint_every
+    if statics_clustered:
+        statics = statics.repartition(int(n_part), "node").persist()
+    else:
+        statics = materialize(statics)
+    n_nodes = statics.count()  # one O(|V|) stat job (also materializes the
+    # persisted statics); the teleport term needs the scalar
 
     def truncate(df: DataFrame, it: int) -> DataFrame:
         """Lineage truncation, every ``truncate_every``-th iteration (the
@@ -217,7 +244,18 @@ def pagerank(
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
             base = F.lit((1.0 - damping) / n_nodes)
-            joined = statics.join(bc(contribs), statics.node == contribs.dst, "left")
+            if statics_clustered:
+                # r13 broadcast arm: merge-hinted instead of broadcast —
+                # statics is persisted hash(node, n_part) and contribs
+                # arrives hash(dst, n_part) riding the dst-clustered walk,
+                # so the SMJ is co-partitioned: no exchange, and one
+                # broadcast-build wave per iteration gone (the r12-profiled
+                # driver gap).
+                joined = statics.join(
+                    contribs.hint("merge"), statics.node == contribs.dst, "left"
+                )
+            else:
+                joined = statics.join(bc(contribs), statics.node == contribs.dst, "left")
             if directed:
                 # dangling mass: rank held by nodes with no out-edges —
                 # outdeg is ALREADY in the state vector, so this is a
@@ -258,6 +296,8 @@ def pagerank(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         walk.unpersist()  # ranks is an eager checkpoint — no lineage into walk
+        if statics_clustered:
+            statics.unpersist()
     return ranks.select("node", "rank")  # outdeg is loop-internal state
 
 
@@ -465,7 +505,13 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
     # 32-bit-positive suppkeys) halves the key bytes through that
     # exchange and joins on a single long; x/y are unpacked from the key
     # after the join, so the triangle set is bit-identical.
-    pk = lambda c1, c2: F.expr(f"shiftleft({c1}, 32) | {c2}")  # noqa: E731
+    # explicit BIGINT casts (ADVICE r12): Spark masks shift amounts per
+    # type, so shiftleft(int32, 32) is a silent NO-OP — the cast makes the
+    # pack correct for any integer column type; callers must still keep
+    # ids in [0, 2^32) (TPC-H suppkeys are) or the pack collides.
+    pk = lambda c1, c2: F.expr(  # noqa: E731
+        f"shiftleft(CAST({c1} AS BIGINT), 32) | CAST({c2} AS BIGINT)"
+    )
     wk = wedges.select("ctr", pk("x", "y").alias("k"))
     ck_join = oriented.select(pk("lo", "hi").alias("k"))
     tris = wk.join(ck_join, "k").select(
@@ -1014,7 +1060,10 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = sp.alias("a"), sp.alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.expr("shiftleft(a.s, 32) | b.s").alias("k"))
+        # CAST AS BIGINT (ADVICE r12): shiftleft on an int32 column would
+        # silently no-op (Java shift masking); explicit casts keep the
+        # pack lossless for any integer input with ids < 2^32
+        .select(F.expr("shiftleft(CAST(a.s AS BIGINT), 32) | CAST(b.s AS BIGINT)").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("shared"))
         .select(
@@ -1132,39 +1181,78 @@ def bfs_hops(
     widest/shortest twins) skip it when ``observed`` is True and run it
     only on the uncertified path (loop exhausted ``rounds`` with a
     non-empty frontier) — measured r12: the certificate was ~1/4 of
-    q_bfs_hops' wall at sf0.1."""
+    q_bfs_hops' wall at sf0.1.
+
+    r13 state discipline (guide §2.4, the label_prop/hits move): the
+    symmetric edge list is hash-clustered on ``dst`` ONCE and persisted
+    (persist keeps outputPartitioning; localCheckpoint forgets it — the
+    graph.pagerank lesson), so each round's expansion aggregate
+    groupBy(node=dst) rides that one-time exchange instead of paying a
+    message-volume exchange per round, and the per-round first-reach
+    anti-join + union pair is collapsed into ONE full-outer merge
+    (coalesce keeps the settled value — first reach is final under unit
+    weights, so the merge is value-identical to anti-join + union):
+    2 joins + 2 eager checkpoints per round become 1 + 1.  The merged
+    state is eagerly localCheckpoint'ed per round — a persist-chained
+    state was A/B'd and REJECTED: it keeps hash(node) clustering (the
+    merge's state side pays no exchange) but every round's lineage
+    references the previous round's plan, so analysis + cache-lookup
+    work grows per round and the plan STRING grows exponentially when
+    both the state and frontier reference it (measured: driver OOM at
+    8 rounds in a bare session; a frontier-leaf variant still ran
+    rounds 6-7 at 2-4× the flat-checkpoint cost).  The checkpointed
+    state costs one |V|-row exchange per round inside the merge —
+    negligible next to the removed message-volume exchange
+    (probe: 8.1 s chained-persist vs 5.1 s flat checkpoint, sf0.1)."""
+    import os
+
+    n_part = int(os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8"))
     ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
-    sym = ck(
-        edges.select("src", "dst").unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    )
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition(n_part, "dst")
+    if truncate:
+        sym = sym.persist()
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
     observed_fixpoint = False
-    for r in range(rounds):
-        reached = (
-            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        new = ck(reached.join(dist, "node", "left_anti"))
-        if truncate and new.isEmpty():
-            # empty frontier = fixpoint: every remaining round relaxes
-            # nothing, so stopping returns the identical fixed-unroll
-            # result (the label_prop short-circuit discipline).  The probe
-            # (isEmpty ~60 ms on the materialized checkpoint; limit.count
-            # measured 145 ms) runs EVERY round since r12: besides the
-            # skipped rounds it now also buys the caller's O(|E|)
-            # certificate skip (see report_fixpoint above), so even a
-            # last-round probe pays for itself.  Only on the truncating
-            # path — truncate=False exists for plan-shape tests that
-            # must see every round's join.
-            observed_fixpoint = True
-            break
-        dist = ck(dist.unionAll(new))
-        frontier = new
+    try:
+        for r in range(rounds):
+            reached = (
+                sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+                .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("cand"))
+                .groupBy("node")
+                .agg(F.min("cand").alias("cand"))
+            )
+            # full-outer merge == anti-join + union: a settled dist is
+            # final (unit-weight first reach is minimal), so
+            # coalesce(dist, cand) keeps every settled row unchanged and
+            # admits exactly the first-reached nodes — bit-identical rows
+            merged = ck(
+                dist.join(reached, "node", "full_outer").select(
+                    "node",
+                    F.coalesce(F.col("dist"), F.col("cand")).alias("dist"),
+                    (F.col("dist").isNull() & F.col("cand").isNotNull()).alias("mmbd_new"),
+                )
+            )
+            new = merged.where(F.col("mmbd_new")).select("node", "dist")
+            dist = merged.select("node", "dist")
+            if truncate and new.isEmpty():
+                # empty frontier = fixpoint: every remaining round relaxes
+                # nothing, so stopping returns the identical fixed-unroll
+                # result (the label_prop short-circuit discipline).  The
+                # probe (isEmpty over the round's checkpoint blocks) runs
+                # EVERY round since r12: besides the skipped rounds it
+                # also buys the caller's O(|E|) certificate skip (see
+                # report_fixpoint above).  Only on the truncating path —
+                # truncate=False exists for plan-shape tests that must
+                # see every round's join shape.
+                observed_fixpoint = True
+                break
+            frontier = new
+    finally:
+        if truncate:
+            sym.unpersist()  # dist is a projection of an eager checkpoint
     return (dist, observed_fixpoint) if report_fixpoint else dist
 
 
@@ -1297,40 +1385,60 @@ def widest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _WP_ROUNDS,
     and proof as bfs_hops: every improved node re-enters the frontier
     and is expanded the following round, so an observed empty frontier
     means every (settled → neighbor) relaxation was already offered and
-    rejected; the caller's O(|E|) certificate join is redundant then."""
+    rejected; the caller's O(|E|) certificate join is redundant then.
+
+    r13 state discipline: identical to bfs_hops — sym persisted
+    hash(dst) once (the expansion aggregate rides it, no per-round
+    message exchange), the improved-detect + state-update pair
+    (left-outer join, anti-join, union) collapsed into ONE full-outer
+    merge (max-monotone: the merged value is cand exactly when it
+    improves on the settled cap, else the settled cap — value-identical
+    rows), per-round state eagerly checkpointed (flat plans; see
+    bfs_hops for why a persist-chained state was rejected)."""
+    import os
+
+    n_part = int(os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8"))
+    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
     sym = edges_w.select("src", "dst", "w").unionAll(
         edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
-    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
-    sym = ck(sym)
+    ).repartition(n_part, "dst")
+    if truncate:
+        sym = sym.persist()
     cap = ck(seeds.select("node", F.lit(_WP_SEED_CAP).cast("long").alias("cap")))
     frontier = cap
     observed_fixpoint = False
-    for r in range(rounds):
-        reached = (
-            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.least(F.col("cap"), F.col("w")).alias("cand"),
+    imp = F.col("cand").isNotNull() & (F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
+    try:
+        for r in range(rounds):
+            reached = (
+                sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.least(F.col("cap"), F.col("w")).alias("cand"),
+                )
+                .groupBy("node")
+                .agg(F.max("cand").alias("cand"))
             )
-            .groupBy("node")
-            .agg(F.max("cand").alias("cand"))
-        )
-        improved = ck(
-            reached.join(cap, "node", "left_outer")
-            .where(F.col("cap").isNull() | (F.col("cand") > F.col("cap")))
-            .select("node", F.col("cand").alias("cap"))
-        )
-        if truncate and improved.isEmpty():
-            # empty frontier = monotone fixpoint; rest are no-ops.  Probed
-            # every round since r12 — besides skipped rounds the probe now
-            # buys the caller's certificate skip (report_fixpoint above).
-            observed_fixpoint = True
-            break
-        cap = ck(
-            cap.join(improved.select("node"), "node", "left_anti").unionAll(improved)
-        )
-        frontier = improved
+            merged = ck(
+                cap.join(reached, "node", "full_outer").select(
+                    "node",
+                    F.when(imp, F.col("cand")).otherwise(F.col("cap")).alias("cap"),
+                    imp.alias("mmbd_new"),
+                )
+            )
+            improved = merged.where(F.col("mmbd_new")).select("node", "cap")
+            cap = merged.select("node", "cap")
+            if truncate and improved.isEmpty():
+                # empty frontier = monotone fixpoint; rest are no-ops.
+                # Probed every round since r12 — besides skipped rounds the
+                # probe buys the caller's certificate skip (report_fixpoint
+                # above).
+                observed_fixpoint = True
+                break
+            frontier = improved
+    finally:
+        if truncate:
+            sym.unpersist()  # cap is a projection of an eager checkpoint
     return (cap, observed_fixpoint) if report_fixpoint else cap
 
 
@@ -1512,7 +1620,9 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpacked right after the agg — pair set bit-identical.
     inter = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.expr("shiftleft(a.s, 32) | b.s").alias("k"))
+        # CAST AS BIGINT (ADVICE r12): see cosupply_edges — int32 inputs
+        # would silently no-op the shift without the explicit cast
+        .select(F.expr("shiftleft(CAST(a.s AS BIGINT), 32) | CAST(b.s AS BIGINT)").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("i"))
         .select(
@@ -1572,39 +1682,56 @@ def shortest_path(edges_w: DataFrame, seeds: DataFrame, rounds: int = _SP_ROUNDS
     ``report_fixpoint=True`` returns ``(dist, observed)`` — same
     contract and proof as widest_path: an observed empty frontier means
     every settled value was already expanded after its last improvement,
-    so the caller's full-relaxation certificate is redundant."""
+    so the caller's full-relaxation certificate is redundant.
+
+    r13 state discipline: identical to bfs_hops/widest_path — sym
+    persisted hash(dst) once (the expansion aggregate rides it),
+    improved-detect + state-update collapsed into one full-outer merge
+    (min-monotone twin of widest_path), per-round state eagerly
+    checkpointed (flat plans; see bfs_hops)."""
+    import os
+
+    n_part = int(os.environ.get("MMBD_CC_SHUFFLE_PARTITIONS", "8"))
+    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
     sym = edges_w.select("src", "dst", "cost").unionAll(
         edges_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
-    )
-    ck = (lambda df: df.localCheckpoint(eager=True)) if truncate else (lambda df: df)
-    sym = ck(sym)
+    ).repartition(n_part, "dst")
+    if truncate:
+        sym = sym.persist()
     dist = ck(seeds.select("node", F.lit(0).cast("long").alias("dist")))
     frontier = dist
     observed_fixpoint = False
-    for r in range(rounds):
-        reached = (
-            sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("cost")).alias("cand"),
+    imp = F.col("cand").isNotNull() & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+    try:
+        for r in range(rounds):
+            reached = (
+                sym.join(F.broadcast(frontier.withColumnRenamed("node", "src")), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("cost")).alias("cand"),
+                )
+                .groupBy("node")
+                .agg(F.min("cand").alias("cand"))
             )
-            .groupBy("node")
-            .agg(F.min("cand").alias("cand"))
-        )
-        improved = ck(
-            reached.join(dist, "node", "left_outer")
-            .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-            .select("node", F.col("cand").alias("dist"))
-        )
-        if truncate and improved.isEmpty():
-            # empty frontier = monotone fixpoint; rest are no-ops.  Probed
-            # every round since r12 (buys the certificate skip too).
-            observed_fixpoint = True
-            break
-        dist = ck(
-            dist.join(improved.select("node"), "node", "left_anti").unionAll(improved)
-        )
-        frontier = improved
+            merged = ck(
+                dist.join(reached, "node", "full_outer").select(
+                    "node",
+                    F.when(imp, F.col("cand")).otherwise(F.col("dist")).alias("dist"),
+                    imp.alias("mmbd_new"),
+                )
+            )
+            improved = merged.where(F.col("mmbd_new")).select("node", "dist")
+            dist = merged.select("node", "dist")
+            if truncate and improved.isEmpty():
+                # empty frontier = monotone fixpoint; rest are no-ops.
+                # Probed every round since r12 (buys the certificate skip
+                # too).
+                observed_fixpoint = True
+                break
+            frontier = improved
+    finally:
+        if truncate:
+            sym.unpersist()  # dist is a projection of an eager checkpoint
     return (dist, observed_fixpoint) if report_fixpoint else dist
 
 

@@ -65,15 +65,27 @@ def hits(
     each round reads its two contribution vectors TWICE each (the norm
     aggregate and the divide), so naive per-round chaining squares the
     plan — measured 29 s warm at sf0.01 for a 2-round cadence.  One
-    eager localCheckpoint of the |V|-row hub vector per round is the
-    measured sweet spot (10.8 s vs 13.7 s for checkpointing both
-    half-rounds): WITHIN the round's single materialization the twice-
-    referenced araw/hraw aggregates deduplicate through Spark's
-    exchange reuse (one shuffle each, verified bit-identical to the
-    both-halves-checkpointed form), and lineage never exceeds one
-    round.  Only score vectors are ever exchanged/materialized — the
-    edge list stays resident and is never moved (broadcast joins on
-    both steps).
+    eager localCheckpoint of the |V|-row hub vector per round bounds
+    lineage to a single round.
+
+    r13: the norm is computed as a WINDOW aggregate over the raw
+    contribution vector (empty partition spec — all |V| rows meet in
+    one partition, a |V|-row exchange) instead of a separate 1-row agg
+    + crossJoin(broadcast).  Why this matters after r12 removed the
+    per-round agg exchanges: the old shape referenced araw/hraw twice
+    (norm subtree + divide subtree) and relied on EXCHANGE REUSE to
+    dedup them — with the aggregates now exchange-free there is no
+    exchange to reuse, so each half-round's edge join + agg executed
+    TWICE per round (4 edge joins/round, visible as the residual ~9 s
+    wall with near-zero shuffle).  The window form references each raw
+    vector exactly ONCE (2 edge joins/round) and drops 2 of the 4
+    broadcast-build waves per round.  Summation order inside the window
+    differs from the hash-agg order, which is within the 12-dp
+    round-after-every-aggregate contract (the same contract that lets
+    DuckDB's summation order match at all); re-verified against the
+    unrolled oracle at sf0.001/0.01/0.1.  Only score vectors are ever
+    exchanged/materialized — the edge list stays resident and is never
+    moved (broadcast joins on both steps).
 
     Score frames carry only the NONZERO side each round (nodes absent
     from ``hub`` contribute nothing to the next auth sum — identical
@@ -108,6 +120,12 @@ def hits(
     old_part = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_part)
     try:
+        from pyspark.sql.window import Window
+
+        # the L2 norm as a window over the raw vector: one reference to
+        # araw/hraw per round (see docstring — the post-r12 double-compute
+        # fix), |V| rows through a single-partition window exchange
+        wall = Window.partitionBy()
         hub = nodes.select("node", F.lit(1.0).alias("hub"))
         auth = None
         for it in range(iters):
@@ -116,27 +134,29 @@ def hits(
                 .groupBy("dst")
                 .agg(F.round(F.sum("hub"), 12).alias("ar"))
             )
-            na = araw.agg(
-                F.round(F.sqrt(F.round(F.sum(F.col("ar") * F.col("ar")), 12)), 12).alias("nrm_a")
-            )
-            auth = araw.crossJoin(F.broadcast(na)).select(
+            auth = araw.withColumn(
+                "nrm_a",
+                F.round(F.sqrt(F.round(F.sum(F.col("ar") * F.col("ar")).over(wall), 12)), 12),
+            ).select(
                 F.col("dst").alias("node"),
                 F.round(F.col("ar") / F.col("nrm_a"), 12).alias("auth"),
             )
             if it == iters - 1:
                 # the final auth feeds the output frame: materialize it so
-                # the closing join does not re-run the round's two shuffles
+                # the closing join does not re-run the round's edge join
                 auth = auth.localCheckpoint(eager=True)
             hraw = (
                 ed.join(F.broadcast(auth), ed.dst == auth.node)
                 .groupBy("src")
                 .agg(F.round(F.sum("auth"), 12).alias("hr"))
             )
-            nh = hraw.agg(
-                F.round(F.sqrt(F.round(F.sum(F.col("hr") * F.col("hr")), 12)), 12).alias("nrm_h")
-            )
             hub = (
-                hraw.crossJoin(F.broadcast(nh))
+                hraw.withColumn(
+                    "nrm_h",
+                    F.round(
+                        F.sqrt(F.round(F.sum(F.col("hr") * F.col("hr")).over(wall), 12)), 12
+                    ),
+                )
                 .select(
                     F.col("src").alias("node"),
                     F.round(F.col("hr") / F.col("nrm_h"), 12).alias("hub"),

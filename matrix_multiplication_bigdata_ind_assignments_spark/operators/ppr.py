@@ -54,24 +54,34 @@ def personalized_pagerank(
     # r12: repartition BEFORE distinct — Hash(src) satisfies the dedup's
     # clustering, so it rides the loop's one-time exchange instead of
     # paying its own (set-identical; the graph.pagerank move).
+    # r13 (the graph.pagerank broadcast-arm move): the walk is clustered on
+    # ``dst`` — the only per-iteration aggregate is the contribution sum
+    # groupBy(dst), which now rides this one-time exchange (the rank side
+    # is broadcast, so src-clustering bought nothing); statics is
+    # persist-clustered on node so the per-iteration statics ⋈ contribs
+    # merge join is co-partitioned: zero per-iteration exchanges and one
+    # broadcast-build wave (ranks) per iteration.
     walk = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(int(n_part), "src")
+        .repartition(int(n_part), "dst")
         .distinct()
         .persist()
     )
     nodes = walk.select(F.col("src").alias("node")).distinct()
     deg = walk.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    statics = (
+    statics_cached = (
         nodes.join(deg, nodes.node == deg.src, "left")
         .select("node", "outdeg")
-        .localCheckpoint(eager=True)
+        .repartition(int(n_part), "node")
+        .persist()
     )
-    n_seeds = statics.where(F.col("node") % seed_mod == 0).count()
+    n_seeds = statics_cached.where(F.col("node") % seed_mod == 0).count()
     if n_seeds == 0:  # no trusted nodes in this graph — PPR is undefined
+        walk.unpersist()
+        statics_cached.unpersist()
         raise ValueError("personalized_pagerank: empty seed set")
-    statics = statics.withColumn(
+    statics = statics_cached.withColumn(
         "sw",
         F.when(F.col("node") % seed_mod == 0, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)),
     )
@@ -87,7 +97,8 @@ def personalized_pagerank(
                 .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
             )
             new_ranks = (
-                statics.join(F.broadcast(contribs), statics.node == contribs.dst, "left")
+                # merge-hinted co-partitioned join (see graph.pagerank r13)
+                statics.join(contribs.hint("merge"), statics.node == contribs.dst, "left")
                 .select(
                     "node",
                     "outdeg",
@@ -105,6 +116,7 @@ def personalized_pagerank(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         walk.unpersist()
+        statics_cached.unpersist()
     return ranks.select("node", "rank")
 
 

@@ -64,10 +64,6 @@ def main() -> int:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
-    def job_count() -> int:
-        ids = tracker.getJobIdsForGroup(None)
-        return len(ids)
-
     for name in names:
         sc.setJobGroup(f"explain:{name}", name)
         jobs0 = set(tracker.getJobIdsForGroup(f"explain:{name}"))
@@ -79,7 +75,11 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         d = shuffle_delta(snap0, settled_snapshot(spark))
         jobs1 = set(tracker.getJobIdsForGroup(f"explain:{name}"))
-        sc.setJobGroup(None, None)
+        # clearJobGroup is the supported clear API (ADVICE r12 —
+        # setJobGroup(None, None) relies on py4j accepting null ids);
+        # PySpark's SparkContext doesn't surface it, so call the
+        # JavaSparkContext method directly
+        sc._jsc.clearJobGroup()
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"# {name} — .explain('formatted') at sf_dir={sf_dir}\n")
