@@ -117,6 +117,14 @@ def landmark_distances(
         sym = sym.repartition(n_part, "src").persist()
         sym.count()  # materialize the one-time clustering
     else:
+        # r13 MEASURED NEGATIVE (do not retry): dst-clustering the
+        # resident edges at n_part=8 so the per-round bit_or aggregate
+        # rides the exchange (the bfs_hops move) was A/B'd at 7.0-7.9 s
+        # vs 6.4-7.4 s for this shape — the expansion here is
+        # compute-heavy (|E_f| word rows through bit_or per round) and
+        # losing the checkpoint's ~64-way map parallelism costs more
+        # than the post-partial-agg word exchange it saves.  The
+        # checkpointed wide edge list stays.
         sym = ck(sym)
     # landmark index table (lm, wi, bit): one word index + bit position
     # per landmark, assigned by a row_number over the BOUNDED landmark
@@ -205,7 +213,7 @@ def landmark_distances(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_part)
         if join_strategy == "copartition":
-            sym.unpersist()
+            sym.unpersist()  # every returned part is an eager checkpoint
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -2012,7 +2012,15 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # r13: materialize the |V|-row degree table ONCE — it feeds TWO
+    # broadcast builds below, and an unmaterialized deg re-ran the full
+    # 2|E| aggregate (scan + exchange) inside each build (the duplicated
+    # HashAggregate/Exchange pair in plans/r13/q_assortativity_before.txt)
+    deg = (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     pairs = (
         ed.join(F.broadcast(deg.select(F.col("src").alias("node"), F.col("d").alias("x"))),
                 ed.src == F.col("node"))

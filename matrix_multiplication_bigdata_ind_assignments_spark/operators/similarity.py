@@ -1079,6 +1079,19 @@ def _pq_train_codebook(
         _PQ_TRAIN, n_rows if n_rows is not None else len(sample_rows)
     ):
         rows = sample_rows[:_PQ_TRAIN]
+        # ADVICE r12: VERIFY the prefix-validity condition instead of
+        # documenting it.  The reused prefix equals the standalone path's
+        # own sample iff every reused row would survive the standalone
+        # hash-threshold filter (sized for _PQ_TRAIN from n_rows): the
+        # rows are (h, vec_id)-sorted, so checking the LAST one suffices.
+        # If the probabilistic filter would underflow (never at gate
+        # scales — the filter keeps ~4×_PQ_TRAIN rows in expectation),
+        # fall back to the standalone sample so _PQ_BOOKS content never
+        # depends on which query trained first.
+        if n_rows is not None and n_rows > 4 * _PQ_TRAIN and len(rows) == _PQ_TRAIN:
+            frac = min(255, max(1, (4 * _PQ_TRAIN * 256) // n_rows))
+            if rows[-1]["h"] >= f"{frac:02x}":
+                rows = _pq_train_sample(unit, n_rows=n_rows)
     else:
         rows = _pq_train_sample(unit, n_rows=n_rows)
     X = np.array([r["u"] for r in rows])  # (n, 64)

@@ -194,3 +194,31 @@ def test_random_projection_matches_numpy_and_preserves_geometry(spark, sf_dir):
     assert 0.8 < (d_p[mask] / d_o[mask]).mean() < 1.2
     corr = np.corrcoef(d_o[mask], d_p[mask])[0, 1]
     assert corr > 0.2, corr
+
+
+def test_pq_codebook_sample_prefix_guard(monkeypatch):
+    """The reused centroid-trainer sample is a valid codebook sample only
+    when every reused row survives the standalone hash-threshold filter
+    (ADVICE r12): rows are (h, vec_id)-sorted, so the guard checks the
+    LAST reused hash against the standalone cutoff and falls back to the
+    standalone sample otherwise — _PQ_BOOKS content must never depend on
+    which query trained first."""
+    mk = lambda h: [  # noqa: E731
+        {"u": [((i * 31 + j) % 97) / 97.0 for j in range(64)], "h": h}
+        for i in range(S._PQ_TRAIN)
+    ]
+    calls = []
+
+    def fake_standalone(unit, n_sample=S._PQ_TRAIN, n_rows=None):
+        calls.append(n_rows)
+        return mk("00")
+
+    monkeypatch.setattr(S, "_pq_train_sample", fake_standalone)
+    # n_rows=100_000 → standalone cutoff frac = (4·2048·256)//100000 = 20
+    # = '14' hex.  Tail hash '00' < '14': prefix valid, reused, no retrain.
+    S._pq_train_codebook(None, sample_rows=mk("00"), n_rows=100_000)
+    assert calls == []
+    # Tail hash 'ff' ≥ '14': the standalone filter would have cut these
+    # rows — the guard must retrain from the standalone sample.
+    S._pq_train_codebook(None, sample_rows=mk("ff"), n_rows=100_000)
+    assert calls == [100_000]
